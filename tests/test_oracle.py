@@ -1,0 +1,91 @@
+"""Anchor the oracle itself with hand-computed BM25 over a 5-doc micro-corpus
+(FIXTURES.md §4), plus structural properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.oracle import bm25_topk, with_doc_ids
+from katta_spark.scoring import BM25_B, BM25_K1
+from katta_spark.tokenizer import tokenize_str
+
+DOCS = [
+    (1, "the quick brown fox"),
+    (2, "the quick quick dog"),
+    (3, "lazy dog sleeps"),
+    (4, "fox and dog and fox"),
+    (5, ""),
+]
+
+
+def _hand_bm25(query: str, k: int):
+    """Plain-Python BM25 over DOCS — independent of Spark entirely."""
+    toks = {d: tokenize_str(t) for d, t in DOCS}
+    n = len(DOCS)
+    doclens = {d: len(ts) for d, ts in toks.items()}
+    nonempty = [d for d in doclens if doclens[d] > 0]
+    avgdl = sum(doclens[d] for d in nonempty) / len(nonempty)
+    qterms = tokenize_str(query)
+    scores = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in qterms:  # per-occurrence weighting
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for dd in toks.values() if t in dd)
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            tfn = tf * (BM25_K1 + 1) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * doclens[d] / avgdl))
+            s += idf * tfn
+        if s > 0:
+            scores[d] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize(
+    "query", ["fox", "quick dog", "the quick brown fox", "quick quick", "nothing"]
+)
+def test_oracle_matches_hand_computed(spark, micro, query):
+    got = [(r.doc_id, r.score) for r in bm25_topk(micro, query, k=5).collect()]
+    want = _hand_bm25(query, 5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-6)
+
+
+def test_empty_query_and_absent_term(micro):
+    assert bm25_topk(micro, "zzz absent", k=5).count() == 0
+    assert bm25_topk(micro, "...", k=5).count() == 0
+
+
+def test_topk_prefix_property(tiny_transcripts):
+    """top-k is a prefix of top-(k+m) — reference LuceneClientTest.java:414."""
+    docs = with_doc_ids(tiny_transcripts, num_shards=4)
+    small = bm25_topk(docs, "hotalpha hotbeta", k=5, shard_col="shard_id").collect()
+    big = bm25_topk(docs, "hotalpha hotbeta", k=20, shard_col="shard_id").collect()
+    assert [r.doc_id for r in small] == [r.doc_id for r in big][:5]
+
+
+def test_doc_ids_unique_and_stable(tiny_transcripts):
+    docs = with_doc_ids(tiny_transcripts, num_shards=4)
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    # stable: recomputing yields identical assignment
+    again = with_doc_ids(tiny_transcripts, num_shards=4)
+    assert (
+        docs.select("conv_id", "turn_idx", "doc_id", "shard_id")
+        .exceptAll(again.select("conv_id", "turn_idx", "doc_id", "shard_id"))
+        .count()
+        == 0
+    )
+    # shards roughly balanced (B3 analog: balanced shard sizing)
+    sizes = [r["count"] for r in docs.groupBy("shard_id").count().collect()]
+    assert len(sizes) == 4
+    assert max(sizes) / min(sizes) < 1.5
