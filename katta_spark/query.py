@@ -1,0 +1,291 @@
+"""Query path — Katta's two-phase scatter-gather search re-created as one
+Spark job over the pre-partitioned postings table.
+
+Reference lifecycle (SURVEY.md §3.1, LuceneClient.java:149-203):
+  phase 1: gather global df per term  → we PRECOMPUTED it at build time
+           (immutable index ⇒ stats are a broadcast side table, exactly the
+           invariant Katta exploits via CachedDfSource, LuceneServer.java:441)
+  phase 2: scatter per-shard top-k    → one mapInPandas/applyInPandas kernel
+           per shard partition (partition-pruned, predicate-pushed scan)
+  merge  : node + client k-way merges → TakeOrderedAndProject (orderBy+limit)
+
+Tie-break replicated exactly from Hit.java:150-162: score DESC, doc_id ASC,
+shard_id DESC.
+
+The kernel is exact, vectorized term-at-a-time scoring with a MaxScore-style
+prune: terms are processed in descending max_impact order and postings of
+low-impact terms are dropped early when their upper bound cannot lift any
+new document into the running top-k (block-max bounds from the index make
+the prune block-granular). Pruning never changes results — property-tested
+against the unpruned path and the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from katta_spark import scoring
+from katta_spark.codec import (
+    decode_blocks,
+    decode_posting_list,
+    i64_to_u64_order,
+    read_skips,
+)
+from katta_spark.tokenizer import tokenize_str
+
+HITS_SCHEMA = "shard_id int, doc_id long, score float"
+
+
+@dataclass
+class IndexHandle:
+    """Opened index — the analog of Katta's deployed-index client view."""
+
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    num_shards: int
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
+        row = spark.read.parquet(os.path.join(index_dir, "corpus.parquet")).collect()[0]
+        return cls(index_dir, int(row["n_docs"]), float(row["avgdl"]), int(row["n_shards"]))
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "postings.parquet"))
+
+    def stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "stats.parquet"))
+
+
+def parse_query(query: str) -> dict[str, float]:
+    """query string → {term: qweight}; duplicated terms weight 2x (F3)."""
+    qw: dict[str, float] = {}
+    for t in tokenize_str(query):
+        qw[t] = qw.get(t, 0.0) + 1.0
+    return qw
+
+
+def _make_score_kernel(
+    qweights: dict[str, float],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    prune: bool,
+):
+    """Per-shard scoring kernel (applyInPandas over shard_id groups).
+
+    Input: the ≤len(query) postings rows of one shard. Output: that shard's
+    top-k (shard_id, doc_id, score float32) — the analog of Katta's
+    per-shard TopScoreDocCollector capped at min(limit, maxDoc)
+    (LuceneServer.java:664-679).
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf["shard_id"].iloc[0])
+        # Process terms in descending max-impact order so the prune
+        # threshold grows as fast as possible (MaxScore ordering).
+        pdf = pdf.assign(
+            _qimpact=[
+                qweights[t] * float(mi) for t, mi in zip(pdf["term"], pdf["max_impact"])
+            ]
+        ).sort_values("_qimpact", ascending=False)
+        # suffix[i] = Σ qimpact of terms AFTER position i — upper bound of
+        # what a doc can still gain from the remaining (lower-impact) terms.
+        qimps = pdf["_qimpact"].to_numpy(np.float64)
+        suffix = np.concatenate([np.cumsum(qimps[::-1])[::-1][1:], [0.0]])
+        MARGIN = 1.0 + 1e-6  # float32 block maxima may round down 1 ulp
+
+        doc_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
+        theta = -np.inf  # running lower bound of the k-th best score
+        # Exact accumulation: upper bounds only *skip decoding blocks* that
+        # provably cannot create a NEW top-k entry AND contain no already-
+        # accumulated candidate (whose exact score must stay exact).
+        acc_docs = None
+        acc_scores = None
+
+        for pos, row in enumerate(pdf.itertuples(index=False)):
+            bmi = np.frombuffer(row.block_max_impact, dtype=np.float32).astype(
+                np.float64
+            ) * qweights[row.term]
+            use_prune = prune and acc_docs is not None and acc_docs.size >= k
+            if use_prune:
+                # block is needed if it may contain an accumulated doc
+                # (must stay exact) or its new-doc bound can reach θ.
+                skips = read_skips(row.skips)
+                firsts = skips["first_doc"]
+                acc_u = np.sort(i64_to_u64_order(acc_docs))
+                # block bi covers [firsts[bi], firsts[bi+1])
+                idx = np.searchsorted(firsts, acc_u, side="right") - 1
+                has_acc = np.zeros(firsts.size, dtype=bool)
+                has_acc[np.clip(idx, 0, firsts.size - 1)] = True
+                can_enter = (bmi + suffix[pos]) * MARGIN >= theta
+                need = has_acc | can_enter
+                if not need.all():
+                    sel = np.flatnonzero(need)
+                    d, t, l = decode_blocks(
+                        row.doc_ids, row.tfs, row.doclens, row.skips, sel, int(row.df)
+                    )
+                else:
+                    d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
+            else:
+                d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
+
+            contrib = (
+                qweights[row.term]
+                * idf[row.term]
+                * scoring.tf_norm_np(t, l, avgdl)
+            )
+            doc_parts.append(d)
+            contrib_parts.append(contrib)
+
+            # refresh accumulator + θ after each term
+            all_docs = np.concatenate(doc_parts)
+            all_contrib = np.concatenate(contrib_parts)
+            acc_docs, inv = np.unique(all_docs, return_inverse=True)
+            acc_scores = np.bincount(inv, weights=all_contrib)
+            if acc_docs.size >= k and k > 0:
+                theta = np.partition(acc_scores, acc_scores.size - k)[
+                    acc_scores.size - k
+                ]
+
+        if acc_docs is None or acc_docs.size == 0 or k <= 0:
+            return pd.DataFrame(
+                {"shard_id": pd.array([], dtype="int32"),
+                 "doc_id": pd.array([], dtype="int64"),
+                 "score": pd.array([], dtype="float32")}
+            )
+        scores32 = acc_scores.astype(np.float32)
+        # top-k with exact tie-break: score DESC, doc_id ASC
+        kk = min(k, acc_docs.size)
+        order = np.lexsort((acc_docs, -scores32))[:kk]
+        return pd.DataFrame(
+            {
+                "shard_id": np.full(kk, shard_id, dtype=np.int32),
+                "doc_id": acc_docs[order],
+                "score": scores32[order],
+            }
+        )
+
+    return kernel
+
+
+def search(
+    spark: SparkSession,
+    index: IndexHandle | str,
+    query: str,
+    k: int = 10,
+    shard_ids: list[int] | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
+    by the exact reference tie-break, ≤ k rows.
+
+    Plan at scale: parquet scan of postings pruned to the query's shards
+    (partition column) and terms (pushed predicate + row-group skipping via
+    the term-sorted layout) → one Arrow kernel per shard → ≤ k·shards rows
+    → TakeOrderedAndProject. The corpus is never shuffled.
+    """
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
+    qweights = parse_query(query)
+    if not qweights or k <= 0:
+        return spark.createDataFrame([], "doc_id long, shard_id int, score float")
+
+    terms = sorted(qweights)
+    if shard_ids is None:
+        # Phase-1 analog: df per query term from the precomputed stats table
+        # (tiny read, pushed predicate). Katta: LuceneClient.getDocFrequencies.
+        stats_rows = index.stats(spark).where(F.col("term").isin(terms)).collect()
+        n_docs, avgdl = float(index.n_docs), index.avgdl
+        idf = {
+            r["term"]: float(scoring.idf_np(np.array([r["df"]]), n_docs)[0])
+            for r in stats_rows
+        }
+        postings = index.postings(spark).where(F.col("term").isin(terms))
+    else:
+        # Shard-subset search scores with SUBSET-global stats, exactly like
+        # Katta's phase 1 over only the searched indices' shards
+        # (LuceneClient.java:264-286). df comes from the selected postings
+        # rows themselves; N/avgdl from the per-shard stats table. The
+        # baked block maxima assume corpus stats, so block pruning is off.
+        prune = False
+        srows = (
+            spark.read.parquet(os.path.join(index.index_dir, "shards.parquet"))
+            .where(F.col("shard_id").isin(shard_ids))
+            .collect()
+        )
+        n_docs = float(sum(r["n_docs"] for r in srows))
+        n_nonempty = sum(r["n_nonempty"] for r in srows)
+        avgdl = (
+            float(sum(r["sum_dl"] for r in srows)) / n_nonempty if n_nonempty else 1.0
+        )
+        postings = (
+            index.postings(spark)
+            .where(F.col("term").isin(terms))
+            .where(F.col("shard_id").isin(shard_ids))
+        )
+        df_rows = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        idf = {
+            r["term"]: float(scoring.idf_np(np.array([r["df"]]), n_docs)[0])
+            for r in df_rows
+        }
+    live_terms = [t for t in terms if t in idf]
+    if not live_terms:
+        return spark.createDataFrame([], "doc_id long, shard_id int, score float")
+    postings = postings.where(F.col("term").isin(live_terms))
+
+    kernel = _make_score_kernel(qweights, idf, avgdl, k, prune)
+    hits = postings.groupBy("shard_id").applyInPandas(kernel, HITS_SCHEMA)
+    return (
+        hits.select("doc_id", "shard_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc())
+        .limit(k)
+    )
+
+
+def count_matches(spark: SparkSession, index: IndexHandle | str, query: str) -> int:
+    """Hit-count fast path (Katta getResultCount, LuceneServer.java:413-423):
+    number of docs matching ≥1 query term — no scores materialized."""
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
+    terms = sorted(parse_query(query))
+    if not terms:
+        return 0
+    postings = index.postings(spark).where(F.col("term").isin(terms))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = [decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
+                for r in pdf.itertuples(index=False)]
+        n = int(np.unique(np.concatenate(docs)).size) if docs else 0
+        return pd.DataFrame({"shard_id": [int(pdf["shard_id"].iloc[0])], "n": [n]})
+
+    per_shard = postings.groupBy("shard_id").applyInPandas(
+        kernel, "shard_id int, n long"
+    )
+    row = per_shard.agg(F.sum("n").alias("total")).collect()[0]
+    return int(row["total"] or 0)
+
+
+def get_details(
+    spark: SparkSession,
+    hits: DataFrame,
+    source: DataFrame,
+    fields: list[str] | None = None,
+    id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Fetch stored fields for hits — Katta getDetails (LuceneServer.java:
+    390-410; client fan-out LuceneClient.java:308-369) as a broadcast join
+    of the tiny top-k against the source table (J2)."""
+    src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
+    if fields:
+        src = src.select("doc_id", *fields)
+    return F.broadcast(hits).join(src, "doc_id", "left").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )

@@ -1,0 +1,102 @@
+"""Codec round-trips on random and adversarial arrays (no Spark needed).
+
+Mirrors the reference's serialization round-trip unit tests
+(HitsMapWritableTest.java, QueryWritableTest.java — SURVEY.md §5 cat 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from katta_spark.codec import (
+    BLOCK,
+    block_maxima,
+    decode_blocks,
+    decode_posting_list,
+    encode_posting_list,
+    read_skips,
+    vb_decode,
+    vb_encode,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=400)
+)
+@settings(max_examples=200, deadline=None)
+def test_vb_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(vb_decode(vb_encode(arr)), arr)
+
+
+def test_vb_boundaries():
+    # exact 7-bit boundaries where byte count changes
+    vals = [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**63, 2**64 - 1]
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(vb_decode(vb_encode(arr)), arr)
+    assert vb_encode(np.array([], dtype=np.uint64)) == b""
+    assert vb_decode(b"").size == 0
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_posting_roundtrip(data):
+    n = data.draw(st.integers(min_value=0, max_value=700))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    doc_ids = np.unique(rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64))
+    tfs = rng.integers(1, 500, size=doc_ids.size)
+    dls = rng.integers(1, 5000, size=doc_ids.size)
+    d, t, l, s = encode_posting_list(doc_ids, tfs, dls)
+    dd, tt, ll = decode_posting_list(d, t, l)
+    assert np.array_equal(dd, doc_ids)
+    assert np.array_equal(tt, tfs)
+    assert np.array_equal(ll, dls)
+    # skips: one per block, first_doc matches
+    skips = read_skips(s)
+    assert skips.shape[0] == (doc_ids.size + BLOCK - 1) // BLOCK
+
+
+def test_partial_decode_by_skips():
+    rng = np.random.default_rng(7)
+    doc_ids = np.unique(rng.integers(-(2**62), 2**62, size=1000, dtype=np.int64))
+    tfs = rng.integers(1, 9, size=doc_ids.size)
+    dls = rng.integers(3, 120, size=doc_ids.size)
+    d, t, l, s = encode_posting_list(doc_ids, tfs, dls)
+    nblocks = read_skips(s).shape[0]
+    # decode every second block; verify exact equality with slices
+    sel = np.arange(0, nblocks, 2)
+    dd, tt, ll = decode_blocks(d, t, l, s, sel, doc_ids.size)
+    expect = np.concatenate(
+        [doc_ids[bi * BLOCK : (bi + 1) * BLOCK] for bi in sel]
+    )
+    assert np.array_equal(dd, expect)
+    assert np.array_equal(
+        tt, np.concatenate([tfs[bi * BLOCK : (bi + 1) * BLOCK] for bi in sel])
+    )
+    # empty selection
+    e0, e1, e2 = decode_blocks(d, t, l, s, np.array([], dtype=int), doc_ids.size)
+    assert e0.size == 0
+
+
+def test_block_maxima():
+    tfs = np.array([1, 9, 2] * 100)
+    dls = np.array([50, 3, 120] * 100)
+    mt, ml = block_maxima(tfs, dls)
+    assert mt.shape[0] == (300 + BLOCK - 1) // BLOCK
+    assert (mt == 9).all()
+    assert (ml == 3).all()
+
+
+def test_compression_is_compact():
+    """Sanity: gaps of ~dense docIDs compress far below 8 bytes/doc."""
+    doc_ids = np.sort(
+        np.random.default_rng(1).choice(10**7, size=10**5, replace=False)
+    ).astype(np.int64)
+    tfs = np.ones(doc_ids.size, dtype=np.int64)
+    dls = np.full(doc_ids.size, 40, dtype=np.int64)
+    d, t, l, s = encode_posting_list(doc_ids, tfs, dls)
+    assert len(d) < 2.5 * doc_ids.size  # avg gap ~100 → ~1-2 bytes
+    assert len(t) == doc_ids.size  # tf=1 → 1 byte each
