@@ -1,0 +1,133 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports the north-star index-build throughput (turns/sec) over a
+deterministic synthetic transcripts corpus. The two-parallelism scaling
+evidence (local[8] vs local[32] via spark-submit --py-files) lives in
+scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("KATTA_BENCH_TURNS", "300000"))
+
+
+def main() -> None:
+    from katta_spark.session import get_spark
+    import katta_spark.build as ksb
+    import katta_spark.query as ksq
+    import katta_spark.similarity as sim
+    import katta_spark.textops as tx
+    from katta_spark.synth import synth_transcripts
+
+    spark = get_spark("katta_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    timings: dict[str, float] = {}
+    idx_dir = tempfile.mkdtemp(prefix="katta_bench_idx_")
+    tx_dir = tempfile.mkdtemp(prefix="katta_bench_tx_")
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 4)
+        return out
+
+    extra: dict[str, float] = {}
+    try:
+        # q0: index build over the documents table (docs/sec reported).
+        n_docs = docs.count()
+        timed(
+            "build_documents_index",
+            lambda: ksb.build_index(
+                spark, docs, idx_dir, num_shards=8, salt=8, doc_id_col="doc_id"
+            ),
+        )
+        extra["documents_build_docs_per_sec"] = round(
+            n_docs / timings["build_documents_index"], 1
+        )
+
+        # query paths over the built index
+        timed("bm25_top10", lambda: ksq.search(spark, idx_dir, "join hash", 10).collect())
+        timed(
+            "bm25_multi",
+            lambda: ksq.search(spark, idx_dir, "customer order data filter", 15).collect(),
+        )
+        timed(
+            "bm25_conjunctive",
+            lambda: ksq.search(spark, idx_dir, "join hash scan merge", 10, mode="and").collect(),
+        )
+        timed("bm25_wildcard", lambda: ksq.search(spark, idx_dir, "s* join", 10).collect())
+        timed("count_matches", lambda: ksq.count_matches(spark, idx_dir, "join hash"))
+
+        # training-data ops
+        timed("dedup_exact", lambda: tx.exact_dedup(docs).count())
+        timed("dedup_minhash_lsh", lambda: tx.minhash_lsh_pairs(docs).count())
+        timed("simhash", lambda: tx.simhash16(docs).count())
+        timed("quality_scores", lambda: tx.quality_scores(docs).count())
+        timed("lang_id", lambda: tx.lang_id(docs).count())
+        timed("ann_cosine_top20", lambda: sim.cosine_topk(emb, 0, 20).collect())
+        timed(
+            "ann_lsh_top10", lambda: sim.cosine_topk_lsh(emb, 0, 10, dim=64).collect()
+        )
+
+        # north-star: transcripts index-build throughput (turns/sec).
+        # Input written once (excluded from timing), build timed.
+        tx_parquet = os.path.join(tx_dir, "transcripts.parquet")
+        synth_transcripts(spark, BENCH_TURNS, seed=42).write.mode("overwrite").parquet(
+            tx_parquet
+        )
+        transcripts = spark.read.parquet(tx_parquet)
+        tidx = os.path.join(tx_dir, "index")
+        timed(
+            "build_transcripts_index",
+            lambda: ksb.build_index(
+                spark, transcripts, tidx, num_shards=max(8, CPUS), salt=16
+            ),
+        )
+        extra["transcripts_build_turns_per_sec"] = round(
+            BENCH_TURNS / timings["build_transcripts_index"], 1
+        )
+        timed(
+            "transcripts_bm25",
+            lambda: ksq.search(spark, tidx, "hotalpha w00011", 10).collect(),
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(tx_dir, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "katta_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "bench_turns": BENCH_TURNS,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,27 +3,38 @@ resumable Spark application (reference: IndexerJob.java:51-181 builds one
 Lucene index per input split; AbstractIndexOperation + DefaultDistributionPolicy
 assign shards to nodes, master/DefaultDistributionPolicy.java:47-123).
 
-Spark-first shape (SURVEY.md §3.3):
+Spark-first shape (SURVEY.md §3.3) — exactly ONE corpus-sized shuffle:
 
-    transcripts ──docIDs──▶ tokenize (JVM) ──explode──▶ tf agg (shuffle 1)
-        ├──▶ global stats (df, cf, N, avgdl)  ──▶ stats/corpus tables
-        └──▶ salted partial postings (shuffle 2, applyInPandas encode)
-                 └──▶ per-(shard,term) merge (shuffle 3, bounded by salt)
-                          └──▶ postings table partitioned by shard_id
+    phase 1 (scan 1): corpus stats — n_docs, avgdl, per-shard sizes
+                      (map-side partial aggs only; tiny shuffle)
+    phase 2 (scan 2): tokenize (JVM) → explode →
+                      salted repartition by (shard_id, xxhash(term) % salt)
+                      → sortWithinPartitions(shard_id, term, doc_id)
+                      → ONE mapInPandas run-encoder (Arrow batches, numpy):
+                        tf by (term, doc) run-length, posting list per
+                        (shard, term) run → postings partitioned by shard_id
+    phase 3: term stats (df, cf) aggregated FROM the postings rows
+             (vocab-sized job, not corpus-sized)
 
 Scale notes (designed for ~100 TB / 1000 executors, tested on local[32]):
 - shard_id = pmod(xxhash64(conv_id, turn_idx), num_shards): uniform by
-  construction — replaces Katta's capacity-sorted round-robin placement.
-  Size num_shards so one shard ≈ 5-15 GB of postings.
-- HOT-TERM SKEW is the one real skew risk (a term in 50% of turns). The
-  partial stage salts the groupBy key with pmod(doc_id, salt), bounding any
-  single group to df/salt postings; the merge stage then sees at most
-  ``salt`` pre-encoded segments per (shard, term) instead of raw postings —
-  a two-level aggregation exactly like Catalyst's partial/final hash agg,
-  but for variable-length arrays.
-- Everything before the encode kernels is built-in Spark (codegen'd);
-  Python appears only in the two applyInPandas encode/merge kernels, both
-  Arrow-batched and numpy-vectorized.
+  construction — replaces Katta's capacity-sorted round-robin placement
+  (the hash-spread of documents is also the primary hot-term defuser: a
+  term's postings split evenly across shards).
+- The encode shuffle is keyed by (shard_id, xxhash(term) % salt) — the
+  salted repartitioning the north rule names: a shard's term space splits
+  across ``salt`` reducers, so no single reducer owns a whole shard, and a
+  (shard, term) group still lands wholly in one partition.
+- The shuffled rows are raw tokens (term, doc_id, doclen): tf aggregation
+  happens inside the sorted encode kernel by run-length — cheaper than a
+  separate groupBy shuffle because sorting was needed anyway and the
+  dedup-by-(doc,term) factor of natural text is small.
+- The encoder is ONE Python invocation per Arrow batch (mapInPandas), not
+  per group: runs are detected vectorized and carried across batch
+  boundaries; each posting list is encoded with vectorized numpy (codec.py).
+- Postings store per-block raw maxima (max_tf, min_dl), NOT baked impacts:
+  bounds are assembled at query time from whichever stats govern the query
+  (global or shard-subset), so the index is stats-independent.
 - RESUMABILITY (replaces ZK queues + OperationWatchdog, SURVEY.md §2.10 B6):
   shards are processed in batches; each batch commits its postings
   partitions via dynamic partition overwrite (idempotent) and then appends
@@ -36,25 +47,31 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from katta_spark import scoring
-from katta_spark.codec import block_maxima, decode_posting_list, encode_posting_list
+from katta_spark.codec import encode_posting_lists_batch
 from katta_spark.oracle import with_doc_ids
 from katta_spark.tokenizer import tokenize_col
 
-PARTIAL_SCHEMA = (
-    "shard_id int, term string, salt int, df long, "
-    "doc_ids binary, tfs binary, doclens binary"
-)
+# Bump whenever the on-disk postings layout changes: a resumed build over a
+# directory with a different version wipes and rebuilds (the analog of
+# Katta refusing to serve a shard whose format it cannot read).
+FORMAT_VERSION = 2
+
 POSTINGS_OUT_SCHEMA = (
-    "shard_id int, term string, df long, doc_ids binary, tfs binary, "
-    "doclens binary, skips binary, max_impact float, block_max_impact binary"
+    "shard_id int, term string, df long, cf long, doc_ids binary, tfs binary, "
+    "doclens binary, skips binary, max_tf int, min_dl int, "
+    "block_max_tf binary, block_min_dl binary"
 )
+_COLS = [
+    "shard_id", "term", "df", "cf", "doc_ids", "tfs", "doclens", "skips",
+    "max_tf", "min_dl", "block_max_tf", "block_min_dl",
+]
 
 
 def _paths(index_dir: str) -> dict[str, str]:
@@ -67,85 +84,97 @@ def _paths(index_dir: str) -> dict[str, str]:
     }
 
 
-def _encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Stage-A kernel: one (shard, term, salt) group → one encoded segment.
+def _encode_body(body: pd.DataFrame, block: int) -> pd.DataFrame:
+    """Encode all complete (shard, term) runs of a token-row block.
 
-    Sorts by doc_id and emits raw (non-blocked) varbyte buffers; the merge
-    stage re-blocks. Runs as applyInPandas — Arrow in, Arrow out.
+    Input rows: (shard_id, term, doc_id, doclen), sorted by
+    (shard_id, term, doc_id), possibly with repeated (term, doc) rows —
+    tf is their run length. Term identity is factorized to int codes so
+    every comparison is C-speed; the heavy lifting is one vectorized
+    multi-list encode (codec.encode_posting_lists_batch).
     """
-    shard_id = int(pdf["shard_id"].iloc[0])
-    term = pdf["term"].iloc[0]
-    salt = int(pdf["salt"].iloc[0])
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    tfs = pdf["tf"].to_numpy(np.int64)[order]
-    dls = pdf["doclen"].to_numpy(np.int64)[order]
-    d, t, l, _ = encode_posting_list(doc_ids, tfs, dls, block=1 << 30)
-    return pd.DataFrame(
-        {
-            "shard_id": [shard_id],
-            "term": [term],
-            "salt": [salt],
-            "df": [int(doc_ids.size)],
-            "doc_ids": [d],
-            "tfs": [t],
-            "doclens": [l],
-        }
-    )
+    shard = body["shard_id"].to_numpy(np.int64)
+    codes, uniques = pd.factorize(body["term"])
+    doc = body["doc_id"].to_numpy(np.int64)
+    dl = body["doclen"].to_numpy(np.int64)
+    n = len(body)
+    key = shard * (len(uniques) + 1) + codes  # unique per (shard, term)
+    # level 1: (shard, term, doc) runs → tf
+    chg_doc = np.empty(n, dtype=bool)
+    chg_doc[0] = True
+    chg_doc[1:] = (doc[1:] != doc[:-1]) | (key[1:] != key[:-1])
+    s_doc = np.flatnonzero(chg_doc)
+    tf = np.diff(np.append(s_doc, n))
+    doc_r, dl_r = doc[s_doc], dl[s_doc]
+    key_r, code_r, shard_r = key[s_doc], codes[s_doc], shard[s_doc]
+    # level 2: (shard, term) runs over the reduced arrays
+    m = s_doc.size
+    chg_t = np.empty(m, dtype=bool)
+    chg_t[0] = True
+    chg_t[1:] = key_r[1:] != key_r[:-1]
+    starts = np.flatnonzero(chg_t)
+    encoded = encode_posting_lists_batch(doc_r, tf, dl_r, starts, block=block)
+    out = pd.DataFrame(encoded, columns=_COLS[2:])
+    out.insert(0, "term", uniques[code_r[starts]])
+    out.insert(0, "shard_id", shard_r[starts].astype(np.int32))
+    return out
 
 
-def _make_merge_kernel(n_docs: int, avgdl: float, block: int):
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Stage-B kernel: ≤salt segments of one (shard, term) → final row
-        with skips + block-max impacts (global stats baked in at build time,
-        mirroring Katta's principle that stats are corpus-global)."""
-        shard_id = int(pdf["shard_id"].iloc[0])
-        term = pdf["term"].iloc[0]
-        parts = [
-            decode_posting_list(r.doc_ids, r.tfs, r.doclens)
-            for r in pdf.itertuples(index=False)
-        ]
-        doc_ids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        df_ = int(doc_ids.size)
-        d, t, l, s = encode_posting_list(doc_ids, tfs, dls, block=block)
-        max_tf, min_dl = block_maxima(tfs, dls, block=block)
-        idf = scoring.idf_np(np.array([df_]), float(n_docs))[0]
-        bmi = (
-            idf * scoring.tf_norm_np(max_tf, min_dl, avgdl)
-        ).astype(np.float32)
-        return pd.DataFrame(
-            {
-                "shard_id": [shard_id],
-                "term": [term],
-                "df": [df_],
-                "doc_ids": [d],
-                "tfs": [t],
-                "doclens": [l],
-                "skips": [s],
-                "max_impact": [np.float32(bmi.max()) if bmi.size else np.float32(0)],
-                "block_max_impact": [bmi.tobytes()],
-            }
-        )
+def _make_encode_kernel(block: int):
+    """mapInPandas kernel over partitions sorted by (shard_id, term, doc_id).
 
-    return _merge
+    Emits one postings row per (shard, term) run; a run spanning Arrow batch
+    boundaries is carried and stitched. One Python crossing per batch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            shard = pdf["shard_id"].to_numpy(np.int64)
+            codes, _ = pd.factorize(pdf["term"])
+            chg = np.empty(len(pdf), dtype=bool)
+            chg[0] = True
+            chg[1:] = (shard[1:] != shard[:-1]) | (codes[1:] != codes[:-1])
+            starts = np.flatnonzero(chg)
+            # last (shard, term) run may continue into the next batch
+            last_start = starts[-1]
+            carry = pdf.iloc[last_start:]
+            body = pdf.iloc[:last_start]
+            if len(body):
+                yield _encode_body(body, block)
+        if carry is not None and len(carry):
+            yield _encode_body(carry, block)
+
+    return kernel
 
 
-def term_frequencies(docs_with_ids: DataFrame) -> DataFrame:
-    """(shard_id, doc_id, doclen, term, tf) — all JVM-side until here."""
+def token_rows(docs_with_ids: DataFrame) -> DataFrame:
+    """(shard_id, doc_id, doclen, term) — one row per token, all JVM-side."""
     toks = docs_with_ids.select(
         "shard_id",
         "doc_id",
         tokenize_col(F.col("text")).alias("tokens"),
     ).withColumn("doclen", F.size("tokens"))
-    return (
-        toks.select("shard_id", "doc_id", "doclen", F.explode("tokens").alias("term"))
-        .groupBy("shard_id", "doc_id", "doclen", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    return toks.select(
+        "shard_id", "doc_id", "doclen", F.explode("tokens").alias("term")
+    )
+
+
+def _docs_with_ids(transcripts, num_shards, id_cols, text_col, doc_id_col):
+    if doc_id_col is None:
+        return with_doc_ids(
+            transcripts.select(*id_cols, text_col), num_shards
+        ).select("doc_id", "shard_id", F.col(text_col).alias("text"))
+    return transcripts.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(num_shards))
+        .cast("int")
+        .alias("shard_id"),
+        F.col(text_col).alias("text"),
     )
 
 
@@ -154,7 +183,7 @@ def build_index(
     transcripts: DataFrame,
     index_dir: str,
     num_shards: int = 8,
-    salt: int = 16,
+    salt: int = 4,
     block: int = 128,
     shards_per_batch: int | None = None,
     run_id: str | None = None,
@@ -162,65 +191,67 @@ def build_index(
     text_col: str = "text",
     doc_id_col: str | None = None,
 ) -> dict:
-    """Build the full index (postings + stats + corpus + lineage).
+    """Build the full index (postings + stats + corpus + shards + lineage).
 
     Resumable: re-running with the same index_dir skips committed batches.
-    Returns a summary dict (n_docs, avgdl, terms, committed/skipped batches).
+    Returns a summary dict (n_docs, avgdl, committed/skipped batches).
 
+    ``salt``: term-space split factor per shard for the encode shuffle
+    (salted repartitioning; reducers per shard = salt).
     ``doc_id_col``: if the input already has a unique int64 id (e.g. the
     documents table), use it instead of xxhash64(conv_id, turn_idx).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     p = _paths(index_dir)
+    docs = _docs_with_ids(transcripts, num_shards, id_cols, text_col, doc_id_col)
 
-    if doc_id_col is None:
-        docs = with_doc_ids(
-            transcripts.select(*id_cols, text_col), num_shards
-        ).select("doc_id", "shard_id", F.col(text_col).alias("text"))
-    else:
-        docs = transcripts.select(
-            F.col(doc_id_col).cast("long").alias("doc_id"),
-            F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(num_shards))
-            .cast("int")
-            .alias("shard_id"),
-            F.col(text_col).alias("text"),
+    # Format check: an existing index of a different on-disk version cannot
+    # be resumed — wipe and rebuild from scratch.
+    version_file = os.path.join(index_dir, "FORMAT_VERSION")
+    if os.path.exists(index_dir) and os.listdir(index_dir):
+        stored = None
+        if os.path.exists(version_file):
+            with open(version_file) as fh:
+                stored = fh.read().strip()
+        if stored != str(FORMAT_VERSION):
+            import shutil
+
+            shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(version_file, "w") as fh:
+        fh.write(str(FORMAT_VERSION))
+
+    # ---- Phase 1: corpus + per-shard stats (one scan, partial aggs only).
+    corpus_done = os.path.exists(os.path.join(p["corpus"], "_SUCCESS"))
+    if not corpus_done:
+        per_shard = (
+            docs.select("shard_id", tokenize_col(F.col("text")).alias("t"))
+            .select("shard_id", F.size("t").alias("dl"))
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_nonempty"),
+                F.sum("dl").alias("sum_dl"),
+            )
         )
-
-    tf = term_frequencies(docs).cache()
-
-    # ---- Phase 1: global statistics (Katta's getDocFreqs phase, done once
-    # at build time because the index is immutable — LuceneClient.java:264).
-    stats_done = os.path.exists(os.path.join(p["stats"], "_SUCCESS"))
-    if not stats_done:
-        stats = tf.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        )
-        stats.write.mode("overwrite").parquet(p["stats"])
-        doclens = tf.groupBy("shard_id", "doc_id").agg(F.first("doclen").alias("dl"))
-        corpus_row = doclens.agg(
-            F.count(F.lit(1)).alias("n_nonempty"), F.avg("dl").alias("avgdl")
+        per_shard.write.mode("overwrite").parquet(p["shards"])
+        tot = spark.read.parquet(p["shards"]).agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("n_nonempty").alias("ne"),
+            F.sum("sum_dl").alias("sdl"),
         ).collect()[0]
-        n_docs = docs.count()
-        avgdl = float(corpus_row["avgdl"] or 1.0)
+        n_docs = int(tot["n"] or 0)
+        avgdl = float(tot["sdl"] / tot["ne"]) if tot["ne"] else 1.0
         spark.createDataFrame(
             [(n_docs, avgdl, num_shards)], "n_docs long, avgdl double, n_shards int"
         ).write.mode("overwrite").parquet(p["corpus"])
-        # Per-shard stats: enable shard-subset search with subset-global df
-        # (Katta gathers df from exactly the shards being searched —
-        # LuceneClient.java:264-286 runs phase 1 over the query's indices).
-        per_shard = docs.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_docs"))
-        per_shard_dl = doclens.groupBy("shard_id").agg(
-            F.count(F.lit(1)).alias("n_nonempty"), F.sum("dl").alias("sum_dl")
-        )
-        per_shard.join(per_shard_dl, "shard_id", "left").fillna(0).write.mode(
-            "overwrite"
-        ).parquet(p["shards"])
     else:
         row = spark.read.parquet(p["corpus"]).collect()[0]
         n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
         assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
 
-    # ---- Phase 2: postings, in resumable shard batches.
+    # ---- Phase 2: postings, in resumable shard batches (the one big
+    # shuffle per batch).
     committed: set[int] = set()
     if os.path.exists(p["lineage"]):
         for r in spark.read.parquet(p["lineage"]).where(
@@ -235,28 +266,30 @@ def build_index(
         for bi, lo in enumerate(range(0, num_shards, shards_per_batch))
     ]
 
-    merge_kernel = _make_merge_kernel(n_docs, avgdl, block)
+    kernel = _make_encode_kernel(block)
     n_committed = n_skipped = 0
     for batch_id, shard_ids in batches:
         if batch_id in committed:
             n_skipped += 1
             continue
         t0 = time.time()
-        batch_tf = tf.where(F.col("shard_id").isin(shard_ids))
-        partial = (
-            batch_tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salt)).cast("int"))
-            .groupBy("shard_id", "term", "salt")
-            .applyInPandas(_encode_partial, PARTIAL_SCHEMA)
+        tokens = token_rows(docs)
+        if len(shard_ids) < num_shards:
+            tokens = tokens.where(F.col("shard_id").isin(shard_ids))
+        postings = (
+            tokens.repartition(
+                len(shard_ids) * salt,
+                F.col("shard_id"),
+                F.pmod(F.xxhash64(F.col("term")), F.lit(salt)),
+            )
+            .sortWithinPartitions("shard_id", "term", "doc_id")
+            .mapInPandas(kernel, POSTINGS_OUT_SCHEMA)
         )
-        postings = partial.groupBy("shard_id", "term").applyInPandas(
-            merge_kernel, POSTINGS_OUT_SCHEMA
-        )
-        # Cluster rows by term within files so a query's term predicate can
-        # skip row groups via parquet min/max stats.
+        # Rows arrive term-sorted per (shard, salt-slice); the write keeps
+        # file-level term clustering so a query's term predicate skips row
+        # groups via parquet min/max stats.
         (
-            postings.repartition("shard_id")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
+            postings.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard_id")
             .parquet(p["postings"])
@@ -291,7 +324,19 @@ def build_index(
         lineage_row.write.mode("append").parquet(p["lineage"])
         n_committed += 1
 
-    tf.unpersist()
+    # ---- Phase 3: term stats from postings (vocab-sized, not corpus-sized).
+    # Katta's DocumentFrequencyWritable sums per-shard dfs the same way
+    # (LuceneClient.java:271-281).
+    stats_done = os.path.exists(os.path.join(p["stats"], "_SUCCESS"))
+    if not stats_done or n_committed:
+        (
+            spark.read.parquet(p["postings"])
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .write.mode("overwrite")
+            .parquet(p["stats"])
+        )
+
     return {
         "run_id": run_id,
         "n_docs": n_docs,

@@ -183,6 +183,116 @@ def decode_blocks(
     return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_l)
 
 
+def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like vb_encode but also returns per-value byte counts (for slicing
+    a multi-list encoding by offsets)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    kmax = int(nb.max())
+    ks = np.arange(kmax, dtype=np.uint64)
+    mat = ((v[:, None] >> (np.uint64(7) * ks)[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    cont = ks[None, :].astype(np.int64) < (nb - 1)[:, None]
+    mat |= cont.astype(np.uint8) << 7
+    mask = ks[None, :].astype(np.int64) < nb[:, None]
+    return mat[mask].tobytes(), nb
+
+
+def encode_posting_lists_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    run_starts: np.ndarray,
+    block: int = BLOCK,
+) -> list[tuple]:
+    """Vectorized multi-list encode: ALL posting lists of a batch in one
+    pass of numpy (one varbyte encode per column for the whole batch),
+    then per-run byte-slicing. This is the executor hot path of the index
+    build — per-run Python work is reduced to a handful of slice ops.
+
+    ``run_starts``: sorted start indices of each (shard, term) run.
+    Returns one tuple per run:
+      (df, cf, doc_ids_buf, tfs_buf, doclens_buf, skips_buf,
+       max_tf, min_dl, block_max_tf_buf, block_min_dl_buf)
+    """
+    n = doc_ids.size
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doclens = np.asarray(doclens, dtype=np.int64)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.append(run_starts[1:], n)
+    run_lens = run_ends - run_starts
+
+    u = i64_to_u64_order(doc_ids)
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = u[0]
+        deltas[1:] = u[1:] - u[:-1]
+    deltas[run_starts] = u[run_starts]  # delta chain restarts per run
+
+    dbuf, dnb = vb_encode_with_sizes(deltas)
+    tbuf, tnb = vb_encode_with_sizes(tfs.astype(np.uint64))
+    lbuf, lnb = vb_encode_with_sizes(doclens.astype(np.uint64))
+    dcum = np.concatenate([[0], np.cumsum(dnb)])
+    tcum = np.concatenate([[0], np.cumsum(tnb)])
+    lcum = np.concatenate([[0], np.cumsum(lnb)])
+
+    # global block starts: run_start + block*j for each run
+    nblocks = (run_lens + block - 1) // block
+    total_blocks = int(nblocks.sum())
+    # offsets within each run: concat(arange(nb_r) * block)
+    reps = np.repeat(run_starts, nblocks)
+    idx_in_run = np.arange(total_blocks) - np.repeat(
+        np.concatenate([[0], np.cumsum(nblocks)[:-1]]), nblocks
+    )
+    bstarts = reps + idx_in_run * block  # global index of each block start
+
+    b_first = u[bstarts]
+    b_max_tf = np.maximum.reduceat(tfs, bstarts) if n else np.empty(0, np.int64)
+    b_min_dl = np.minimum.reduceat(doclens, bstarts) if n else np.empty(0, np.int64)
+    run_max_tf = np.maximum.reduceat(tfs, run_starts) if n else np.empty(0, np.int64)
+    run_min_dl = np.minimum.reduceat(doclens, run_starts) if n else np.empty(0, np.int64)
+    run_cf = np.add.reduceat(tfs, run_starts) if n else np.empty(0, np.int64)
+
+    # per-block byte offsets, relative to the run's buffer start
+    run_of_block = np.repeat(np.arange(run_starts.size), nblocks)
+    b_off_d = dcum[bstarts] - dcum[run_starts][run_of_block]
+    b_off_t = tcum[bstarts] - tcum[run_starts][run_of_block]
+    b_off_l = lcum[bstarts] - lcum[run_starts][run_of_block]
+
+    skips_all = np.empty(total_blocks, dtype=_SKIP_DTYPE)
+    skips_all["first_doc"] = b_first
+    skips_all["off_docs"] = b_off_d
+    skips_all["off_tfs"] = b_off_t
+    skips_all["off_dls"] = b_off_l
+    skips_bytes = skips_all.tobytes()
+    ssz = _SKIP_DTYPE.itemsize
+    bcum = np.concatenate([[0], np.cumsum(nblocks)])
+
+    out = []
+    for r in range(run_starts.size):
+        s, e = run_starts[r], run_ends[r]
+        bs, be = bcum[r], bcum[r + 1]
+        out.append(
+            (
+                int(run_lens[r]),
+                int(run_cf[r]),
+                dbuf[dcum[s] : dcum[e]],
+                tbuf[tcum[s] : tcum[e]],
+                lbuf[lcum[s] : lcum[e]],
+                skips_bytes[bs * ssz : be * ssz],
+                int(run_max_tf[r]),
+                int(run_min_dl[r]),
+                vb_encode(b_max_tf[bs:be].astype(np.uint64)),
+                vb_encode(b_min_dl[bs:be].astype(np.uint64)),
+            )
+        )
+    return out
+
+
 def block_maxima(
     tfs: np.ndarray, doclens: np.ndarray, block: int = BLOCK
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -36,6 +36,7 @@ from katta_spark.codec import (
     decode_posting_list,
     i64_to_u64_order,
     read_skips,
+    vb_decode,
 )
 from katta_spark.tokenizer import tokenize_str
 
@@ -71,12 +72,40 @@ def parse_query(query: str) -> dict[str, float]:
     return qw
 
 
+def expand_wildcards(
+    spark: SparkSession, index: "IndexHandle", query: str
+) -> dict[str, float]:
+    """P5 query rewrite: prefix wildcards (``ab*``) expand against the term
+    dictionary, like Lucene's per-shard rewrite of WildcardQuery
+    (LuceneServer.java:602-624; reference test query 'text:ab*',
+    LuceneClientTest.java:310). Expansion is global (stats table) so all
+    shards score the same rewritten term set."""
+    import re as _re
+
+    qw: dict[str, float] = {}
+    for raw in query.lower().split():
+        if _re.fullmatch(r"[a-z0-9]+\*", raw):
+            rows = (
+                index.stats(spark)
+                .where(F.col("term").startswith(raw[:-1]))
+                .select("term")
+                .collect()
+            )
+            for r in rows:
+                qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
+        else:
+            for t in tokenize_str(raw):
+                qw[t] = qw.get(t, 0.0) + 1.0
+    return qw
+
+
 def _make_score_kernel(
     qweights: dict[str, float],
     idf: dict[str, float],
     avgdl: float,
     k: int,
     prune: bool,
+    score_dtype: str = "float32",
 ):
     """Per-shard scoring kernel (applyInPandas over shard_id groups).
 
@@ -88,18 +117,23 @@ def _make_score_kernel(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
-        # Process terms in descending max-impact order so the prune
-        # threshold grows as fast as possible (MaxScore ordering).
+        # Row-level impact bound from raw (max_tf, min_dl) + the stats that
+        # govern THIS query (global or shard-subset) — then process terms in
+        # descending max-impact order so the prune threshold grows as fast
+        # as possible (MaxScore ordering).
         pdf = pdf.assign(
             _qimpact=[
-                qweights[t] * float(mi) for t, mi in zip(pdf["term"], pdf["max_impact"])
+                qweights[t]
+                * idf[t]
+                * float(scoring.tf_norm_np(np.array([mt]), np.array([md]), avgdl)[0])
+                for t, mt, md in zip(pdf["term"], pdf["max_tf"], pdf["min_dl"])
             ]
         ).sort_values("_qimpact", ascending=False)
         # suffix[i] = Σ qimpact of terms AFTER position i — upper bound of
         # what a doc can still gain from the remaining (lower-impact) terms.
         qimps = pdf["_qimpact"].to_numpy(np.float64)
         suffix = np.concatenate([np.cumsum(qimps[::-1])[::-1][1:], [0.0]])
-        MARGIN = 1.0 + 1e-6  # float32 block maxima may round down 1 ulp
+        MARGIN = 1.0 + 1e-9  # guard float rounding of the bound arithmetic
 
         doc_parts: list[np.ndarray] = []
         contrib_parts: list[np.ndarray] = []
@@ -111,9 +145,14 @@ def _make_score_kernel(
         acc_scores = None
 
         for pos, row in enumerate(pdf.itertuples(index=False)):
-            bmi = np.frombuffer(row.block_max_impact, dtype=np.float32).astype(
-                np.float64
-            ) * qweights[row.term]
+            # block-max bound: idf * tf_norm(block max_tf, block min_dl)
+            bmi = (
+                qweights[row.term]
+                * idf[row.term]
+                * scoring.tf_norm_np(
+                    vb_decode(row.block_max_tf), vb_decode(row.block_min_dl), avgdl
+                )
+            )
             use_prune = prune and acc_docs is not None and acc_docs.size >= k
             if use_prune:
                 # block is needed if it may contain an accumulated doc
@@ -159,9 +198,9 @@ def _make_score_kernel(
             return pd.DataFrame(
                 {"shard_id": pd.array([], dtype="int32"),
                  "doc_id": pd.array([], dtype="int64"),
-                 "score": pd.array([], dtype="float32")}
+                 "score": pd.array([], dtype=score_dtype)}
             )
-        scores32 = acc_scores.astype(np.float32)
+        scores32 = acc_scores.astype(score_dtype)
         # top-k with exact tie-break: score DESC, doc_id ASC
         kk = min(k, acc_docs.size)
         order = np.lexsort((acc_docs, -scores32))[:kk]
@@ -176,6 +215,73 @@ def _make_score_kernel(
     return kernel
 
 
+def _make_and_kernel(
+    qweights: dict[str, float], idf: dict[str, float], avgdl: float, k: int,
+    score_dtype: str = "float32",
+):
+    """Conjunctive (AND) kernel: posting-list intersection with skip-pointer
+    galloping — SURVEY.md §2.3 J1, the operation Lucene's BooleanQuery runs
+    inside the reference (invoked at LuceneServer.java:682).
+
+    Smallest-df list drives; for each further term only the blocks that can
+    contain surviving candidates are decoded (skip pointers), and the
+    candidate set shrinks monotonically.
+    """
+    n_terms = len(qweights)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"shard_id": pd.array([], dtype="int32"),
+             "doc_id": pd.array([], dtype="int64"),
+             "score": pd.array([], dtype=score_dtype)}
+        )
+        if len(pdf) < n_terms or k <= 0:
+            return empty  # a term missing from this shard ⇒ no AND matches
+        shard_id = int(pdf["shard_id"].iloc[0])
+        pdf = pdf.sort_values("df")  # rarest term drives the intersection
+
+        rows = list(pdf.itertuples(index=False))
+        d0, t0, l0 = decode_posting_list(rows[0].doc_ids, rows[0].tfs, rows[0].doclens)
+        cand, dls = d0, l0
+        tf_by_term: list[tuple[str, np.ndarray]] = [(rows[0].term, t0)]
+        for row in rows[1:]:
+            if cand.size == 0:
+                return empty
+            skips = read_skips(row.skips)
+            firsts = skips["first_doc"]
+            cand_u = i64_to_u64_order(cand)
+            idx = np.searchsorted(firsts, cand_u, side="right") - 1
+            needed = np.unique(np.clip(idx, 0, firsts.size - 1))
+            d, t, _ = decode_blocks(
+                row.doc_ids, row.tfs, row.doclens, row.skips, needed, int(row.df)
+            )
+            if d.size == 0:
+                return empty
+            pos = np.searchsorted(d, cand)
+            pos_c = np.minimum(pos, d.size - 1)
+            keep = d[pos_c] == cand
+            cand, dls = cand[keep], dls[keep]
+            tf_by_term = [(term, tf[keep]) for term, tf in tf_by_term]
+            tf_by_term.append((row.term, t[pos_c[keep]]))
+        if cand.size == 0:
+            return empty
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for term, tf in tf_by_term:
+            scores += qweights[term] * idf[term] * scoring.tf_norm_np(tf, dls, avgdl)
+        scores32 = scores.astype(score_dtype)
+        kk = min(k, cand.size)
+        order = np.lexsort((cand, -scores32))[:kk]
+        return pd.DataFrame(
+            {
+                "shard_id": np.full(kk, shard_id, dtype=np.int32),
+                "doc_id": cand[order],
+                "score": scores32[order],
+            }
+        )
+
+    return kernel
+
+
 def search(
     spark: SparkSession,
     index: IndexHandle | str,
@@ -183,6 +289,8 @@ def search(
     k: int = 10,
     shard_ids: list[int] | None = None,
     prune: bool = True,
+    mode: str = "or",
+    score_dtype: str = "float32",
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
@@ -194,9 +302,13 @@ def search(
     """
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
-    qweights = parse_query(query)
+    sql_t = "float" if score_dtype == "float32" else "double"
+    empty_schema = f"doc_id long, shard_id int, score {sql_t}"
+    qweights = (
+        expand_wildcards(spark, index, query) if "*" in query else parse_query(query)
+    )
     if not qweights or k <= 0:
-        return spark.createDataFrame([], "doc_id long, shard_id int, score float")
+        return spark.createDataFrame([], empty_schema)
 
     terms = sorted(qweights)
     if shard_ids is None:
@@ -237,12 +349,17 @@ def search(
             for r in df_rows
         }
     live_terms = [t for t in terms if t in idf]
-    if not live_terms:
-        return spark.createDataFrame([], "doc_id long, shard_id int, score float")
+    if not live_terms or (mode == "and" and len(live_terms) < len(terms)):
+        return spark.createDataFrame([], empty_schema)
     postings = postings.where(F.col("term").isin(live_terms))
 
-    kernel = _make_score_kernel(qweights, idf, avgdl, k, prune)
-    hits = postings.groupBy("shard_id").applyInPandas(kernel, HITS_SCHEMA)
+    if mode == "and":
+        kernel = _make_and_kernel(qweights, idf, avgdl, k, score_dtype)
+    else:
+        kernel = _make_score_kernel(qweights, idf, avgdl, k, prune, score_dtype)
+    hits = postings.groupBy("shard_id").applyInPandas(
+        kernel, f"shard_id int, doc_id long, score {sql_t}"
+    )
     return (
         hits.select("doc_id", "shard_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc())

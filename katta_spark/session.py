@@ -43,7 +43,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas-UDF exchange (the only Python on the hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Big Arrow batches: the build's run-encoder does one Python
+        # crossing per batch; token rows are ~40 bytes so 200k rows ≈ 8 MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
         # Partitioned writes must be idempotent per partition for the
         # resumable build (build.py): dynamic overwrite replaces only the
         # shard_id partitions present in the incoming batch.

@@ -1,0 +1,251 @@
+"""Training-data pipeline operators over a documents corpus.
+
+Beyond the reference's own operator set (SURVEY.md §2), these are the
+operations a large-scale training-data pipeline needs: deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard), language ID, quality
+scoring, token counting, document fingerprinting.
+
+Design rules:
+- Everything is built-in pyspark.sql.functions (JVM, codegen) — no Python
+  UDFs anywhere in this module.
+- All hashing is md5-hex (identical in Spark and DuckDB) so every operator
+  has an exact cross-engine oracle.
+- At 100 TB: exact dedup is one hash-shuffle; MinHash-LSH is the scale path
+  for near-dup (candidate pairs only within LSH buckets — never the O(n²)
+  cross join); n-gram Jaccard is the verifier applied to candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from katta_spark.tokenizer import tokenize_col
+
+# Tiny deterministic stopword sets for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "les", "de", "et", "des", "un"),
+    "es": ("el", "los", "de", "y", "que", "en", "un"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein"),
+}
+EN_STOPWORDS = LANG_STOPWORDS["en"] + ("it", "for", "on", "with", "as", "at", "by")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, is_dup): canonical = min doc_id per md5(text).
+
+    One groupBy-shuffle on the 32-byte hash — never on the text itself
+    (at 100 TB the shuffle payload is hashes, not documents).
+    """
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5")
+    )
+    canon = h.groupBy("text_md5").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        h.join(canon, "text_md5")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct n-gram token shingles per document.
+
+    Built with sequence+transform over the token array — no explode of
+    overlapping windows through Python.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
+            ),
+        )
+        .otherwise(F.array(F.array_join(F.col("t"), " ")))
+        .alias("shingles"),
+    )
+    return sh.select("doc_id", F.explode("shingles").alias("shingle")).where(
+        F.col("shingle") != ""
+    ).distinct()
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with n-gram Jaccard >= threshold, a < b.
+
+    Join on shared shingle → pair intersection counts → sizes. At scale this
+    runs on LSH candidates only (minhash_lsh_pairs), not the full corpus;
+    here it is also the exactness oracle for the LSH path.
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("x")
+    b = sh.alias("y")
+    inter = (
+        a.join(b, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, h0..h{H-1}): MinHash signature, h_i = min md5(i|shingle).
+
+    md5-hex string minimum is order-isomorphic to a uniform hash minimum,
+    and identical across engines — the cross-engine-verifiable MinHash.
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 4, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs sharing >=1 LSH band, a < b.
+
+    bands bands of num_hashes/bands rows each. The scale path: shuffle is
+    by band bucket (small), candidate verification (jaccard_pairs) runs on
+    candidates only.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = [
+        F.concat_ws("#", F.lit(str(bi)), *[F.col(f"h{bi * rows + r}") for r in range(rows)]).alias("band")
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash as a bitstring.
+
+    Bit j = sign of the tf-weighted sum of (high bit of nibble j of
+    md5(term)) — per-nibble high bit is '8'-'f' in hex, exact in any engine.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t"))
+        .select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    bit_aggs = []
+    for j in range(1, 17):
+        is_one = F.substring("h", j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+        bit_aggs.append(
+            F.when(
+                F.sum(F.when(is_one, F.col("tf")).otherwise(-F.col("tf"))) >= 0, "1"
+            )
+            .otherwise("0")
+            .alias(f"b{j}")
+        )
+    return tf.groupBy("doc_id").agg(
+        F.concat(*bit_aggs).alias("simhash")
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred): stopword-overlap language heuristic.
+
+    Deterministic argmax with fixed tie order en > fr > es > de > und.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
+    )
+    hit_cols = {
+        lang: F.size(F.array_intersect(F.col("t"), F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    scored = toks.select("doc_id", *[c.alias(f"hits_{l}") for l, c in hit_cols.items()])
+    best = F.greatest(*[F.col(f"hits_{l}") for l in LANG_STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # fixed order = tie-break
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, stopword_ratio, alnum_ratio).
+
+    The classic cheap quality signals, all exact-arithmetic + round(4).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        tokenize_col(F.col(text_col)).alias("t"),
+    )
+    n_tokens = F.size("t")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(F.col("t"), lambda x: F.array_contains(sw, x)))
+    token_chars = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return toks.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_tokens > 0, token_chars.cast("double") / n_tokens).otherwise(0.0), 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(
+                F.length("text") > 0,
+                token_chars.cast("double") / F.length("text"),
+            ).otherwise(0.0),
+            4,
+        ).alias("alnum_ratio"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): min-shingle-hash document fingerprint —
+    a 1-hash MinHash, stable under small edits away from the minimum."""
+    return shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint")
+    )

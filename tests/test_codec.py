@@ -90,6 +90,39 @@ def test_block_maxima():
     assert (ml == 3).all()
 
 
+def test_batch_encode_matches_single(  ):
+    """encode_posting_lists_batch == per-list encode_posting_list, bytewise."""
+    from katta_spark.codec import encode_posting_lists_batch
+
+    rng = np.random.default_rng(11)
+    # 40 runs of wildly varying lengths, including 1-element runs
+    lens = np.concatenate([rng.integers(1, 400, size=38), [1, 1]])
+    runs = []
+    for L in lens:
+        d = np.unique(rng.integers(-(2**62), 2**62, size=L, dtype=np.int64))
+        runs.append(
+            (d, rng.integers(1, 9, size=d.size), rng.integers(1, 200, size=d.size))
+        )
+    doc = np.concatenate([r[0] for r in runs])
+    tf = np.concatenate([r[1] for r in runs])
+    dl = np.concatenate([r[2] for r in runs])
+    starts = np.cumsum([0] + [r[0].size for r in runs[:-1]])
+    got = encode_posting_lists_batch(doc, tf, dl, starts, block=32)
+    assert len(got) == len(runs)
+    for (d, t, l), row in zip(runs, got):
+        df_, cf, dbuf, tbuf, lbuf, sbuf, mt, md, bmt, bmd = row
+        ed, et, el, es = encode_posting_list(d, t, l, block=32)
+        assert (dbuf, tbuf, lbuf, sbuf) == (ed, et, el, es)
+        assert df_ == d.size and cf == t.sum()
+        assert mt == t.max() and md == l.min()
+        emt, emd = block_maxima(t, l, block=32)
+        assert np.array_equal(vb_decode(bmt), emt.astype(np.uint64))
+        assert np.array_equal(vb_decode(bmd), emd.astype(np.uint64))
+        # decodes correctly
+        dd, tt, ll = decode_posting_list(dbuf, tbuf, lbuf)
+        assert np.array_equal(dd, d)
+
+
 def test_compression_is_compact():
     """Sanity: gaps of ~dense docIDs compress far below 8 bytes/doc."""
     doc_ids = np.sort(
