@@ -46,8 +46,7 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}")
     ksb.build_index(
-        spark, _docs(spark, sf_dir), d, num_shards=4, salt=4,
-        doc_id_col="doc_id",
+        spark, _docs(spark, sf_dir), d, num_shards=4, doc_id_col="doc_id",
     )
     _INDEX_CACHE[sf_dir] = d
     return d

@@ -55,7 +55,7 @@ def main() -> None:
         timed(
             "build_documents_index",
             lambda: ksb.build_index(
-                spark, docs, idx_dir, num_shards=8, salt=8, doc_id_col="doc_id"
+                spark, docs, idx_dir, num_shards=8, doc_id_col="doc_id"
             ),
         )
         extra["documents_build_docs_per_sec"] = round(
@@ -97,7 +97,7 @@ def main() -> None:
         timed(
             "build_transcripts_index",
             lambda: ksb.build_index(
-                spark, transcripts, tidx, num_shards=max(8, CPUS), salt=16
+                spark, transcripts, tidx, num_shards=max(8, CPUS)
             ),
         )
         extra["transcripts_build_turns_per_sec"] = round(

@@ -293,6 +293,30 @@ def encode_posting_lists_batch(
     return out
 
 
+def decode_segments(
+    blob_concat: np.ndarray | bytes, counts: np.ndarray, delta: bool
+) -> np.ndarray:
+    """Vectorized decode of MANY concatenated varbyte segments.
+
+    ``blob_concat``: all segment buffers back-to-back (each segment is a
+    self-contained varbyte stream). ``counts``: number of values per
+    segment. If ``delta``, each segment is a delta chain whose first value
+    is absolute (encode_posting_list semantics) — a segmented cumsum
+    restores absolutes without any per-segment Python loop.
+    """
+    vals = vb_decode(blob_concat)
+    if not delta:
+        return vals
+    if vals.size == 0:
+        return vals
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    total = np.cumsum(vals, dtype=np.uint64)
+    # subtract the running total up to each segment start (segmented cumsum)
+    base = np.zeros(counts.size, dtype=np.uint64)
+    base[1:] = total[starts[1:] - 1]
+    return total - np.repeat(base, counts)
+
+
 def block_maxima(
     tfs: np.ndarray, doclens: np.ndarray, block: int = BLOCK
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -311,16 +311,23 @@ def search(
         return spark.createDataFrame([], empty_schema)
 
     terms = sorted(qweights)
+    # Phase-1 analog: df + term-hash per query term from the precomputed
+    # stats table (tiny read, pushed predicate). Katta:
+    # LuceneClient.getDocFrequencies (LuceneClient.java:264-286).
+    stats_rows = index.stats(spark).where(F.col("term").isin(terms)).collect()
+    th_of = {r["term"]: int(r["th"]) for r in stats_rows}
+    hashes = sorted(th_of.values())
     if shard_ids is None:
-        # Phase-1 analog: df per query term from the precomputed stats table
-        # (tiny read, pushed predicate). Katta: LuceneClient.getDocFrequencies.
-        stats_rows = index.stats(spark).where(F.col("term").isin(terms)).collect()
         n_docs, avgdl = float(index.n_docs), index.avgdl
         idf = {
             r["term"]: float(scoring.idf_np(np.array([r["df"]]), n_docs)[0])
             for r in stats_rows
         }
-        postings = index.postings(spark).where(F.col("term").isin(terms))
+        # th is the pushed predicate (int64 min/max row-group skipping);
+        # the term predicate additionally guards against hash collisions.
+        postings = index.postings(spark).where(
+            F.col("th").isin(hashes) & F.col("term").isin(terms)
+        )
     else:
         # Shard-subset search scores with SUBSET-global stats, exactly like
         # Katta's phase 1 over only the searched indices' shards
@@ -340,7 +347,7 @@ def search(
         )
         postings = (
             index.postings(spark)
-            .where(F.col("term").isin(terms))
+            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
             .where(F.col("shard_id").isin(shard_ids))
         )
         df_rows = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
@@ -376,6 +383,7 @@ def count_matches(spark: SparkSession, index: IndexHandle | str, query: str) -> 
     if not terms:
         return 0
     postings = index.postings(spark).where(F.col("term").isin(terms))
+    # (term-only predicate is fine here: count is not on the hot path)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         docs = [decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local-scale scan splits: test fixtures are small parquet files;
+        # the 128 MB default would cap scan parallelism at a handful of
+        # splits. A real cluster run would keep the default.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas-UDF exchange (the only Python on the hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,65 @@
+"""spark-submit entry point: time one index build over a parquet transcripts
+table. Master/parallelism comes from spark-submit; the job shape (shuffle
+partitions, num_shards, salt) is held CONSTANT across cluster sizes so the
+two-cluster-size comparison varies only the executor core count.
+
+Usage:
+  spark-submit --master local[8] --py-files katta_spark.zip \
+      scripts/scaling_build.py <transcripts_parquet> <index_out> \
+      <num_shards> <salt> <shuffle_partitions>
+
+Prints one JSON line: {"turns": N, "build_sec": s, "turns_per_sec": tps}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    src, out, num_shards, salt, shuffle_parts = (
+        sys.argv[1],
+        sys.argv[2],
+        int(sys.argv[3]),
+        int(sys.argv[4]),
+        int(sys.argv[5]),
+    )
+    spark = (
+        SparkSession.builder.appName("katta_scaling_build")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        # Scan-split sizing: local-scale parquet files are a few MB, so the
+        # 128 MB default packs the whole input into a handful of splits and
+        # caps the map-stage parallelism regardless of core count. (On a
+        # real 100 TB cluster the default is right; this is a fixture-scale
+        # knob, held identical across both cluster sizes.)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "512k")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    from katta_spark.build import build_index
+
+    transcripts = spark.read.parquet(src)
+    n = transcripts.count()  # warms the scan; excluded from build timing
+    t0 = time.time()
+    summary = build_index(spark, transcripts, out, num_shards=num_shards, salt=salt)
+    sec = time.time() - t0
+    print(json.dumps({"turns": n, "build_sec": round(sec, 3),
+                      "turns_per_sec": round(n / sec, 1),
+                      "phases": summary.get("phase_timings", {})}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
