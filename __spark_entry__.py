@@ -52,6 +52,32 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_SPLIT_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _split_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two half-corpus indexes (doc_id parity split) — the
+    LuceneComplianceTest pattern: searching both together must equal the
+    whole-corpus result because stats aggregate across indexes."""
+    if sf_dir in _SPLIT_CACHE:
+        return _SPLIT_CACHE[sf_dir]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    docs = _docs(spark, sf_dir)
+    dirs = []
+    for parity in (0, 1):
+        d = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}_p{parity}")
+        ksb.build_index(
+            spark,
+            docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == parity),
+            d,
+            num_shards=2,
+            doc_id_col="doc_id",
+        )
+        dirs.append(d)
+    _SPLIT_CACHE[sf_dir] = (dirs[0], dirs[1])
+    return _SPLIT_CACHE[sf_dir]
+
+
 def _bm25(spark: SparkSession, sf_dir: str, q: str, k: int, mode: str = "or") -> DataFrame:
     hits = ksq.search(
         spark, _index_dir(spark, sf_dir), q, k=k, mode=mode, score_dtype="float64"
@@ -149,6 +175,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_conjunctive"] = lambda s, sf: _bm25(s, sf, "join hash scan merge", 10, mode="and")
     q["bm25_absent"] = lambda s, sf: _bm25(s, sf, "zzzqqqxxx", 10)
 
+    def split_index(spark, sf):
+        """Compliance (LuceneComplianceTest.java:107-190): two half-corpus
+        indexes searched together == the whole corpus — same SQL oracle as
+        bm25_top10."""
+        a, b = _split_index_dirs(spark, sf)
+        hits = ksq.search_multi(
+            spark, [a, b], "join hash", k=10, score_dtype="float64"
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_split_index"] = split_index
+
+    def sorted_search(spark, sf):
+        """T2/T4: matches of a query ordered by a stored field (n_chars)."""
+        docs = _docs(spark, sf)
+        out = ksq.search_sorted(
+            spark,
+            _index_dir(spark, sf),
+            "merge batch",
+            docs,
+            sort_cols=[F.col("n_chars").desc()],
+            k=8,
+            track_scores=False,
+            doc_id_col="doc_id",
+        )
+        return out.select("doc_id", "n_chars")
+
+    q["sorted_search"] = sorted_search
+
     def count_q(spark, sf):
         """A3: hit-count fast path."""
         n = ksq.count_matches(spark, _index_dir(spark, sf), "join hash")
@@ -226,6 +281,17 @@ def oracle_sql() -> dict[str, str]:
         conjunctive=True,
     )
     o["bm25_absent"] = "SELECT doc_id, 0.0::DOUBLE AS score_r FROM documents WHERE 1=0"
+    # compliance: split indexes must reproduce the whole-corpus ranking
+    o["bm25_split_index"] = o["bm25_top10"]
+
+    o["sorted_search"] = f"""
+        SELECT doc_id, n_chars FROM (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+          ) WHERE term IN ('merge', 'batch')
+        ) JOIN documents USING (doc_id)
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 8
+    """
 
     o["count_matches"] = f"""
         SELECT count(DISTINCT doc_id) AS n_hits FROM (

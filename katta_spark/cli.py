@@ -1,0 +1,146 @@
+"""Command-line surface — the analog of ``bin/katta`` (Katta.java:979-996
+registers COMMANDS: addIndex, search, count, check, listIndices, ...).
+
+Run via spark-submit:
+
+    spark-submit --py-files katta_spark.zip -m katta_spark.cli <cmd> ...
+or  python -m katta_spark.cli <cmd> ...
+
+Commands:
+  addIndex  <index_dir> <source_parquet> [--num-shards N] [--text-col C]
+            [--doc-id-col C] [--shards-per-batch B]
+            (Katta: addIndex <name> <path> [replication], Katta.java:689-711;
+             replication is a non-goal — storage handles redundancy)
+  search    <index_dir>[,<index_dir2>...] <query> [-k K] [--mode or|and]
+            (Katta: search <indexNames> <query> [count], Katta.java:795-845)
+  count     <index_dir> <query>
+            (Katta: count via getResultCount, LuceneClient.java:225-251)
+  check     <index_dir>
+            index health/stats report (Katta: check / listIndices,
+             Katta.java:542-675)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="katta_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_add = sub.add_parser("addIndex")
+    p_add.add_argument("index_dir")
+    p_add.add_argument("source_parquet")
+    p_add.add_argument("--num-shards", type=int, default=8)
+    p_add.add_argument("--text-col", default="text")
+    p_add.add_argument("--doc-id-col", default=None)
+    p_add.add_argument("--shards-per-batch", type=int, default=None)
+
+    p_search = sub.add_parser("search")
+    p_search.add_argument("index_dirs")
+    p_search.add_argument("query")
+    p_search.add_argument("-k", type=int, default=10)
+    p_search.add_argument("--mode", choices=["or", "and"], default="or")
+
+    p_count = sub.add_parser("count")
+    p_count.add_argument("index_dir")
+    p_count.add_argument("query")
+
+    p_check = sub.add_parser("check")
+    p_check.add_argument("index_dir")
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from katta_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(f"katta_cli_{args.cmd}")
+    try:
+        if args.cmd == "addIndex":
+            from katta_spark.build import build_index
+
+            src = spark.read.parquet(args.source_parquet)
+            summary = build_index(
+                spark,
+                src,
+                args.index_dir,
+                num_shards=args.num_shards,
+                text_col=args.text_col,
+                doc_id_col=args.doc_id_col,
+                shards_per_batch=args.shards_per_batch,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "search":
+            from katta_spark.query import search, search_multi
+
+            dirs = args.index_dirs.split(",")
+            if len(dirs) == 1:
+                hits = search(spark, dirs[0], args.query, k=args.k, mode=args.mode)
+            else:
+                hits = search_multi(spark, dirs, args.query, k=args.k, mode=args.mode)
+            # Katta prints "Hits: <n>" then a hit table (Katta.java:830-838)
+            rows = hits.collect()
+            print(f"Hits: {len(rows)}")
+            for r in rows:
+                print(f"{r.score:12.6f}  doc={r.doc_id:>20d}  shard={r.shard_id}")
+        elif args.cmd == "count":
+            from katta_spark.query import count_matches
+
+            print(count_matches(spark, args.index_dir, args.query))
+        elif args.cmd == "check":
+            import os
+
+            from pyspark.sql import functions as F
+
+            from katta_spark.query import IndexHandle
+
+            ix = IndexHandle.open(spark, args.index_dir)
+            post = ix.postings(spark)
+            per_shard = (
+                post.groupBy("shard_id")
+                .agg(
+                    F.count(F.lit(1)).alias("terms"),
+                    F.sum("df").alias("postings"),
+                    F.sum(
+                        F.length("doc_ids") + F.length("tfs") + F.length("doclens")
+                    ).alias("bytes"),
+                )
+                .orderBy("shard_id")
+                .collect()
+            )
+            lineage_path = os.path.join(args.index_dir, "lineage.parquet")
+            n_batches = (
+                spark.read.parquet(lineage_path).count()
+                if os.path.exists(lineage_path)
+                else 0
+            )
+            report = {
+                "index_dir": args.index_dir,
+                "n_docs": ix.n_docs,
+                "avgdl": round(ix.avgdl, 3),
+                "num_shards": ix.num_shards,
+                "committed_batches": n_batches,
+                "shards": [
+                    {
+                        "shard_id": int(r["shard_id"]),
+                        "terms": int(r["terms"]),
+                        "postings": int(r["postings"]),
+                        "bytes": int(r["bytes"]),
+                    }
+                    for r in per_shard
+                ],
+            }
+            print(json.dumps(report, indent=2))
+    finally:
+        if existing is None:  # only stop a session this invocation created
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -291,6 +291,7 @@ def search(
     prune: bool = True,
     mode: str = "or",
     score_dtype: str = "float32",
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
@@ -372,6 +373,129 @@ def search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc())
         .limit(k)
     )
+
+
+def search_multi(
+    spark: SparkSession,
+    indexes: list[IndexHandle | str],
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    score_dtype: str = "float32",
+) -> DataFrame:
+    """Search several indexes as one corpus — Katta's multi-index search
+    (``search(query, ["idx1", "idx2"])``, LuceneClientTest.java:266-279).
+
+    Semantics replicated exactly: phase 1 aggregates df / numDocs across
+    ALL searched indexes (DocumentFrequencyWritable summing,
+    LuceneClient.java:271-281), so scores are identical to a single merged
+    index; phase 2 is a bag union of per-index shard streams through the
+    same final top-k merge (SURVEY.md §2.7).
+
+    This is also the INCREMENTAL-UPDATE story: new documents build a small
+    delta index and queries span [base, delta] with combined stats — the
+    analog of deploying an additional index version in Katta.
+    """
+    handles = [
+        IndexHandle.open(spark, ix) if isinstance(ix, str) else ix for ix in indexes
+    ]
+    sql_t = "float" if score_dtype == "float32" else "double"
+    empty_schema = f"doc_id long, shard_id int, score {sql_t}"
+    qweights = parse_query(query)
+    if not qweights or k <= 0:
+        return spark.createDataFrame([], empty_schema)
+    terms = sorted(qweights)
+
+    # phase 1: combined stats over all indexes
+    n_docs = float(sum(h.n_docs for h in handles))
+    # exact combined avgdl from per-index shard stats
+    tot_dl = 0.0
+    tot_ne = 0
+    for h in handles:
+        srows = spark.read.parquet(os.path.join(h.index_dir, "shards.parquet")).agg(
+            F.sum("sum_dl").alias("sdl"), F.sum("n_nonempty").alias("ne")
+        ).collect()[0]
+        tot_dl += float(srows["sdl"] or 0)
+        tot_ne += int(srows["ne"] or 0)
+    avgdl = tot_dl / tot_ne if tot_ne else 1.0
+    df_tot: dict[str, int] = {}
+    for h in handles:
+        for r in h.stats(spark).where(F.col("term").isin(terms)).collect():
+            df_tot[r["term"]] = df_tot.get(r["term"], 0) + int(r["df"])
+    idf = {
+        t: float(scoring.idf_np(np.array([d]), n_docs)[0]) for t, d in df_tot.items()
+    }
+    live_terms = [t for t in terms if t in idf]
+    if not live_terms or (mode == "and" and len(live_terms) < len(terms)):
+        return spark.createDataFrame([], empty_schema)
+
+    # phase 2: bag union of per-index postings; shard ids are offset so the
+    # per-shard kernel groups never collide across indexes.
+    parts = []
+    offset = 0
+    for h in handles:
+        p = h.postings(spark).where(F.col("term").isin(live_terms)).withColumn(
+            "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
+        )
+        parts.append(p)
+        offset += h.num_shards
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
+
+    if mode == "and":
+        kernel = _make_and_kernel(qweights, idf, avgdl, k, score_dtype)
+    else:
+        kernel = _make_score_kernel(qweights, idf, avgdl, k, True, score_dtype)
+    hits = postings.groupBy("shard_id").applyInPandas(
+        kernel, f"shard_id int, doc_id long, score {sql_t}"
+    )
+    return (
+        hits.select("doc_id", "shard_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc())
+        .limit(k)
+    )
+
+
+def search_sorted(
+    spark: SparkSession,
+    index: IndexHandle | str,
+    query: str,
+    source: DataFrame,
+    sort_cols: list,
+    k: int = 10,
+    track_scores: bool = True,
+    id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    doc_id_col: str | None = None,
+) -> DataFrame:
+    """Field-sorted search — Katta's TopFieldCollector path (T2/T4:
+    LuceneServer.java:672-677, typed sort fields WritableType.java:33-35,
+    score tracking flag LuceneServer.java:97 / LuceneClientTest.java:379).
+
+    Matching documents (>=1 query term) are joined to their stored fields
+    and ordered by ``sort_cols`` (list of Column or column names) with the
+    distributed TakeOrderedAndProject doing the k-way merge that Katta's
+    FieldSortComparator/MergeSort performed per node.
+    ``track_scores=False`` omits the BM25 score column (Katta's default —
+    scores are only computed when requested).
+    """
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
+    # candidate docs = union of posting lists (huge k caps nothing away)
+    matches = search(
+        spark, index, query, k=2**31 - 1, prune=False, score_dtype="float64",
+        ordered=False,
+    )
+    if doc_id_col is None:
+        src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
+    else:
+        src = source.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    joined = matches.join(src, "doc_id")
+    cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+    out = joined.orderBy(*cols, F.col("doc_id").asc()).limit(k)
+    if not track_scores:
+        out = out.drop("score")
+    return out
 
 
 def count_matches(spark: SparkSession, index: IndexHandle | str, query: str) -> int:

@@ -1,0 +1,130 @@
+"""Multi-index search, field-sorted search, incremental delta-index update.
+
+Mirrors LuceneComplianceTest.java:107-190 — the same documents written as
+2 sharded indexes vs 1 monolithic index must yield identical totalHits,
+scores and sort fields — and LuceneClientTest.java:266 (multi-index),
+:330/:379 (sorted search, track-scores).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.build import build_index
+from katta_spark.oracle import bm25_topk, with_doc_ids
+from katta_spark.query import (
+    IndexHandle,
+    count_matches,
+    search,
+    search_multi,
+    search_sorted,
+)
+
+
+@pytest.fixture(scope="module")
+def split_indexes(spark, tiny_transcripts, tmp_path_factory):
+    """The same corpus as one whole index and as two half indexes."""
+    whole = str(tmp_path_factory.mktemp("whole"))
+    a = str(tmp_path_factory.mktemp("half_a"))
+    b = str(tmp_path_factory.mktemp("half_b"))
+    docs = with_doc_ids(tiny_transcripts, 1)
+    part_a = tiny_transcripts.join(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select("conv_id", "turn_idx"),
+        ["conv_id", "turn_idx"],
+    )
+    part_b = tiny_transcripts.join(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select("conv_id", "turn_idx"),
+        ["conv_id", "turn_idx"],
+    )
+    build_index(spark, tiny_transcripts, whole, num_shards=4)
+    build_index(spark, part_a, a, num_shards=2)
+    build_index(spark, part_b, b, num_shards=2)
+    return whole, a, b
+
+
+@pytest.mark.parametrize(
+    "query,k,mode",
+    [
+        ("hotalpha", 10, "or"),
+        ("hotalpha w00011 w00013", 10, "or"),
+        ("hotalpha hotbeta", 15, "and"),
+        ("w01999", 10, "or"),
+    ],
+)
+def test_split_equals_whole(spark, split_indexes, query, k, mode):
+    """Compliance: 2 half indexes searched together == 1 whole index.
+
+    Scores must be identical because phase-1 stats aggregate across the
+    searched indexes exactly like DocumentFrequencyWritable summing."""
+    whole, a, b = split_indexes
+    got = search_multi(spark, [a, b], query, k=k, mode=mode).collect()
+    want = search(spark, whole, query, k=k, mode=mode).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], dtype=np.float32),
+        np.array([r.score for r in want], dtype=np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_incremental_delta_index(spark, tiny_transcripts, tmp_path_factory):
+    """Incremental update = build a delta index over new docs; queries span
+    [base, delta] with combined stats (Katta: deploy another index)."""
+    from katta_spark.synth import synth_transcripts
+
+    base_dir = str(tmp_path_factory.mktemp("base"))
+    delta_dir = str(tmp_path_factory.mktemp("delta"))
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    base = synth_transcripts(spark, 2000, seed=42)
+    bigger = synth_transcripts(spark, 2600, seed=42)  # prefix-extends base
+    delta = bigger.exceptAll(base)
+    build_index(spark, base, base_dir, num_shards=4)
+    build_index(spark, delta, delta_dir, num_shards=2)
+    build_index(spark, bigger, full_dir, num_shards=4)
+    got = search_multi(spark, [base_dir, delta_dir], "hotalpha w00012", k=10).collect()
+    want = search(spark, full_dir, "hotalpha w00012", k=10).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], dtype=np.float32),
+        np.array([r.score for r in want], dtype=np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_search_sorted_by_field(spark, tiny_transcripts, split_indexes):
+    """T2/T4: matches ordered by a stored field; oracle by DataFrame ops."""
+    whole, _, _ = split_indexes
+    got = search_sorted(
+        spark,
+        whole,
+        "hotbeta",
+        tiny_transcripts,
+        sort_cols=[F.col("ts").desc()],
+        k=7,
+    ).collect()
+    # oracle: docs containing the term, sorted by ts desc
+    from katta_spark.tokenizer import tokenize_col
+
+    want = (
+        with_doc_ids(tiny_transcripts, 4)
+        .where(F.array_contains(tokenize_col(F.col("text")), "hotbeta"))
+        .orderBy(F.col("ts").desc(), F.col("doc_id").asc())
+        .limit(7)
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert all(hasattr(r, "score") for r in got)
+    # track_scores=False drops the score column (LuceneServer.java:97)
+    no_scores = search_sorted(
+        spark, whole, "hotbeta", tiny_transcripts,
+        sort_cols=[F.col("ts").desc()], k=3, track_scores=False,
+    )
+    assert "score" not in no_scores.columns
+
+
+def test_multi_index_count(spark, split_indexes):
+    whole, a, b = split_indexes
+    total = count_matches(spark, whole, "hotalpha")
+    assert count_matches(spark, a, "hotalpha") + count_matches(spark, b, "hotalpha") == total

@@ -1,0 +1,72 @@
+"""Multimodal plumbing + CLI surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.multimodal import extract_features, sample_frames, synth_media
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, 300, seed=7).cache()
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert media.count() == 300
+    again = synth_media(spark, 300, seed=7)
+    assert media.exceptAll(again).count() == 0
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_features(media):
+    feats = extract_features(media, feat_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 300
+    assert all(len(r.features) == 16 for r in rows)
+    # deterministic: same row → same features
+    again = {r.media_id: r.features for r in extract_features(media, 16).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, every_ms=10_000)
+    vids = media.where(F.col("kind") == "video").collect()
+    want = sum(max(1, r.duration_ms // 10_000) for r in vids)
+    got = frames.collect()
+    assert len(got) == want
+    assert all(len(r.frame_payload) == 32 for r in got)
+    # frame_idx dense per media_id
+    per = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("mx")
+    )
+    assert per.where(F.col("mx") != F.col("n") - 1).count() == 0
+
+
+def test_cli_end_to_end(spark, tiny_transcripts, tmp_path, capsys):
+    """Drive the CLI functions in-process (same SparkSession via getOrCreate)."""
+    from katta_spark import cli
+
+    src = str(tmp_path / "tx.parquet")
+    tiny_transcripts.write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "idx")
+    assert cli.main(["addIndex", idx, src, "--num-shards", "2"]) == 0
+    out = capsys.readouterr().out
+    assert json.loads(out.strip().splitlines()[-1])["n_docs"] == 2000
+
+    assert cli.main(["search", idx, "hotalpha w00011", "-k", "5"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("Hits: 5")
+
+    assert cli.main(["count", idx, "hotalpha"]) == 0
+    n = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n > 100
+
+    assert cli.main(["check", idx]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["num_shards"] == 2 and len(report["shards"]) == 2
+    assert all(s["terms"] > 0 for s in report["shards"])
