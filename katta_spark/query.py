@@ -106,6 +106,7 @@ def _make_score_kernel(
     k: int,
     prune: bool,
     score_dtype: str = "float32",
+    filter_docs: np.ndarray | None = None,
 ):
     """Per-shard scoring kernel (applyInPandas over shard_id groups).
 
@@ -176,6 +177,9 @@ def _make_score_kernel(
             else:
                 d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
 
+            if filter_docs is not None:
+                keep = np.isin(d, filter_docs)
+                d, t, l = d[keep], t[keep], l[keep]
             contrib = (
                 qweights[row.term]
                 * idf[row.term]
@@ -218,6 +222,7 @@ def _make_score_kernel(
 def _make_and_kernel(
     qweights: dict[str, float], idf: dict[str, float], avgdl: float, k: int,
     score_dtype: str = "float32",
+    filter_docs: np.ndarray | None = None,
 ):
     """Conjunctive (AND) kernel: posting-list intersection with skip-pointer
     galloping — SURVEY.md §2.3 J1, the operation Lucene's BooleanQuery runs
@@ -242,6 +247,9 @@ def _make_and_kernel(
 
         rows = list(pdf.itertuples(index=False))
         d0, t0, l0 = decode_posting_list(rows[0].doc_ids, rows[0].tfs, rows[0].doclens)
+        if filter_docs is not None:
+            keep0 = np.isin(d0, filter_docs)
+            d0, t0, l0 = d0[keep0], t0[keep0], l0[keep0]
         cand, dls = d0, l0
         tf_by_term: list[tuple[str, np.ndarray]] = [(rows[0].term, t0)]
         for row in rows[1:]:
@@ -292,6 +300,7 @@ def search(
     mode: str = "or",
     score_dtype: str = "float32",
     ordered: bool = True,
+    filter_docs: list[int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
@@ -361,10 +370,17 @@ def search(
         return spark.createDataFrame([], empty_schema)
     postings = postings.where(F.col("term").isin(live_terms))
 
+    fdocs = (
+        np.asarray(sorted(filter_docs), dtype=np.int64)
+        if filter_docs is not None
+        else None
+    )
     if mode == "and":
-        kernel = _make_and_kernel(qweights, idf, avgdl, k, score_dtype)
+        kernel = _make_and_kernel(qweights, idf, avgdl, k, score_dtype, fdocs)
     else:
-        kernel = _make_score_kernel(qweights, idf, avgdl, k, prune, score_dtype)
+        kernel = _make_score_kernel(
+            qweights, idf, avgdl, k, prune, score_dtype, fdocs
+        )
     hits = postings.groupBy("shard_id").applyInPandas(
         kernel, f"shard_id int, doc_id long, score {sql_t}"
     )

@@ -1,0 +1,79 @@
+"""Streaming-incremental index maintenance.
+
+The reference has NO dataflow streaming (SURVEY.md §2.9) — its online side
+is serving, and index updates mean deploying a new index version next to
+the old ones (IndexDeployOperation). The Spark-native translation:
+Structured Streaming ingests arriving transcript files and each micro-batch
+builds an immutable DELTA index (foreachBatch → build_index); queries span
+[base + deltas] via search_multi with cross-index stats, which keeps
+ranking identical to a monolithic rebuild (tests/test_multi_index.py).
+
+This is exactly Katta's update story — "an index is immutable; add a new
+one" — expressed as a stream job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from katta_spark.build import build_index
+from katta_spark.schema import TRANSCRIPTS_SCHEMA
+
+
+def delta_index_dirs(index_root: str) -> list[str]:
+    """All delta indexes under ``index_root`` (sorted by batch id)."""
+    if not os.path.isdir(index_root):
+        return []
+    out = []
+    for name in sorted(os.listdir(index_root)):
+        d = os.path.join(index_root, name)
+        if name.startswith("delta_") and os.path.isdir(d):
+            out.append(d)
+    return out
+
+
+def stream_build(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    num_shards: int = 4,
+    available_now: bool = True,
+    checkpoint_dir: str | None = None,
+):
+    """Incrementally index transcript parquet files as they arrive.
+
+    Each micro-batch becomes one immutable delta index
+    (``index_root/delta_<epoch>``). ``available_now=True`` drains what is
+    currently available and stops (the testable batch-drain mode); a
+    production stream would run continuously with the same code.
+
+    The streaming checkpoint makes ingestion exactly-once per file, and
+    each delta build is itself resumable (lineage) — end-to-end at-least-
+    once build with idempotent commits.
+    """
+    os.makedirs(index_root, exist_ok=True)
+    checkpoint_dir = checkpoint_dir or os.path.join(index_root, "_checkpoint")
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_index(
+            batch_df.sparkSession,
+            batch_df,
+            os.path.join(index_root, f"delta_{batch_id:08d}"),
+            num_shards=num_shards,
+        )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = stream.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return stream.start()

@@ -1,0 +1,92 @@
+"""Streaming incremental build, filtered search (P2), point lookup (S7)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.build import build_index
+from katta_spark.oracle import bm25_topk, with_doc_ids
+from katta_spark.query import search, search_multi
+from katta_spark.sources import point_lookup, read_transcripts
+from katta_spark.streaming import delta_index_dirs, stream_build
+from katta_spark.synth import synth_transcripts
+
+
+def test_filtered_search_matches_filtered_oracle(spark, tiny_transcripts, tmp_path):
+    """P2: a filter restricts the matched doc set WITHOUT changing scores
+    (reference: QueryWrapperFilter applied during collection,
+    LuceneServer.java:334-345; test LuceneClientTest.java:562-617)."""
+    d = str(tmp_path / "idx")
+    build_index(spark, tiny_transcripts, d, num_shards=4)
+    docs = with_doc_ids(tiny_transcripts, 4)
+    # filter = docs whose role is 'user'
+    allowed = [r.doc_id for r in docs.where(F.col("role") == "user").collect()]
+    got = search(spark, d, "hotalpha hotbeta", k=10, filter_docs=allowed).collect()
+    # oracle: score on the FULL corpus stats, then restrict and take top-k
+    full = bm25_topk(
+        docs, "hotalpha hotbeta", k=10**9, shard_col="shard_id"
+    ).collect()
+    allowed_set = set(allowed)
+    want = [r for r in full if r.doc_id in allowed_set][:10]
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+    # AND mode with filter
+    got_and = search(
+        spark, d, "hotalpha hotbeta", k=5, mode="and", filter_docs=allowed
+    ).collect()
+    assert all(r.doc_id in allowed_set for r in got_and)
+
+
+def test_stream_build_incremental(spark, tmp_path):
+    """Micro-batches become delta indexes; searching all deltas equals the
+    monolithic index over the union (Katta: deploy new index version)."""
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "stream_idx")
+    os.makedirs(inp)
+    b1 = synth_transcripts(spark, 1200, seed=42)
+    b1.write.mode("overwrite").parquet(os.path.join(inp, "batch1"))
+    # wildcard-dir source: stream over inp/*/
+    stream_build(spark, inp + "/*", root, num_shards=2)
+    assert len(delta_index_dirs(root)) == 1
+
+    bigger = synth_transcripts(spark, 1800, seed=42)
+    b2 = bigger.exceptAll(b1)
+    b2.write.mode("overwrite").parquet(os.path.join(inp, "batch2"))
+    stream_build(spark, inp + "/*", root, num_shards=2)  # drains only the new file
+    deltas = delta_index_dirs(root)
+    assert len(deltas) == 2
+
+    whole = str(tmp_path / "whole")
+    build_index(spark, bigger, whole, num_shards=4)
+    got = search_multi(spark, deltas, "hotalpha w00012", k=10).collect()
+    want = search(spark, whole, "hotalpha w00012", k=10).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+    # re-draining with no new files creates no new deltas (exactly-once)
+    stream_build(spark, inp + "/*", root, num_shards=2)
+    assert len(delta_index_dirs(root)) == 2
+
+
+def test_point_lookup_and_reader(spark, tiny_transcripts, tmp_path):
+    p = str(tmp_path / "tx.parquet")
+    tiny_transcripts.write.mode("overwrite").parquet(p)
+    tx = read_transcripts(spark, p)
+    assert tx.schema["turn_idx"].dataType.simpleString() == "int"
+    row = tiny_transcripts.limit(1).collect()[0]
+    got = point_lookup(tx, "conv_id", row.conv_id).collect()
+    assert 1 <= len(got) <= 20 and all(r.conv_id == row.conv_id for r in got)
+    # predicate reaches the scan
+    plan = point_lookup(tx, "conv_id", row.conv_id)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "IsNotNull" in plan
