@@ -1,0 +1,70 @@
+"""Physical-plan audits + seeded rank-identity fuzzing.
+
+The plan audit enforces the scale design (SURVEY.md §4): pushed postings
+predicates, TakeOrderedAndProject global merge, no corpus-sized shuffle on
+the query path. The fuzz test hammers the engine-vs-oracle equivalence with
+random queries beyond the fixed reference set.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from katta_spark.build import build_index
+from katta_spark.oracle import bm25_topk, with_doc_ids
+from katta_spark.plans import audit_search_plan
+from katta_spark.query import search
+from katta_spark.synth import HOT_TERMS
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tiny_transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz_idx"))
+    build_index(spark, tiny_transcripts, d, num_shards=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs(tiny_transcripts):
+    return with_doc_ids(tiny_transcripts, 4).cache()
+
+
+def test_search_plan_shape(spark, idx):
+    hits = search(spark, idx, "hotalpha w00011", k=10)
+    audit = audit_search_plan(hits)
+    assert audit["pushed_term_filter"], audit["plan"][:2000]
+    assert audit["take_ordered"], audit["plan"][:2000]
+    # one exchange to group postings by shard; the top-k merge is
+    # TakeOrderedAndProject (not a full sort exchange)
+    assert audit["n_exchanges"] <= 2, audit["plan"][:2000]
+
+
+def test_rank_identity_fuzz(spark, idx, docs):
+    """12 random queries (hot/mid/rare/absent mixes, duplicates, random k)
+    must be rank-identical to the oracle."""
+    rng = random.Random(20260816)
+    vocab = (
+        [f"w{n:05d}" for n in rng.sample(range(10, 2000), 30)]
+        + list(HOT_TERMS)
+        + ["absentterm"]
+    )
+    for i in range(12):
+        n_terms = rng.randint(1, 5)
+        terms = [rng.choice(vocab) for _ in range(n_terms)]
+        if rng.random() < 0.3:
+            terms.append(terms[0])  # duplicate
+        q = " ".join(terms)
+        k = rng.choice([1, 3, 10, 40])
+        got = search(spark, idx, q, k=k).collect()
+        want = bm25_topk(docs, q, k=k, shard_col="shard_id").collect()
+        assert [(r.doc_id, r.shard_id) for r in got] == [
+            (r.doc_id, r.shard_id) for r in want
+        ], f"fuzz #{i}: {q!r} k={k}"
+        np.testing.assert_allclose(
+            np.array([r.score for r in got], np.float32),
+            np.array([r.score for r in want], np.float32),
+            rtol=2e-6,
+        )
