@@ -116,3 +116,18 @@ def test_lineage_rows(spark, index):
     rows = lin.collect()
     assert all(r.status == "committed" for r in rows)
     assert all(r.terms > 0 and r.postings > 0 and r.bytes > 0 for r in rows)
+
+
+def test_zero_doc_shards(spark, tmp_path_factory):
+    """Shards with zero documents (num_shards >> n_docs) must build and
+    search cleanly — reference KATTA-203 (zero-doc shard handling)."""
+    from katta_spark.synth import synth_transcripts
+
+    d = str(tmp_path_factory.mktemp("sparse_idx"))
+    tiny = synth_transcripts(spark, 10, seed=11)
+    s = build_index(spark, tiny, d, num_shards=16)
+    assert s["n_docs"] == 10
+    terms = tiny.selectExpr("explode(split(text, ' ')) t").where("t <> ''").limit(1).collect()
+    hits = search(spark, d, terms[0]["t"], k=5).collect()
+    assert len(hits) >= 1
+    assert count_matches(spark, d, "zzz") == 0
