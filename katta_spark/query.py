@@ -39,6 +39,7 @@ from katta_spark.codec import (
     vb_decode,
 )
 from katta_spark.tokenizer import tokenize_str
+from katta_spark.xxhash import term_hash
 
 HITS_SCHEMA = "shard_id int, doc_id long, score float"
 
@@ -101,7 +102,7 @@ def expand_wildcards(
 
 def _make_score_kernel(
     qweights: dict[str, float],
-    idf: dict[str, float],
+    n_docs: float,
     avgdl: float,
     k: int,
     prune: bool,
@@ -118,17 +119,22 @@ def _make_score_kernel(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
-        # Row-level impact bound from raw (max_tf, min_dl) + the stats that
-        # govern THIS query (global or shard-subset) — then process terms in
-        # descending max-impact order so the prune threshold grows as fast
-        # as possible (MaxScore ordering).
+        # idf from the per-row GLOBAL df (broadcast-joined from the stats
+        # table inside the same job — phase 1 without a driver round-trip);
+        # then row-level impact bound from raw (max_tf, min_dl), and terms
+        # processed in descending max-impact order so the prune threshold
+        # grows as fast as possible (MaxScore ordering).
+        idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
         pdf = pdf.assign(
+            idf_row=idf_col,
             _qimpact=[
                 qweights[t]
-                * idf[t]
+                * iv
                 * float(scoring.tf_norm_np(np.array([mt]), np.array([md]), avgdl)[0])
-                for t, mt, md in zip(pdf["term"], pdf["max_tf"], pdf["min_dl"])
-            ]
+                for t, iv, mt, md in zip(
+                    pdf["term"], idf_col, pdf["max_tf"], pdf["min_dl"]
+                )
+            ],
         ).sort_values("_qimpact", ascending=False)
         # suffix[i] = Σ qimpact of terms AFTER position i — upper bound of
         # what a doc can still gain from the remaining (lower-impact) terms.
@@ -149,7 +155,7 @@ def _make_score_kernel(
             # block-max bound: idf * tf_norm(block max_tf, block min_dl)
             bmi = (
                 qweights[row.term]
-                * idf[row.term]
+                * row.idf_row
                 * scoring.tf_norm_np(
                     vb_decode(row.block_max_tf), vb_decode(row.block_min_dl), avgdl
                 )
@@ -182,7 +188,7 @@ def _make_score_kernel(
                 d, t, l = d[keep], t[keep], l[keep]
             contrib = (
                 qweights[row.term]
-                * idf[row.term]
+                * row.idf_row
                 * scoring.tf_norm_np(t, l, avgdl)
             )
             doc_parts.append(d)
@@ -220,7 +226,7 @@ def _make_score_kernel(
 
 
 def _make_and_kernel(
-    qweights: dict[str, float], idf: dict[str, float], avgdl: float, k: int,
+    qweights: dict[str, float], n_docs: float, avgdl: float, k: int,
     score_dtype: str = "float32",
     filter_docs: np.ndarray | None = None,
 ):
@@ -273,9 +279,13 @@ def _make_and_kernel(
             tf_by_term.append((row.term, t[pos_c[keep]]))
         if cand.size == 0:
             return empty
+        idf_of = {
+            t: float(scoring.idf_np(np.array([d], dtype=np.float64), n_docs)[0])
+            for t, d in zip(pdf["term"], pdf["df_g"])
+        }
         scores = np.zeros(cand.size, dtype=np.float64)
         for term, tf in tf_by_term:
-            scores += qweights[term] * idf[term] * scoring.tf_norm_np(tf, dls, avgdl)
+            scores += qweights[term] * idf_of[term] * scoring.tf_norm_np(tf, dls, avgdl)
         scores32 = scores.astype(score_dtype)
         kk = min(k, cand.size)
         order = np.lexsort((cand, -scores32))[:kk]
@@ -321,23 +331,26 @@ def search(
         return spark.createDataFrame([], empty_schema)
 
     terms = sorted(qweights)
-    # Phase-1 analog: df + term-hash per query term from the precomputed
-    # stats table (tiny read, pushed predicate). Katta:
-    # LuceneClient.getDocFrequencies (LuceneClient.java:264-286).
-    stats_rows = index.stats(spark).where(F.col("term").isin(terms)).collect()
-    th_of = {r["term"]: int(r["th"]) for r in stats_rows}
-    hashes = sorted(th_of.values())
+    # Term hashes computed DRIVER-SIDE with the pure-Python xxHash64
+    # (bit-identical to F.xxhash64, parity-tested) — zero Spark jobs.
+    hashes = sorted(term_hash(t) for t in terms)
     if shard_ids is None:
+        # Phase 1 (global df per term — Katta's getDocFrequencies,
+        # LuceneClient.java:264-286) is a broadcast join of the tiny stats
+        # rows into the postings scan — no driver round-trip between the
+        # phases; the kernel derives idf from the joined global df.
         n_docs, avgdl = float(index.n_docs), index.avgdl
-        idf = {
-            r["term"]: float(scoring.idf_np(np.array([r["df"]]), n_docs)[0])
-            for r in stats_rows
-        }
         # th is the pushed predicate (int64 min/max row-group skipping);
         # the term predicate additionally guards against hash collisions.
         postings = index.postings(spark).where(
             F.col("th").isin(hashes) & F.col("term").isin(terms)
         )
+        stats_small = (
+            index.stats(spark)
+            .where(F.col("th").isin(hashes))
+            .select("th", F.col("df").alias("df_g"))
+        )
+        postings = postings.join(F.broadcast(stats_small), "th")
     else:
         # Shard-subset search scores with SUBSET-global stats, exactly like
         # Katta's phase 1 over only the searched indices' shards
@@ -360,15 +373,9 @@ def search(
             .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
             .where(F.col("shard_id").isin(shard_ids))
         )
-        df_rows = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
-        idf = {
-            r["term"]: float(scoring.idf_np(np.array([r["df"]]), n_docs)[0])
-            for r in df_rows
-        }
-    live_terms = [t for t in terms if t in idf]
-    if not live_terms or (mode == "and" and len(live_terms) < len(terms)):
-        return spark.createDataFrame([], empty_schema)
-    postings = postings.where(F.col("term").isin(live_terms))
+        # subset-global df joined per row (same shape as the global path)
+        df_sub = postings.groupBy("th").agg(F.sum("df").alias("df_g"))
+        postings = postings.join(F.broadcast(df_sub), "th")
 
     fdocs = (
         np.asarray(sorted(filter_docs), dtype=np.int64)
@@ -376,10 +383,10 @@ def search(
         else None
     )
     if mode == "and":
-        kernel = _make_and_kernel(qweights, idf, avgdl, k, score_dtype, fdocs)
+        kernel = _make_and_kernel(qweights, n_docs, avgdl, k, score_dtype, fdocs)
     else:
         kernel = _make_score_kernel(
-            qweights, idf, avgdl, k, prune, score_dtype, fdocs
+            qweights, n_docs, avgdl, k, prune, score_dtype, fdocs
         )
     hits = postings.groupBy("shard_id").applyInPandas(
         kernel, f"shard_id int, doc_id long, score {sql_t}"
@@ -438,15 +445,13 @@ def search_multi(
     for h in handles:
         for r in h.stats(spark).where(F.col("term").isin(terms)).collect():
             df_tot[r["term"]] = df_tot.get(r["term"], 0) + int(r["df"])
-    idf = {
-        t: float(scoring.idf_np(np.array([d]), n_docs)[0]) for t, d in df_tot.items()
-    }
-    live_terms = [t for t in terms if t in idf]
+    live_terms = sorted(df_tot)
     if not live_terms or (mode == "and" and len(live_terms) < len(terms)):
         return spark.createDataFrame([], empty_schema)
 
     # phase 2: bag union of per-index postings; shard ids are offset so the
-    # per-shard kernel groups never collide across indexes.
+    # per-shard kernel groups never collide across indexes. The cross-index
+    # global df is broadcast-joined per row (df_g), as in search().
     parts = []
     offset = 0
     for h in handles:
@@ -458,11 +463,15 @@ def search_multi(
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.unionByName(p)
+    df_g = spark.createDataFrame(
+        [(term_hash(t), int(d)) for t, d in df_tot.items()], "th long, df_g long"
+    )
+    postings = postings.join(F.broadcast(df_g), "th")
 
     if mode == "and":
-        kernel = _make_and_kernel(qweights, idf, avgdl, k, score_dtype)
+        kernel = _make_and_kernel(qweights, n_docs, avgdl, k, score_dtype)
     else:
-        kernel = _make_score_kernel(qweights, idf, avgdl, k, True, score_dtype)
+        kernel = _make_score_kernel(qweights, n_docs, avgdl, k, True, score_dtype)
     hits = postings.groupBy("shard_id").applyInPandas(
         kernel, f"shard_id int, doc_id long, score {sql_t}"
     )
