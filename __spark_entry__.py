@@ -137,8 +137,11 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     docs = _docs(spark, sf_dir)
     hits = ksq.search(spark, _index_dir(spark, sf_dir), "join hash customer", k=10)
+    # inner join with the tiny top-k as the broadcast (build) side — hits
+    # are by construction drawn from the corpus, so inner == left here.
     return (
-        hits.join(docs.select("doc_id", "lang", "source"), "doc_id", "left")
+        docs.select("doc_id", "lang", "source")
+        .join(F.broadcast(hits), "doc_id")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
 
@@ -224,11 +227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wildcard_expand"] = wildcard
 
     def details(spark, sf):
-        """J2/P1: top-k hits joined back to stored fields, projected."""
+        """J2/P1: top-k hits joined back to stored fields, projected —
+        broadcast side = the top-k (inner join; hits ⊆ corpus)."""
         hits = _bm25(spark, sf, "merge batch", 5)
-        return hits.join(
-            _docs(spark, sf).select("doc_id", "lang", "source"), "doc_id", "left"
-        ).select("doc_id", "score_r", "lang", "source")
+        return (
+            _docs(spark, sf)
+            .select("doc_id", "lang", "source")
+            .join(F.broadcast(hits), "doc_id")
+            .select("doc_id", "score_r", "lang", "source")
+        )
 
     q["details_topk"] = details
 
@@ -256,7 +263,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["term_stats"] = f"""
-        SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
           SELECT doc_id, term, count(*) AS tf FROM (
             SELECT doc_id, unnest({_TOK}) AS term FROM documents
           ) GROUP BY 1, 2

@@ -250,6 +250,19 @@ def build_index(
             with open(version_file) as fh:
                 stored = fh.read().strip()
         if stored != str(FORMAT_VERSION):
+            # Only wipe a directory that demonstrably IS an index of another
+            # format — a mistyped path pointing at unknown content must
+            # raise, never be recursively deleted.
+            looks_like_index = stored is not None or any(
+                os.path.exists(p[t]) for t in ("postings", "corpus", "stats")
+            )
+            if not looks_like_index:
+                raise ValueError(
+                    f"{index_dir!r} is non-empty but does not look like a "
+                    "katta_spark index (no FORMAT_VERSION / postings / "
+                    "corpus); refusing to delete it. Pass an empty or "
+                    "index-shaped directory."
+                )
             import shutil
 
             shutil.rmtree(index_dir)

@@ -17,8 +17,10 @@ Layout per posting list (one row of the postings table):
 - ``skips``    : one record per block of BLOCK docs:
                  (first_doc_u64, byte offsets into the three buffers) —
                  enables decode starting at any block (skip pointers).
-- ``block_max_impact`` : float32 per block — BM25 upper bound of any
-                 posting in the block (block-max WAND, SURVEY.md §4).
+- ``block_max_tf`` / ``block_min_dl`` : varbyte per block — RAW maxima
+                 from which the query assembles block-max score bounds
+                 under whichever stats govern it (block-max pruning,
+                 SURVEY.md §4).
 
 docIDs are int64 (xxhash64 output, possibly negative); they are mapped to
 uint64 with an order-preserving XOR of the sign bit so deltas of the sorted
@@ -291,30 +293,6 @@ def encode_posting_lists_batch(
             )
         )
     return out
-
-
-def decode_segments(
-    blob_concat: np.ndarray | bytes, counts: np.ndarray, delta: bool
-) -> np.ndarray:
-    """Vectorized decode of MANY concatenated varbyte segments.
-
-    ``blob_concat``: all segment buffers back-to-back (each segment is a
-    self-contained varbyte stream). ``counts``: number of values per
-    segment. If ``delta``, each segment is a delta chain whose first value
-    is absolute (encode_posting_list semantics) — a segmented cumsum
-    restores absolutes without any per-segment Python loop.
-    """
-    vals = vb_decode(blob_concat)
-    if not delta:
-        return vals
-    if vals.size == 0:
-        return vals
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    total = np.cumsum(vals, dtype=np.uint64)
-    # subtract the running total up to each segment start (segmented cumsum)
-    base = np.zeros(counts.size, dtype=np.uint64)
-    base[1:] = total[starts[1:] - 1]
-    return total - np.repeat(base, counts)
 
 
 def block_maxima(

@@ -12,7 +12,6 @@ from katta_spark.scoring import (  # noqa: F401
     BM25_K1,
     idf_col,
     idf_np,
-    max_impact_np,
     tf_norm_col,
     tf_norm_np,
 )

@@ -43,3 +43,49 @@ def audit_search_plan(hits: DataFrame) -> dict:
         "n_exchanges": plan.count("(Exchange") + plan.count("+- Exchange"),
         "plan": plan,
     }
+
+
+def _subtree_lines(plan: str, anchor: str) -> list[str]:
+    """Lines of the plan subtree rooted at the first line containing
+    ``anchor`` (simple-mode tree: children are more-indented lines)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if anchor in line:
+            depth = len(line) - len(line.lstrip(" :+-"))
+            out = [line]
+            for nxt in lines[i + 1 :]:
+                if not nxt.strip():
+                    break
+                nd = len(nxt) - len(nxt.lstrip(" :+-"))
+                if nd <= depth:
+                    break
+                out.append(nxt)
+            return out
+    return []
+
+
+def audit_details_plan(details) -> dict:
+    """get_details must broadcast the TOP-K, not the corpus: the plan is a
+    BroadcastHashJoin whose BroadcastExchange subtree contains the search
+    kernel (FlatMapGroupsInPandas), and no sort-merge join of the corpus."""
+    plan = physical_plan(details, mode="simple")
+    bcast_sub = "\n".join(_subtree_lines(plan, "BroadcastExchange"))
+    return {
+        "broadcast_join": "BroadcastHashJoin" in plan,
+        "no_smj": "SortMergeJoin" not in plan,
+        "topk_is_build_side": "FlatMapGroupsInPandas" in bcast_sub,
+        "plan": plan,
+    }
+
+
+def audit_sorted_search_plan(out) -> dict:
+    """Field-sorted search must not run a global score sort: the only
+    global ordering is the TakeOrderedAndProject on the sort fields, and
+    nothing is funneled through a single partition."""
+    plan = physical_plan(out, mode="simple")
+    return {
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "no_single_partition": "Exchange SinglePartition" not in plan,
+        "no_global_limit": "GlobalLimit 2147483647" not in plan,
+        "plan": plan,
+    }

@@ -390,11 +390,15 @@ def search(
     hits = postings.groupBy("shard_id").applyInPandas(
         kernel, f"shard_id int, doc_id long, score {sql_t}"
     )
-    return (
-        hits.select("doc_id", "shard_id", "score")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc())
-        .limit(k)
-    )
+    hits = hits.select("doc_id", "shard_id", "score")
+    if not ordered:
+        # Caller does its own ordering (e.g. field sort) — returning the
+        # per-shard union unsorted avoids a global score sort that would
+        # funnel every matching doc through one partition.
+        return hits
+    return hits.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
+    ).limit(k)
 
 
 def search_multi(
@@ -555,10 +559,17 @@ def get_details(
 ) -> DataFrame:
     """Fetch stored fields for hits — Katta getDetails (LuceneServer.java:
     390-410; client fan-out LuceneClient.java:308-369) as a broadcast join
-    of the tiny top-k against the source table (J2)."""
+    of the tiny top-k against the source table (J2).
+
+    The broadcast side must be the BUILD side: an inner join with the
+    top-k broadcast lets every source partition probe the tiny hash table
+    (hits are by construction drawn from the source corpus, so inner ==
+    left-outer here). Broadcasting the preserved side of an outer join is
+    impossible and silently degrades to a corpus-wide sort-merge join.
+    """
     src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
     if fields:
         src = src.select("doc_id", *fields)
-    return F.broadcast(hits).join(src, "doc_id", "left").orderBy(
+    return src.join(F.broadcast(hits), "doc_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

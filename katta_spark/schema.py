@@ -35,20 +35,27 @@ DOCMAP_SCHEMA = T.StructType(
 )
 
 # postings: one row per (shard, term); arrays are delta+varbyte encoded
-# (codec.py). block_max_tf/block_min_dl support block-max pruning; doc_ids
-# are sorted ascending within the row. This is the explicit version of the
-# Lucene posting lists Katta consumes via searcher.docFreq
-# (LuceneServer.java:375-379).
+# (codec.py); doc_ids sorted ascending within the row. Blocks store RAW
+# maxima (max_tf / min_dl), not baked impacts, so bounds can be assembled
+# at query time from whichever stats govern the query (global vs
+# shard-subset). This is the explicit version of the Lucene posting lists
+# Katta consumes via searcher.docFreq (LuceneServer.java:375-379).
+# Matches build.ENCODED_SCHEMA + the term string column.
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("th", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("doclens", T.BinaryType(), False),
-        T.StructField("max_impact", T.FloatType(), False),
-        T.StructField("block_max_impact", T.BinaryType(), False),
+        T.StructField("skips", T.BinaryType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
+        T.StructField("block_max_tf", T.BinaryType(), False),
+        T.StructField("block_min_dl", T.BinaryType(), False),
     ]
 )
 

@@ -48,18 +48,6 @@ def tf_norm_np(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def max_impact_np(df: int, max_tf: int, min_dl: int, n_docs: float,
-                  avgdl: float, k1: float = BM25_K1, b: float = BM25_B) -> float:
-    """Upper bound of a term's contribution — block-max/WAND prune bound.
-
-    Safe because tf_norm is increasing in tf and decreasing in dl, so
-    (max tf, min dl) over a block upper-bounds every posting in it.
-    """
-    idf = float(np.log1p((n_docs - df + 0.5) / (df + 0.5)))
-    tfn = max_tf * (k1 + 1.0) / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
-    return idf * tfn
-
-
 def idf_col(df_col: Column, n_docs_col: Column) -> Column:
     """idf as a Spark Column (float64), for the DataFrame oracle."""
     d = df_col.cast("double")

@@ -12,11 +12,16 @@ import random
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from katta_spark.build import build_index
 from katta_spark.oracle import bm25_topk, with_doc_ids
-from katta_spark.plans import audit_search_plan
-from katta_spark.query import search
+from katta_spark.plans import (
+    audit_details_plan,
+    audit_search_plan,
+    audit_sorted_search_plan,
+)
+from katta_spark.query import get_details, search, search_sorted
 from katta_spark.synth import HOT_TERMS
 
 
@@ -40,6 +45,32 @@ def test_search_plan_shape(spark, idx):
     # one exchange to group postings by shard; the top-k merge is
     # TakeOrderedAndProject (not a full sort exchange)
     assert audit["n_exchanges"] <= 2, audit["plan"][:2000]
+
+
+def test_details_plan_broadcasts_topk(spark, idx, tiny_transcripts):
+    """J2 at scale: the broadcast (build) side must be the tiny top-k,
+    never the corpus (a left join hinted on its preserved side silently
+    degrades to a corpus-wide sort-merge join)."""
+    hits = search(spark, idx, "hotalpha w00011", k=5)
+    details = get_details(spark, hits, tiny_transcripts, fields=["role", "text"])
+    audit = audit_details_plan(details)
+    assert audit["broadcast_join"], audit["plan"][:2000]
+    assert audit["no_smj"], audit["plan"][:2000]
+    assert audit["topk_is_build_side"], audit["plan"][:2000]
+
+
+def test_sorted_search_plan_no_global_sort(spark, idx, tiny_transcripts):
+    """T2/T4 at scale: field sort must not first run a global top-(2^31-1)
+    score sort through one partition (reference never materializes a global
+    score sort either — TopFieldCollector, LuceneServer.java:672-677)."""
+    out = search_sorted(
+        spark, idx, "hotalpha", tiny_transcripts,
+        sort_cols=[F.col("ts").desc()], k=5, track_scores=False,
+    )
+    audit = audit_sorted_search_plan(out)
+    assert audit["take_ordered"], audit["plan"][:2000]
+    assert audit["no_single_partition"], audit["plan"][:2000]
+    assert audit["no_global_limit"], audit["plan"][:2000]
 
 
 def test_rank_identity_fuzz(spark, idx, docs):
