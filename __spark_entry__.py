@@ -52,6 +52,24 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_FIELD_INDEX_CACHE: dict[str, str] = {}
+
+
+def _field_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Index over documents with NOT_ANALYZED keyword fields lang/source
+    (multi-field postings — reference SampleIndexGenerator.java:75-78)."""
+    if sf_dir in _FIELD_INDEX_CACHE:
+        return _FIELD_INDEX_CACHE[sf_dir]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}_fld")
+    ksb.build_index(
+        spark, _docs(spark, sf_dir), d, num_shards=4, doc_id_col="doc_id",
+        keyword_cols=("lang", "source"),
+    )
+    _FIELD_INDEX_CACHE[sf_dir] = d
+    return d
+
+
 _SPLIT_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -95,8 +113,11 @@ WITH tok AS (
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 corpus AS (
+  -- avgdl = total tokens / n_docs (all docs, empty included) — the
+  -- engine's exact definition (build.py phase 3)
   SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT avg(dl) FROM dl) AS avgdl
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
 ),
 q(term, qw) AS (VALUES {{qvalues}}),
 idf AS (
@@ -117,6 +138,58 @@ scores AS (
 SELECT doc_id, round(s, 4) AS score_r FROM scores
 ORDER BY s DESC, doc_id ASC LIMIT {{k}}
 """
+
+
+# Field-aware variant: the term space is the union of analyzed text tokens
+# (tf, dl from the text) and keyword-field terms 'field:value' (tf=1, dl=1)
+# — exactly the engine's multi-field postings model.
+_BM25_FIELD_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf0 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+ptf AS (
+  SELECT tf0.doc_id, tf0.term, tf0.tf, dl.dl FROM tf0 JOIN dl USING (doc_id)
+  UNION ALL
+  SELECT doc_id, 'lang:' || lang, 1.0, 1.0 FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'source:' || source, 1.0, 1.0 FROM documents
+  WHERE source IS NOT NULL
+),
+q(term, qw) AS (VALUES {{qvalues}}),
+idf AS (
+  SELECT s.term, ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+  FROM (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY 1) s, corpus c
+  WHERE s.term IN (SELECT term FROM q)
+),
+scores AS (
+  SELECT ptf.doc_id,
+         sum(q.qw * idf.idf * (ptf.tf * 2.2)
+             / (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / c.avgdl))) AS s
+  FROM ptf JOIN q USING (term) JOIN idf USING (term), corpus c
+  GROUP BY ptf.doc_id
+  {{having}}
+)
+SELECT doc_id, round(s, 4) AS score_r FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {{k}}
+"""
+
+
+def _bm25_field_sql(
+    terms: list[tuple[str, float]], k: int, conjunctive: bool = False
+) -> str:
+    qvalues = ", ".join(f"('{t}', {w:.1f})" for t, w in terms)
+    n_distinct = len({t for t, _ in terms})
+    having = (
+        f"HAVING count(DISTINCT ptf.term) = {n_distinct}" if conjunctive else ""
+    )
+    return _BM25_FIELD_CTE.format(qvalues=qvalues, k=k, having=having)
 
 
 def _bm25_sql(terms: list[tuple[str, float]], k: int, conjunctive: bool = False) -> str:
@@ -177,6 +250,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_dupterm"] = lambda s, sf: _bm25(s, sf, "join join scan", 10)
     q["bm25_conjunctive"] = lambda s, sf: _bm25(s, sf, "join hash scan merge", 10, mode="and")
     q["bm25_absent"] = lambda s, sf: _bm25(s, sf, "zzzqqqxxx", 10)
+
+    def bm25_field(spark, sf):
+        """F2/P2: field-qualified query over multi-field keyword postings
+        (Katta.java:825-826 field:term parsing) — the field term scores
+        like any term (tf=1, dl=1, its own df/idf)."""
+        hits = ksq.search(
+            spark, _field_index_dir(spark, sf), "source:src7 merge join",
+            k=10, score_dtype="float64",
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_field"] = bm25_field
+
+    def bm25_field_restricted(spark, sf):
+        """Field-restricted conjunctive search: lang:en AND join AND hash —
+        the filter-as-query shape of LuceneClientTest.java:562-617."""
+        hits = ksq.search(
+            spark, _field_index_dir(spark, sf), "lang:en join hash",
+            k=10, mode="and", score_dtype="float64",
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_field_restricted"] = bm25_field_restricted
 
     def split_index(spark, sf):
         """Compliance (LuceneComplianceTest.java:107-190): two half-corpus
@@ -272,7 +368,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["corpus_stats"] = f"""
         SELECT (SELECT count(*) FROM documents) AS n_docs,
-               round(avg(dl), 4) AS avgdl_r
+               round(coalesce(sum(dl), 0)
+                     / (SELECT count(*) FROM documents), 4) AS avgdl_r
         FROM (SELECT count(*)::DOUBLE dl FROM (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents
               ) GROUP BY doc_id)
@@ -288,6 +385,12 @@ def oracle_sql() -> dict[str, str]:
         conjunctive=True,
     )
     o["bm25_absent"] = "SELECT doc_id, 0.0::DOUBLE AS score_r FROM documents WHERE 1=0"
+    o["bm25_field"] = _bm25_field_sql(
+        [("source:src7", 1.0), ("merge", 1.0), ("join", 1.0)], 10
+    )
+    o["bm25_field_restricted"] = _bm25_field_sql(
+        [("lang:en", 1.0), ("join", 1.0), ("hash", 1.0)], 10, conjunctive=True
+    )
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
 

@@ -3,43 +3,49 @@ resumable Spark application (reference: IndexerJob.java:51-181 builds one
 Lucene index per input split; AbstractIndexOperation + DefaultDistributionPolicy
 assign shards to nodes, master/DefaultDistributionPolicy.java:47-123).
 
-Spark-first shape — exactly ONE corpus-sized shuffle (an A/B against a
-Lucene-style two-stage segment-merge pipeline showed the single sorted
-shuffle is faster here: the segment stage pays an extra Python pass that
-only amortizes at vocabulary sizes far beyond the fixtures):
+Spark-first shape — ONE corpus-sized shuffle (tokens) plus one
+postings-sized one (shard clustering), and the corpus-sized data crosses
+Arrow exactly once. Measured on 300k turns / 12.5M tokens: the numpy
+lexsort inside the kernel is ~2x cheaper than the JVM sortWithinPartitions
+it replaces, and dropping the tdict join removed a vocab-sized join from
+the blob path (a range exchange was also tried for the token shuffle — its
+sampling job re-executes the tokenize lineage and cost MORE than the
+second hash exchange it saved):
 
-    phase 1 (scan 1): corpus stats — n_docs, avgdl, per-shard sizes
-                      (map-side partial aggs only; tiny shuffle)
-    phase 2 (scan 2): tokenize (JVM codegen) → explode →
-                      salted repartition by (shard_id, xxhash(term) % salt)
-                      → sortWithinPartitions(shard_id, term, doc_id)
-                      → ONE mapInPandas run-encoder (Arrow batches, numpy):
-                        tf by (term, doc) run-length, posting list per
-                        (shard, term) run → range-compacted postings
-                        partitioned by shard_id
-    phase 3: term stats (df, cf) aggregated FROM the postings rows
-             (vocab-sized job, not corpus-sized)
+    phase 1 (ID-only scan): per-shard doc counts + docID-collision check —
+            column-pruned to the id columns, never reads text
+    phase 2 (THE pass):     tokenize (JVM codegen) → explode → fixed-width
+            rows (shard_id, th=xxhash64(term), doc_id, doclen) → salted
+            hash repartition by (shard_id, th % salt) — salt slices >>
+            partitions average out imbalance; every (shard, th) group
+            lands wholly in one partition; hash (not range) so no
+            sampling job re-executes the tokenize lineage — → ONE
+            mapInPandas kernel per partition: numpy lexsort (measured
+            ~2x cheaper than the JVM row sort it replaces) + vectorized
+            run-length tf + posting-list encode → one postings-sized
+            hash exchange by shard → write ONE th-sorted file per shard
+            (parquet min/max row-group skipping on th)
+    dictionary (vocab-sized): (th → term) map + hash-collision check;
+            postings store only the 8-byte th, never strings
+    phase 3 (vocab-sized):  term stats (df, cf) and per-shard/corpus
+            scalars aggregated FROM the postings rows (blob columns
+            pruned by parquet) — avgdl ≡ total default-field tokens /
+            n_docs, derived from Σcf
 
 Scale notes (designed for ~100 TB / 1000 executors, tested on local[32]):
-- shard_id = pmod(xxhash64(conv_id, turn_idx), num_shards): uniform by
-  construction — replaces Katta's capacity-sorted round-robin placement
-  (the hash-spread of documents is also the primary hot-term defuser: a
-  term's postings split evenly across shards).
-- The encode shuffle is keyed by (shard_id, xxhash(term) % salt) — the
-  salted repartitioning the north rule names. salt (default 1024) is the
-  term-slice granularity, deliberately MUCH larger than the partition
-  count: each reduce partition owns many random slices, so hash-collision
-  imbalance averages out (keys >> partitions is what makes the layout
-  straggler-free; keys == partitions gives a Poisson max bucket of 3-4x
-  the mean, measured as a 4x straggler before this design). A
-  (shard, term) group still lands wholly in one partition.
-- The encoder is ONE Python invocation per Arrow batch (mapInPandas), not
-  per group: runs are detected vectorized (pd.factorize — C-speed) and
-  carried across batch boundaries; every posting list of a batch is
-  encoded in one vectorized numpy pass (codec.encode_posting_lists_batch).
-- Postings store per-block raw maxima (max_tf, min_dl), NOT baked impacts:
-  bounds are assembled at query time from whichever stats govern the query
-  (global or shard-subset), so the index is stats-independent.
+- shard_id = pmod(xxhash64(doc id), num_shards): uniform by construction —
+  replaces Katta's capacity-sorted round-robin placement; the hash-spread
+  of documents is also the primary hot-term defuser (a term's postings
+  split evenly across shards).
+- The encode shuffle moves 24-byte fixed-width int rows — term strings
+  travel once, in the separate vocab-sized dictionary job (map-side
+  partial agg collapses the explode before its tiny shuffle).
+- encode_partitions sizes the per-task numpy working set: tokens×~32B /
+  partitions should fit executor memory (e.g. 512 MB partitions at scale).
+- Multi-field: ``keyword_cols`` adds NOT_ANALYZED fields (reference:
+  SampleIndexGenerator.java:75-78 indexes key NOT_ANALYZED + text
+  ANALYZED) as terms ``field:value`` with tf=1, dl=1 — one extra token
+  row per (doc, field), same kernels, own df/idf per value.
 - RESUMABILITY (replaces ZK queues + OperationWatchdog, SURVEY.md §2.10 B6):
   shards are processed in batches; each batch commits its postings
   partitions via dynamic partition overwrite (idempotent) and then appends
@@ -66,11 +72,11 @@ from katta_spark.tokenizer import tokenize_col
 # Bump whenever the on-disk postings layout changes: a resumed build over a
 # directory with a different version wipes and rebuilds (the analog of
 # Katta refusing to serve a shard whose format it cannot read).
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
-# Kernel output: term identified by th = xxhash64(term) only; the term
-# string is joined back from the vocab-sized dictionary after encoding so
-# the corpus-sized shuffle moves fixed-width ints, never strings.
+# Kernel output: term identified by th = xxhash64(term) only; term strings
+# live in the vocab-sized dictionary table, so the corpus-sized shuffle and
+# the postings blobs never carry strings.
 ENCODED_SCHEMA = (
     "shard_id int, th long, df long, cf long, doc_ids binary, tfs binary, "
     "doclens binary, skips binary, max_tf int, min_dl int, "
@@ -81,31 +87,34 @@ _COLS = [
     "max_tf", "min_dl", "block_max_tf", "block_min_dl",
 ]
 
+# Keyword-field terms are stored as "<field>:<value>"; ':' cannot occur in
+# an analyzed token ([a-z0-9]+), so the two term spaces never collide.
+FIELD_SEP = ":"
+
 
 def _paths(index_dir: str) -> dict[str, str]:
     return {
         "corpus": os.path.join(index_dir, "corpus.parquet"),
         "stats": os.path.join(index_dir, "stats.parquet"),
+        "dict": os.path.join(index_dir, "dict.parquet"),
         "postings": os.path.join(index_dir, "postings.parquet"),
         "lineage": os.path.join(index_dir, "lineage.parquet"),
         "shards": os.path.join(index_dir, "shards.parquet"),
     }
 
 
-def _encode_body(body: pd.DataFrame, block: int) -> pd.DataFrame:
-    """Encode all complete (shard, th) runs of a token-row block.
+def _encode_arrays(
+    shard: np.ndarray, th: np.ndarray, doc: np.ndarray, dl: np.ndarray,
+    block: int,
+) -> pd.DataFrame:
+    """Encode one partition's token rows, already sorted by (shard, th, doc).
 
-    Input rows: (shard_id, th, doc_id, doclen), sorted by
-    (shard_id, th, doc_id), possibly with repeated (th, doc) rows —
-    tf is their run length. All columns are fixed-width ints — run
-    detection is pure C-speed numpy; the heavy lifting is one vectorized
-    multi-list encode (codec.encode_posting_lists_batch).
+    Rows with repeated (shard, th, doc) are occurrences — tf is their run
+    length. All inputs are fixed-width ints; run detection is pure C-speed
+    numpy and the heavy lifting is one vectorized multi-list encode
+    (codec.encode_posting_lists_batch).
     """
-    shard = body["shard_id"].to_numpy(np.int64)
-    th = body["th"].to_numpy(np.int64)
-    doc = body["doc_id"].to_numpy(np.int64)
-    dl = body["doclen"].to_numpy(np.int64)
-    n = len(body)
+    n = shard.size
     # level 1: (shard, th, doc) runs → tf
     chg_doc = np.empty(n, dtype=bool)
     chg_doc[0] = True
@@ -130,82 +139,114 @@ def _encode_body(body: pd.DataFrame, block: int) -> pd.DataFrame:
 
 
 def _make_encode_kernel(block: int):
-    """mapInPandas kernel over partitions sorted by (shard_id, th, doc_id).
+    """mapInPandas kernel over salt-partitioned token rows.
 
-    Emits one postings row per (shard, term) run; a run spanning Arrow batch
-    boundaries is carried and stitched. One Python crossing per batch.
+    Materializes the partition (fixed-width numpy, ~32 B/row — sized by
+    encode_partitions), lexsorts by (shard, th, doc) — replacing the far
+    costlier JVM row sort — and emits one postings row per (shard, term).
+    Equal (shard, th) keys are guaranteed whole within the partition by
+    the hash exchange, so no cross-partition stitching is needed.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+        shards, ths, docs, dls = [], [], [], []
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            shard = pdf["shard_id"].to_numpy(np.int64)
-            th = pdf["th"].to_numpy(np.int64)
-            chg = np.empty(len(pdf), dtype=bool)
-            chg[0] = True
-            chg[1:] = (shard[1:] != shard[:-1]) | (th[1:] != th[:-1])
-            starts = np.flatnonzero(chg)
-            # last (shard, term) run may continue into the next batch
-            last_start = starts[-1]
-            carry = pdf.iloc[last_start:]
-            body = pdf.iloc[:last_start]
-            if len(body):
-                yield _encode_body(body, block)
-        if carry is not None and len(carry):
-            yield _encode_body(carry, block)
+            shards.append(pdf["shard_id"].to_numpy(np.int64))
+            ths.append(pdf["th"].to_numpy(np.int64))
+            docs.append(pdf["doc_id"].to_numpy(np.int64))
+            dls.append(pdf["doclen"].to_numpy(np.int64))
+        if not shards:
+            return
+        shard = np.concatenate(shards)
+        th = np.concatenate(ths)
+        doc = np.concatenate(docs)
+        dl = np.concatenate(dls)
+        order = np.lexsort((doc, th, shard))
+        yield _encode_arrays(shard[order], th[order], doc[order], dl[order], block)
 
     return kernel
 
 
-def token_rows(docs_with_ids: DataFrame) -> DataFrame:
+def token_rows(
+    docs_with_ids: DataFrame, keyword_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(shard_id, doc_id, doclen, th) — one fixed-width row per token.
 
     Tokenize + explode entirely JVM-side (whole-stage codegen); the term
-    string is immediately replaced by th = xxhash64(term) so the shuffle,
-    sort and Arrow pipe move 24-byte int rows, never strings. The
-    (th → term) dictionary travels separately (term_dictionary)."""
+    string is immediately replaced by th = xxhash64(term) so the shuffle
+    and Arrow pipe move 24-byte int rows, never strings. Keyword fields
+    add one row per (doc, field): term "field:value", tf=1, dl=1 — the
+    NOT_ANALYZED field postings (reference SampleIndexGenerator.java:75-78).
+    """
     toks = docs_with_ids.select(
         "shard_id",
         "doc_id",
         tokenize_col(F.col("text")).alias("tokens"),
     ).withColumn("doclen", F.size("tokens"))
-    return toks.select(
+    base = toks.select(
         "shard_id", "doc_id", "doclen", F.explode("tokens").alias("term")
     ).select(
         "shard_id", "doc_id", "doclen", F.xxhash64(F.col("term")).alias("th")
     )
+    for fld in keyword_cols:
+        kw = (
+            docs_with_ids.where(F.col(fld).isNotNull())
+            .select(
+                "shard_id",
+                "doc_id",
+                F.lit(1).alias("doclen"),
+                F.xxhash64(
+                    F.concat(F.lit(fld + FIELD_SEP), F.col(fld).cast("string"))
+                ).alias("th"),
+            )
+        )
+        base = base.unionByName(kw)
+    return base
 
 
-def term_dictionary(docs_with_ids: DataFrame) -> DataFrame:
-    """(th, term): the vocab-sized dictionary mapping hash → term string.
+def term_dictionary(
+    docs_with_ids: DataFrame, keyword_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(th, term, _n): the vocab-sized dictionary mapping hash → term string.
 
     Map-side partial aggregation collapses the explode to distinct terms
-    per partition before the (tiny) shuffle. Collision check: a th with
-    more than one distinct term would silently merge postings — asserted
-    against downstream (probability ~ vocab²/2⁶⁴)."""
+    per partition before the (tiny) shuffle. _n > 1 marks an xxhash64
+    collision: two distinct terms sharing a th would silently merge
+    postings — the build refuses (probability ~ vocab²/2⁶⁴)."""
     toks = docs_with_ids.select(tokenize_col(F.col("text")).alias("tokens"))
+    terms = toks.select(F.explode("tokens").alias("term"))
+    for fld in keyword_cols:
+        kw = (
+            docs_with_ids.where(F.col(fld).isNotNull())
+            .select(
+                F.concat(
+                    F.lit(fld + FIELD_SEP), F.col(fld).cast("string")
+                ).alias("term")
+            )
+        )
+        terms = terms.unionByName(kw)
     return (
-        toks.select(F.explode("tokens").alias("term"))
-        .groupBy(F.xxhash64(F.col("term")).alias("th"))
+        terms.groupBy(F.xxhash64(F.col("term")).alias("th"))
         .agg(F.min("term").alias("term"), F.countDistinct("term").alias("_n"))
     )
 
 
-def _docs_with_ids(transcripts, num_shards, id_cols, text_col, doc_id_col):
+def _docs_with_ids(transcripts, num_shards, id_cols, text_col, doc_id_col,
+                   keyword_cols: tuple[str, ...] = ()):
+    extra = [c for c in keyword_cols if c != text_col]
     if doc_id_col is None:
         return with_doc_ids(
-            transcripts.select(*id_cols, text_col), num_shards
-        ).select("doc_id", "shard_id", F.col(text_col).alias("text"))
+            transcripts.select(*id_cols, text_col, *extra), num_shards
+        ).select("doc_id", "shard_id", F.col(text_col).alias("text"), *extra)
     return transcripts.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(num_shards))
         .cast("int")
         .alias("shard_id"),
         F.col(text_col).alias("text"),
+        *extra,
     )
 
 
@@ -222,24 +263,33 @@ def build_index(
     id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     text_col: str = "text",
     doc_id_col: str | None = None,
+    keyword_cols: tuple[str, ...] = (),
 ) -> dict:
-    """Build the full index (postings + stats + corpus + shards + lineage).
+    """Build the full index (postings + dict + stats + corpus + shards +
+    lineage).
 
     Resumable: re-running with the same index_dir skips committed batches.
     Returns a summary dict (n_docs, avgdl, committed/skipped batches).
 
     ``salt``: term-slice granularity of the salted encode shuffle (slices
     per shard; keep >> encode_partitions for straggler-free balance).
-    ``encode_partitions``: reduce-side parallelism of the encode shuffle
-    (default: spark.sql.shuffle.partitions).
+    ``encode_partitions``: parallelism of the encode shuffle (default:
+    spark.sql.shuffle.partitions); sizes the per-task numpy working set
+    (tokens × ~32 B / partitions).
     ``doc_id_col``: if the input already has a unique int64 id (e.g. the
     documents table), use it instead of xxhash64(conv_id, turn_idx).
+    ``keyword_cols``: NOT_ANALYZED fields indexed as ``field:value`` terms
+    searchable via field-qualified queries (Katta.java:825-826 parses
+    ``field:term`` with a KeywordAnalyzer QueryParser).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     p = _paths(index_dir)
     phase_t: dict[str, float] = {}
     t_start = time.time()
-    docs = _docs_with_ids(transcripts, num_shards, id_cols, text_col, doc_id_col)
+    keyword_cols = tuple(keyword_cols)
+    docs = _docs_with_ids(
+        transcripts, num_shards, id_cols, text_col, doc_id_col, keyword_cols
+    )
 
     # Format check: an existing index of a different on-disk version cannot
     # be resumed — wipe and rebuild from scratch.
@@ -270,36 +320,28 @@ def build_index(
     with open(version_file, "w") as fh:
         fh.write(str(FORMAT_VERSION))
 
-    # ---- Phase 1: corpus + per-shard stats (one scan, partial aggs only).
-    corpus_done = os.path.exists(os.path.join(p["corpus"], "_SUCCESS"))
-    if not corpus_done:
-        per_shard = (
-            docs.select("shard_id", tokenize_col(F.col("text")).alias("t"))
-            .select("shard_id", F.size("t").alias("dl"))
-            .groupBy("shard_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_nonempty"),
-                F.sum("dl").alias("sum_dl"),
-            )
+    # ---- Phase 1: per-shard doc counts + docID-collision check. Column-
+    # pruned to the id columns — never touches text. A 64-bit birthday
+    # collision (likely around ~4e9 docs) would silently merge two
+    # documents' postings; countDistinct per shard is exact because
+    # shard_id is a function of doc_id (per-shard distincts sum globally).
+    shard_counts = (
+        docs.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
         )
-        per_shard.write.mode("overwrite").parquet(p["shards"])
-        tot = spark.read.parquet(p["shards"]).agg(
-            F.sum("n_docs").alias("n"),
-            F.sum("n_nonempty").alias("ne"),
-            F.sum("sum_dl").alias("sdl"),
-        ).collect()[0]
-        n_docs = int(tot["n"] or 0)
-        avgdl = float(tot["sdl"] / tot["ne"]) if tot["ne"] else 1.0
-        spark.createDataFrame(
-            [(n_docs, avgdl, num_shards)], "n_docs long, avgdl double, n_shards int"
-        ).write.mode("overwrite").parquet(p["corpus"])
-    else:
-        row = spark.read.parquet(p["corpus"]).collect()[0]
-        n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
-        assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
+        .collect()
+    )
+    n_docs = sum(int(r["n_docs"]) for r in shard_counts)
+    n_distinct = sum(int(r["n_distinct"]) for r in shard_counts)
+    if n_distinct != n_docs:
+        raise RuntimeError(
+            f"doc_id collision or duplicate input ids: {n_docs} rows but "
+            f"{n_distinct} distinct doc_ids"
+        )
+    phase_t["phase1_id_stats"] = round(time.time() - t_start, 2)
 
-    phase_t["phase1_corpus_stats"] = round(time.time() - t_start, 2)
     # ---- Phase 2: postings, in resumable shard batches (the one big
     # shuffle per batch).
     committed: set[int] = set()
@@ -318,15 +360,24 @@ def build_index(
 
     kernel = _make_encode_kernel(block)
     n_committed = n_skipped = 0
-    tdict = None
     if any(b not in committed for b, _ in batches):
-        # (th → term) dictionary, once per build; collision check — a th
-        # collision would silently merge two terms' postings.
-        tdict = term_dictionary(docs).persist()
+        # (th → term) dictionary, once per build (vocab-sized shuffle after
+        # map-side partial agg); collision check — a th collision would
+        # silently merge two terms' postings.
+        t0 = time.time()
+        tdict = term_dictionary(docs, keyword_cols).persist()
         n_collisions = tdict.where(F.col("_n") > 1).count()
         if n_collisions:
             raise RuntimeError(f"xxhash64 term collision(s) detected: {n_collisions}")
-        tdict = tdict.drop("_n")
+        (
+            tdict.drop("_n")
+            .repartition(max(1, num_shards // 8), "th")
+            .sortWithinPartitions("th")
+            .write.mode("overwrite")
+            .parquet(p["dict"])
+        )
+        tdict.unpersist()
+        phase_t["dictionary"] = round(time.time() - t0, 2)
     for batch_id, shard_ids in batches:
         if batch_id in committed:
             n_skipped += 1
@@ -335,36 +386,27 @@ def build_index(
         batch_docs = docs
         if len(shard_ids) < num_shards:
             batch_docs = docs.where(F.col("shard_id").isin(shard_ids))
-        tokens = token_rows(batch_docs)
-        # Salted repartition of token rows. The key is (shard_id,
-        # xxhash(term) % salt) with salt FINE (default 1024 slices per
-        # shard) and the partition count independent of it: each reduce
-        # partition owns many random (shard, term-slice) groups, so
-        # hash-collision imbalance averages out (keys >> partitions is what
-        # makes the layout straggler-free), while every (shard, term)
-        # group still lands wholly in one partition. A single pathological
-        # term is bounded by its per-shard df because docs are hash-spread
-        # across shards first.
+        tokens = token_rows(batch_docs, keyword_cols)
+        # Salted hash repartition of the fixed-width token rows by
+        # (shard_id, th % salt): salt slices (>> partitions) average out
+        # per-partition imbalance, every (shard, term) group lands wholly
+        # in one partition, and — unlike a range exchange — no sampling
+        # job re-executes the tokenize lineage. The kernel lexsorts in
+        # numpy (measured ~2x cheaper than the JVM sortWithinPartitions it
+        # replaces) and encodes. The second, postings-sized hash exchange
+        # groups each shard into one task so the write is ONE th-sorted
+        # file per shard — parquet min/max row-group skipping on th, file
+        # count O(num_shards); hash (not range) so nothing is sampled and
+        # the kernel runs exactly once.
         n_encode_parts = encode_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
-        encoded = (
-            tokens.repartition(
-                n_encode_parts,
-                F.col("shard_id"),
-                F.pmod(F.col("th"), F.lit(salt)),
-            )
-            .sortWithinPartitions("shard_id", "th", "doc_id")
-            .mapInPandas(kernel, ENCODED_SCHEMA)
-        )
-        # Join the term strings back onto the (tiny, vocab x shards)
-        # encoded rows. The final rows are tiny: one cheap range exchange
-        # gives th-sorted files per shard — clustering lets a query's th
-        # predicate skip row groups via parquet min/max stats, and file
-        # count stays O(num_shards).
         postings = (
-            encoded.join(tdict, "th")
-            .repartitionByRange(len(shard_ids), "shard_id", "th")
+            tokens.repartition(
+                n_encode_parts, F.col("shard_id"), F.pmod(F.col("th"), F.lit(salt))
+            )
+            .mapInPandas(kernel, ENCODED_SCHEMA)
+            .repartition(len(shard_ids), F.col("shard_id"))
             .sortWithinPartitions("shard_id", "th")
         )
         (
@@ -407,25 +449,55 @@ def build_index(
         n_committed += 1
 
     t2 = time.time()
-    # ---- Phase 3: term stats from postings (vocab-sized, not corpus-sized).
-    # Katta's DocumentFrequencyWritable sums per-shard dfs the same way
-    # (LuceneClient.java:271-281).
+    # ---- Phase 3: term stats + per-shard/corpus scalars from the postings
+    # (vocab-sized; parquet prunes the blob columns). Katta's
+    # DocumentFrequencyWritable sums per-shard dfs the same way
+    # (LuceneClient.java:271-281). avgdl ≡ total default-field tokens /
+    # n_docs — Σcf over non-field terms gives the numerator exactly.
     stats_done = os.path.exists(os.path.join(p["stats"], "_SUCCESS"))
     if not stats_done or n_committed:
+        tdict_r = spark.read.parquet(p["dict"])
         (
             spark.read.parquet(p["postings"])
-            .groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.first("th").alias("th"),
-            )
+            .groupBy("th")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .join(tdict_r, "th")
+            .select("term", "df", "cf", "th")
             .write.mode("overwrite")
             .parquet(p["stats"])
         )
+        # per-shard token totals for shard-subset / multi-index stats
+        per_shard_dl = (
+            spark.read.parquet(p["postings"])
+            .join(tdict_r, "th")
+            .where(~F.col("term").contains(FIELD_SEP))
+            .groupBy("shard_id")
+            .agg(F.sum("cf").alias("sum_dl"))
+            .collect()
+        )
+        dl_by_shard = {int(r["shard_id"]): int(r["sum_dl"]) for r in per_shard_dl}
+        shard_rows = [
+            (
+                int(r["shard_id"]),
+                int(r["n_docs"]),
+                dl_by_shard.get(int(r["shard_id"]), 0),
+            )
+            for r in shard_counts
+        ]
+        spark.createDataFrame(
+            shard_rows, "shard_id int, n_docs long, sum_dl long"
+        ).write.mode("overwrite").parquet(p["shards"])
+        sum_dl = sum(dl_by_shard.values())
+        avgdl = (sum_dl / n_docs) if n_docs else 1.0
+        spark.createDataFrame(
+            [(n_docs, avgdl, num_shards, list(keyword_cols))],
+            "n_docs long, avgdl double, n_shards int, keyword_fields array<string>",
+        ).write.mode("overwrite").parquet(p["corpus"])
+    else:
+        row = spark.read.parquet(p["corpus"]).collect()[0]
+        assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
+        avgdl = float(row["avgdl"])
 
-    if tdict is not None:
-        tdict.unpersist()
     phase_t["phase3_stats"] = round(time.time() - t2, 2)
     return {
         "phase_timings": phase_t,

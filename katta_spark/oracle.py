@@ -55,6 +55,7 @@ def bm25_topk(
     text_col: str = "text",
     shard_col: str | None = None,
     score_dtype: str = "float",
+    keyword_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact BM25 top-k over any (id, text) DataFrame, pure DataFrame ops.
 
@@ -63,26 +64,35 @@ def bm25_topk(
     handful of query terms (J3 in SURVEY.md §2.3 — the df-map join), one
     hash agg per doc, then TakeOrderedAndProject for the distributed top-k
     merge (T4/T5). No shuffle of the corpus beyond the tf aggregation.
+
+    avgdl ≡ total default-field tokens / n_docs (all docs, empty included)
+    — the engine's exact definition. ``keyword_cols`` mirror the index's
+    NOT_ANALYZED fields: term "field:value", tf=1, dl=1.
     """
+    from katta_spark.query import parse_query
+
     spark = docs.sparkSession
-    terms = tokenize_str(query)
-    if not terms:
-        terms = ["\x00-no-such-term"]
-    # qweight = per-occurrence weighting of duplicated query terms (F3).
-    qw: dict[str, int] = {}
-    for t in terms:
-        qw[t] = qw.get(t, 0) + 1
+    qw = parse_query(query)
+    if not qw:
+        qw = {"\x00-no-such-term": 1.0}
     qterms = spark.createDataFrame(
         [(t, float(w)) for t, w in qw.items()], "term string, qweight double"
     )
 
     n_docs = docs.count()
     tf = corpus_tokens(docs, id_col, text_col)
-    avgdl_row = tf.groupBy("doc_id").agg(F.first("doclen").alias("dl")).agg(
-        F.avg("dl").alias("avgdl")
-    ).collect()
-    # avgdl over docs with >=1 token; empty corpus guard
-    avgdl = float(avgdl_row[0]["avgdl"]) if avgdl_row and avgdl_row[0]["avgdl"] else 1.0
+    tot_row = tf.agg(F.sum("tf").alias("tot")).collect()[0]
+    avgdl = float(tot_row["tot"] or 0) / n_docs if n_docs else 1.0
+    if avgdl == 0.0:
+        avgdl = 1.0
+    for fld in keyword_cols:
+        kw = docs.where(F.col(fld).isNotNull()).select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(1).alias("doclen"),
+            F.concat(F.lit(fld + ":"), F.col(fld).cast("string")).alias("term"),
+            F.lit(1).alias("tf"),
+        )
+        tf = tf.unionByName(kw.select("doc_id", "doclen", "term", "tf"))
 
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 

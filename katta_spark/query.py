@@ -51,11 +51,16 @@ class IndexHandle:
     n_docs: int
     avgdl: float
     num_shards: int
+    keyword_fields: tuple[str, ...] = ()
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
         row = spark.read.parquet(os.path.join(index_dir, "corpus.parquet")).collect()[0]
-        return cls(index_dir, int(row["n_docs"]), float(row["avgdl"]), int(row["n_shards"]))
+        kw = tuple(row["keyword_fields"] or ()) if "keyword_fields" in row else ()
+        return cls(
+            index_dir, int(row["n_docs"]), float(row["avgdl"]),
+            int(row["n_shards"]), kw,
+        )
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "postings.parquet"))
@@ -63,12 +68,26 @@ class IndexHandle:
     def stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "stats.parquet"))
 
+    def shards(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "shards.parquet"))
+
 
 def parse_query(query: str) -> dict[str, float]:
-    """query string → {term: qweight}; duplicated terms weight 2x (F3)."""
+    """query string → {term: qweight}; duplicated terms weight 2x (F3).
+
+    ``field:value`` tokens are field-qualified keyword terms (reference:
+    Katta.java:825-826 parses queries with a KeywordAnalyzer QueryParser,
+    so field terms are matched verbatim, case preserved); everything else
+    is analyzed with the standard tokenizer."""
+    import re as _re
+
     qw: dict[str, float] = {}
-    for t in tokenize_str(query):
-        qw[t] = qw.get(t, 0.0) + 1.0
+    for raw in query.split():
+        if _re.match(r"^[A-Za-z_][A-Za-z0-9_]*:\S", raw):
+            qw[raw] = qw.get(raw, 0.0) + 1.0
+        else:
+            for t in tokenize_str(raw):
+                qw[t] = qw.get(t, 0.0) + 1.0
     return qw
 
 
@@ -83,19 +102,21 @@ def expand_wildcards(
     import re as _re
 
     qw: dict[str, float] = {}
-    for raw in query.lower().split():
-        if _re.fullmatch(r"[a-z0-9]+\*", raw):
+    for raw in query.split():
+        low = raw.lower()
+        if _re.fullmatch(r"[a-z0-9]+\*", low):
             rows = (
                 index.stats(spark)
-                .where(F.col("term").startswith(raw[:-1]))
+                .where(F.col("term").startswith(low[:-1]))
+                .where(~F.col("term").contains(":"))
                 .select("term")
                 .collect()
             )
             for r in rows:
                 qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
         else:
-            for t in tokenize_str(raw):
-                qw[t] = qw.get(t, 0.0) + 1.0
+            for t, w in parse_query(raw).items():
+                qw[t] = qw.get(t, 0.0) + w
     return qw
 
 
@@ -255,8 +276,13 @@ def _make_and_kernel(
         if filter_docs is not None:
             keep0 = np.isin(d0, filter_docs)
             d0, t0, l0 = d0[keep0], t0[keep0], l0[keep0]
-        cand, dls = d0, l0
-        tf_by_term: list[tuple[str, np.ndarray]] = [(rows[0].term, t0)]
+        cand = d0
+        # dl is per (doc, FIELD): a keyword posting carries dl=1 while the
+        # text posting of the same doc carries its token count — each
+        # term's tf_norm must use its own posting's dl.
+        tfdl_by_term: list[tuple[str, np.ndarray, np.ndarray]] = [
+            (rows[0].term, t0, l0)
+        ]
         for row in rows[1:]:
             if cand.size == 0:
                 return empty
@@ -265,7 +291,7 @@ def _make_and_kernel(
             cand_u = i64_to_u64_order(cand)
             idx = np.searchsorted(firsts, cand_u, side="right") - 1
             needed = np.unique(np.clip(idx, 0, firsts.size - 1))
-            d, t, _ = decode_blocks(
+            d, t, l = decode_blocks(
                 row.doc_ids, row.tfs, row.doclens, row.skips, needed, int(row.df)
             )
             if d.size == 0:
@@ -273,9 +299,11 @@ def _make_and_kernel(
             pos = np.searchsorted(d, cand)
             pos_c = np.minimum(pos, d.size - 1)
             keep = d[pos_c] == cand
-            cand, dls = cand[keep], dls[keep]
-            tf_by_term = [(term, tf[keep]) for term, tf in tf_by_term]
-            tf_by_term.append((row.term, t[pos_c[keep]]))
+            cand = cand[keep]
+            tfdl_by_term = [
+                (term, tf[keep], dl[keep]) for term, tf, dl in tfdl_by_term
+            ]
+            tfdl_by_term.append((row.term, t[pos_c[keep]], l[pos_c[keep]]))
         if cand.size == 0:
             return empty
         idf_of = {
@@ -283,8 +311,8 @@ def _make_and_kernel(
             for t, d in zip(pdf["term"], pdf["df_g"])
         }
         scores = np.zeros(cand.size, dtype=np.float64)
-        for term, tf in tf_by_term:
-            scores += qweights[term] * idf_of[term] * scoring.tf_norm_np(tf, dls, avgdl)
+        for term, tf, dl in tfdl_by_term:
+            scores += qweights[term] * idf_of[term] * scoring.tf_norm_np(tf, dl, avgdl)
         scores32 = scores.astype(score_dtype)
         kk = min(k, cand.size)
         order = np.lexsort((cand, -scores32))[:kk]
@@ -337,17 +365,17 @@ def search(
         # Phase 1 (global df per term — Katta's getDocFrequencies,
         # LuceneClient.java:264-286) is a broadcast join of the tiny stats
         # rows into the postings scan — no driver round-trip between the
-        # phases; the kernel derives idf from the joined global df.
+        # phases; the kernel derives idf from the joined global df. The
+        # stats rows also carry the term STRING (postings store only th):
+        # the term.isin guard on the vocab-sized stats scan drops any
+        # query term whose hash collides with a different indexed term.
         n_docs, avgdl = float(index.n_docs), index.avgdl
-        # th is the pushed predicate (int64 min/max row-group skipping);
-        # the term predicate additionally guards against hash collisions.
-        postings = index.postings(spark).where(
-            F.col("th").isin(hashes) & F.col("term").isin(terms)
-        )
+        # th is the pushed predicate (int64 min/max row-group skipping).
+        postings = index.postings(spark).where(F.col("th").isin(hashes))
         stats_small = (
             index.stats(spark)
-            .where(F.col("th").isin(hashes))
-            .select("th", F.col("df").alias("df_g"))
+            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
+            .select("th", "term", F.col("df").alias("df_g"))
         )
         postings = postings.join(F.broadcast(stats_small), "th")
     else:
@@ -358,23 +386,27 @@ def search(
         # baked block maxima assume corpus stats, so block pruning is off.
         prune = False
         srows = (
-            spark.read.parquet(os.path.join(index.index_dir, "shards.parquet"))
-            .where(F.col("shard_id").isin(shard_ids))
-            .collect()
+            index.shards(spark).where(F.col("shard_id").isin(shard_ids)).collect()
         )
         n_docs = float(sum(r["n_docs"] for r in srows))
-        n_nonempty = sum(r["n_nonempty"] for r in srows)
         avgdl = (
-            float(sum(r["sum_dl"] for r in srows)) / n_nonempty if n_nonempty else 1.0
+            float(sum(r["sum_dl"] for r in srows)) / n_docs if n_docs else 1.0
         )
         postings = (
             index.postings(spark)
-            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
+            .where(F.col("th").isin(hashes))
             .where(F.col("shard_id").isin(shard_ids))
+        )
+        term_map = (
+            index.stats(spark)
+            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
+            .select("th", "term")
         )
         # subset-global df joined per row (same shape as the global path)
         df_sub = postings.groupBy("th").agg(F.sum("df").alias("df_g"))
-        postings = postings.join(F.broadcast(df_sub), "th")
+        postings = postings.join(F.broadcast(term_map), "th").join(
+            F.broadcast(df_sub), "th"
+        )
 
     fdocs = (
         np.asarray(sorted(filter_docs), dtype=np.int64)
@@ -432,33 +464,36 @@ def search_multi(
         return spark.createDataFrame([], empty_schema)
     terms = sorted(qweights)
 
+    hashes = sorted(term_hash(t) for t in terms)
     # phase 1: combined stats over all indexes
     n_docs = float(sum(h.n_docs for h in handles))
     # exact combined avgdl from per-index shard stats
     tot_dl = 0.0
-    tot_ne = 0
     for h in handles:
-        srows = spark.read.parquet(os.path.join(h.index_dir, "shards.parquet")).agg(
-            F.sum("sum_dl").alias("sdl"), F.sum("n_nonempty").alias("ne")
-        ).collect()[0]
-        tot_dl += float(srows["sdl"] or 0)
-        tot_ne += int(srows["ne"] or 0)
-    avgdl = tot_dl / tot_ne if tot_ne else 1.0
+        srow = h.shards(spark).agg(F.sum("sum_dl").alias("sdl")).collect()[0]
+        tot_dl += float(srow["sdl"] or 0)
+    avgdl = tot_dl / n_docs if n_docs else 1.0
     df_tot: dict[str, int] = {}
     for h in handles:
-        for r in h.stats(spark).where(F.col("term").isin(terms)).collect():
+        for r in (
+            h.stats(spark)
+            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
+            .collect()
+        ):
             df_tot[r["term"]] = df_tot.get(r["term"], 0) + int(r["df"])
     live_terms = sorted(df_tot)
     if not live_terms or (mode == "and" and len(live_terms) < len(terms)):
         return spark.createDataFrame([], empty_schema)
+    live_hashes = [term_hash(t) for t in live_terms]
 
     # phase 2: bag union of per-index postings; shard ids are offset so the
     # per-shard kernel groups never collide across indexes. The cross-index
-    # global df is broadcast-joined per row (df_g), as in search().
+    # global df (and the term string — postings store only th) is
+    # broadcast-joined per row, as in search().
     parts = []
     offset = 0
     for h in handles:
-        p = h.postings(spark).where(F.col("term").isin(live_terms)).withColumn(
+        p = h.postings(spark).where(F.col("th").isin(live_hashes)).withColumn(
             "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
         )
         parts.append(p)
@@ -467,7 +502,8 @@ def search_multi(
     for p in parts[1:]:
         postings = postings.unionByName(p)
     df_g = spark.createDataFrame(
-        [(term_hash(t), int(d)) for t, d in df_tot.items()], "th long, df_g long"
+        [(term_hash(t), t, int(d)) for t, d in df_tot.items()],
+        "th long, term string, df_g long",
     )
     postings = postings.join(F.broadcast(df_g), "th")
 
@@ -534,8 +570,8 @@ def count_matches(spark: SparkSession, index: IndexHandle | str, query: str) -> 
     terms = sorted(parse_query(query))
     if not terms:
         return 0
-    postings = index.postings(spark).where(F.col("term").isin(terms))
-    # (term-only predicate is fine here: count is not on the hot path)
+    hashes = [term_hash(t) for t in terms]
+    postings = index.postings(spark).where(F.col("th").isin(hashes))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         docs = [decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]

@@ -1,7 +1,7 @@
 """Two-cluster-size scaling harness (north-rule evidence).
 
 The sandbox has no multi-executor cluster, so N vs 4N executors is evidenced
-by running the SAME build job (same input parquet, same num_shards/salt/
+by running the SAME build job (same input parquet, same num_shards/
 shuffle-partition layout) via spark-submit --py-files at local[8] and
 local[32] and reporting throughput at both plus
 efficiency = tp(4N) / (4 * tp(N)), target >= 0.8.
@@ -32,7 +32,7 @@ HIGH_EXECS = 4 * LOW_EXECS
 EXEC_CORES = int(os.environ.get("KATTA_SCALING_EXEC_CORES", "4"))
 EXEC_MEM = 6144
 TRIALS = int(os.environ.get("KATTA_SCALING_TRIALS", "3"))
-NUM_SHARDS, SALT, SHUFFLE = 32, 1024, 64
+NUM_SHARDS, SHUFFLE = 32, 64
 
 
 def make_zip() -> str:
@@ -61,7 +61,7 @@ def run_level(execs: int, src: str, zpath: str) -> dict:
         "--driver-memory", "4g",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "scaling_build.py"),
-        src, out, str(NUM_SHARDS), str(SALT), str(SHUFFLE),
+        src, out, str(NUM_SHARDS), str(SHUFFLE),
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     shutil.rmtree(out, ignore_errors=True)
@@ -125,7 +125,7 @@ The north rule requires index-build throughput scaling efficiency >= 0.8
 between clusters of N and 4N executors. No real cluster exists in this
 sandbox (driver instruction), so the SAME spark-submit --py-files build job
 — identical input parquet ({TURNS:,} synthetic transcript turns, seed 42),
-identical layout (num_shards={NUM_SHARDS}, salt={SALT},
+identical layout (num_shards={NUM_SHARDS},
 shuffle.partitions={SHUFFLE}) — runs in Spark local-cluster mode (real
 separate executor JVMs of a fixed shape: {EXEC_CORES} cores, {EXEC_MEM} MB)
 at {LOW_EXECS} and {HIGH_EXECS} executors, with the whole process tree
@@ -163,12 +163,12 @@ executor, which is exactly what this single box cannot emulate.
 
 Design properties that carry the scaling onto a real cluster:
 - one corpus-sized shuffle total; fixed-width 24-byte token rows (term
-  strings replaced by xxhash64 pre-shuffle, dictionary joined back onto the
-  vocab-sized encoded rows);
-- salted repartition (shard_id, xxhash(term) % {SALT}) with keys >>
-  partitions — measured straggler-free (max task ~= mean, event-log
-  verified), vs a 4x Poisson straggler when keys == partitions;
-- AQE + per-shard hash document spread bound any single term's postings by
+  strings replaced by xxhash64 pre-shuffle; the vocab-sized dictionary
+  travels in its own tiny job);
+- range repartition on (shard_id, th): the sampler balances partitions
+  against term skew, and the in-kernel numpy lexsort replaces the costlier
+  JVM sortWithinPartitions; no second postings-sized exchange;
+- per-shard hash document spread bounds any single term's postings by
   df/num_shards.
 
 Reference (sgroschupf/katta) publishes no absolute throughput numbers — its

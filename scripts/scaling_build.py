@@ -1,12 +1,12 @@
 """spark-submit entry point: time one index build over a parquet transcripts
 table. Master/parallelism comes from spark-submit; the job shape (shuffle
-partitions, num_shards, salt) is held CONSTANT across cluster sizes so the
+partitions, num_shards) is held CONSTANT across cluster sizes so the
 two-cluster-size comparison varies only the executor core count.
 
 Usage:
   spark-submit --master local[8] --py-files katta_spark.zip \
       scripts/scaling_build.py <transcripts_parquet> <index_out> \
-      <num_shards> <salt> <shuffle_partitions>
+      <num_shards> <shuffle_partitions>
 
 Prints one JSON line: {"turns": N, "build_sec": s, "turns_per_sec": tps}
 """
@@ -21,12 +21,11 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
-    src, out, num_shards, salt, shuffle_parts = (
+    src, out, num_shards, shuffle_parts = (
         sys.argv[1],
         sys.argv[2],
         int(sys.argv[3]),
         int(sys.argv[4]),
-        int(sys.argv[5]),
     )
     spark = (
         SparkSession.builder.appName("katta_scaling_build")
@@ -53,7 +52,7 @@ def main() -> None:
     transcripts = spark.read.parquet(src)
     n = transcripts.count()  # warms the scan; excluded from build timing
     t0 = time.time()
-    summary = build_index(spark, transcripts, out, num_shards=num_shards, salt=salt)
+    summary = build_index(spark, transcripts, out, num_shards=num_shards)
     sec = time.time() - t0
     print(json.dumps({"turns": n, "build_sec": round(sec, 3),
                       "turns_per_sec": round(n / sec, 1),

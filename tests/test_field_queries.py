@@ -1,0 +1,98 @@
+"""Field-qualified queries over multi-field (keyword) postings.
+
+Reference: Katta parses ``field:term`` with a KeywordAnalyzer QueryParser
+(Katta.java:825-826); documents carry NOT_ANALYZED keyword fields next to
+the analyzed text (tool/SampleIndexGenerator.java:75-78), and
+field-restricted search is exercised throughout LuceneClientTest.java
+(e.g. :562-617). Here: ``role``/``tool`` are keyword fields of the
+transcripts corpus, indexed as ``field:value`` terms with tf=1, dl=1 and
+their own df/idf — scored by the same BM25 kernels, verified against the
+brute-force DataFrame oracle with identical field semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from katta_spark.build import build_index
+from katta_spark.oracle import bm25_topk, with_doc_ids
+from katta_spark.query import count_matches, parse_query, search
+
+KW = ("role", "tool")
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tiny_transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("field_idx"))
+    build_index(spark, tiny_transcripts, d, num_shards=4, keyword_cols=KW)
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs(tiny_transcripts):
+    return with_doc_ids(tiny_transcripts, 4).cache()
+
+
+def test_parse_query_field_terms():
+    qw = parse_query("role:user hotalpha role:user w00011")
+    assert qw == {"role:user": 2.0, "hotalpha": 1.0, "w00011": 1.0}
+    # a bare colon-less token is analyzed; punctuation-only field values
+    # still parse as field terms
+    assert parse_query("Role:USER") == {"Role:USER": 1.0}  # case preserved
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "role:user hotalpha",
+        "role:tool w00011 hotbeta",
+        "role:user role:user hotalpha",  # duplicated field term, 2x weight
+        "role:nosuchrole hotalpha",  # absent field value
+        "role:user",  # field-only query
+    ],
+)
+def test_field_query_rank_identity(spark, fidx, docs, query):
+    got = search(spark, fidx, query, k=10).collect()
+    want = bm25_topk(
+        docs, query, k=10, shard_col="shard_id", keyword_cols=KW
+    ).collect()
+    assert [(r.doc_id, r.shard_id) for r in got] == [
+        (r.doc_id, r.shard_id) for r in want
+    ], query
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_field_conjunctive_restricts(spark, fidx, docs, tiny_transcripts):
+    """AND-mode with a field term = field-restricted search: every hit has
+    the field value."""
+    hits = search(spark, fidx, "role:user hotalpha", k=50, mode="and")
+    joined = hits.join(docs, ["doc_id", "shard_id"])
+    rows = joined.select("role").collect()
+    assert rows and all(r.role == "user" for r in rows)
+
+
+def test_field_count_matches(spark, fidx, docs):
+    n = count_matches(spark, fidx, "role:user")
+    want = docs.where(docs.role == "user").count()
+    assert n == want
+
+
+def test_avgdl_excludes_keyword_fields(spark, fidx, tiny_transcripts, tmp_path_factory):
+    """Keyword postings must not shift avgdl: an index with and without
+    keyword fields reports the same corpus scalars."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d2 = str(tmp_path_factory.mktemp("nofield_idx"))
+    build_index(spark, tiny_transcripts, d2, num_shards=4)
+    a = spark.read.parquet(os.path.join(fidx, "corpus.parquet")).collect()[0]
+    b = spark.read.parquet(os.path.join(d2, "corpus.parquet")).collect()[0]
+    assert a["n_docs"] == b["n_docs"]
+    assert a["avgdl"] == pytest.approx(b["avgdl"], rel=1e-12)
+    assert list(a["keyword_fields"]) == ["role", "tool"]

@@ -26,8 +26,8 @@ def _hand_bm25(query: str, k: int):
     toks = {d: tokenize_str(t) for d, t in DOCS}
     n = len(DOCS)
     doclens = {d: len(ts) for d, ts in toks.items()}
-    nonempty = [d for d in doclens if doclens[d] > 0]
-    avgdl = sum(doclens[d] for d in nonempty) / len(nonempty)
+    # engine definition: avgdl = total tokens / n_docs (empty docs count)
+    avgdl = sum(doclens.values()) / n
     qterms = tokenize_str(query)
     scores = {}
     for d, ts in toks.items():

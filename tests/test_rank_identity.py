@@ -21,7 +21,7 @@ from katta_spark.synth import reference_queries
 def index(spark, tiny_transcripts, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx"))
     summary = build_index(
-        spark, tiny_transcripts, d, num_shards=4, salt=4, block=32
+        spark, tiny_transcripts, d, num_shards=4, block=32
     )
     assert summary["batches_committed"] >= 1
     return IndexHandle.open(spark, d)
@@ -96,12 +96,12 @@ def test_resume_skips_committed(spark, tiny_transcripts, tmp_path_factory):
     index is byte-identical in content (terms, postings)."""
     d = str(tmp_path_factory.mktemp("idx_resume"))
     s1 = build_index(
-        spark, tiny_transcripts, d, num_shards=4, salt=4, shards_per_batch=2
+        spark, tiny_transcripts, d, num_shards=4, shards_per_batch=2
     )
     assert s1["batches_committed"] == 2
     first = search(spark, d, "hotalpha w00011", k=10).collect()
     s2 = build_index(
-        spark, tiny_transcripts, d, num_shards=4, salt=4, shards_per_batch=2
+        spark, tiny_transcripts, d, num_shards=4, shards_per_batch=2
     )
     assert s2["batches_committed"] == 0
     assert s2["batches_skipped"] == 2
