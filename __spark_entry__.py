@@ -135,7 +135,8 @@ scores AS (
   GROUP BY tf.doc_id
   {{having}}
 )
-SELECT doc_id, round(s, 4) AS score_r FROM scores
+SELECT doc_id, round(s, 4) AS score_r{{total_col}} FROM scores
+{{filter_clause}}
 ORDER BY s DESC, doc_id ASC LIMIT {{k}}
 """
 
@@ -192,13 +193,23 @@ def _bm25_field_sql(
     return _BM25_FIELD_CTE.format(qvalues=qvalues, k=k, having=having)
 
 
-def _bm25_sql(terms: list[tuple[str, float]], k: int, conjunctive: bool = False) -> str:
+def _bm25_sql(
+    terms: list[tuple[str, float]],
+    k: int,
+    conjunctive: bool = False,
+    filter_clause: str = "",
+    total: bool = False,
+) -> str:
     qvalues = ", ".join(f"('{t}', {w:.1f})" for t, w in terms)
     n_distinct = len({t for t, _ in terms})
     having = (
         f"HAVING count(DISTINCT tf.term) = {n_distinct}" if conjunctive else ""
     )
-    return _BM25_CTE.format(qvalues=qvalues, k=k, having=having, extra_agg="")
+    total_col = ", (SELECT count(*) FROM scores) AS total_hits" if total else ""
+    return _BM25_CTE.format(
+        qvalues=qvalues, k=k, having=having, extra_agg="",
+        filter_clause=filter_clause, total_col=total_col,
+    )
 
 
 # ---------------------------------------------------------------- contract
@@ -273,6 +284,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits.select("doc_id", F.round("score", 4).alias("score_r"))
 
     q["bm25_field_restricted"] = bm25_field_restricted
+
+    def filtered_search(spark, sf):
+        """P2: predicate-shaped filter (Katta's Filter, LuceneServer.java:
+        334-345) — allowed docIDs cogrouped into the shard kernels; the
+        surviving docs' scores are unchanged; nothing goes via the driver."""
+        docs = _docs(spark, sf)
+        allowed = docs.where(F.pmod(F.col("n_chars"), F.lit(2)) == 0)
+        hits = ksq.search(
+            spark, _index_dir(spark, sf), "join hash", k=10,
+            score_dtype="float64", filter_df=allowed,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["filtered_search"] = filtered_search
+
+    def bm25_total(spark, sf):
+        """A3/A4: top-k + exact totalHits in ONE job (Hits.java:34-51)."""
+        out = ksq.search_with_total(
+            spark, _index_dir(spark, sf), "join hash", k=10,
+            score_dtype="float64",
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score_r"), "total_hits"
+        )
+
+    q["bm25_total"] = bm25_total
 
     def split_index(spark, sf):
         """Compliance (LuceneComplianceTest.java:107-190): two half-corpus
@@ -391,6 +428,13 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_field_restricted"] = _bm25_field_sql(
         [("lang:en", 1.0), ("join", 1.0), ("hash", 1.0)], 10, conjunctive=True
     )
+    o["filtered_search"] = _bm25_sql(
+        [("join", 1.0), ("hash", 1.0)], 10,
+        filter_clause=(
+            "WHERE doc_id IN (SELECT doc_id FROM documents WHERE n_chars % 2 = 0)"
+        ),
+    )
+    o["bm25_total"] = _bm25_sql([("join", 1.0), ("hash", 1.0)], 10, total=True)
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
 

@@ -72,7 +72,7 @@ from katta_spark.tokenizer import tokenize_col
 # Bump whenever the on-disk postings layout changes: a resumed build over a
 # directory with a different version wipes and rebuilds (the analog of
 # Katta refusing to serve a shard whose format it cannot read).
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 # Kernel output: term identified by th = xxhash64(term) only; term strings
 # live in the vocab-sized dictionary table, so the corpus-sized shuffle and
@@ -242,7 +242,9 @@ def _docs_with_ids(transcripts, num_shards, id_cols, text_col, doc_id_col,
         ).select("doc_id", "shard_id", F.col(text_col).alias("text"), *extra)
     return transcripts.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
-        F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(num_shards))
+        # hash the CAST value so shard_expr(doc_id: long) reproduces the
+        # assignment for external docID sets (filters) of any source dtype
+        F.pmod(F.xxhash64(F.col(doc_id_col).cast("long")), F.lit(num_shards))
         .cast("int")
         .alias("shard_id"),
         F.col(text_col).alias("text"),
@@ -489,9 +491,11 @@ def build_index(
         ).write.mode("overwrite").parquet(p["shards"])
         sum_dl = sum(dl_by_shard.values())
         avgdl = (sum_dl / n_docs) if n_docs else 1.0
+        sharding = "pmod_doc_id" if doc_id_col is None else "pmod_xxhash64"
         spark.createDataFrame(
-            [(n_docs, avgdl, num_shards, list(keyword_cols))],
-            "n_docs long, avgdl double, n_shards int, keyword_fields array<string>",
+            [(n_docs, avgdl, num_shards, list(keyword_cols), sharding)],
+            "n_docs long, avgdl double, n_shards int, "
+            "keyword_fields array<string>, sharding string",
         ).write.mode("overwrite").parquet(p["corpus"])
     else:
         row = spark.read.parquet(p["corpus"]).collect()[0]

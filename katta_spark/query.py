@@ -52,15 +52,24 @@ class IndexHandle:
     avgdl: float
     num_shards: int
     keyword_fields: tuple[str, ...] = ()
+    sharding: str = "pmod_doc_id"
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
         row = spark.read.parquet(os.path.join(index_dir, "corpus.parquet")).collect()[0]
         kw = tuple(row["keyword_fields"] or ()) if "keyword_fields" in row else ()
+        sharding = row["sharding"] if "sharding" in row else "pmod_doc_id"
         return cls(
             index_dir, int(row["n_docs"]), float(row["avgdl"]),
-            int(row["n_shards"]), kw,
+            int(row["n_shards"]), kw, sharding,
         )
+
+    def shard_expr(self, doc_col):
+        """shard_id of a docID under this index's sharding function — lets
+        external docID sets (filters) be co-partitioned with the postings."""
+        if self.sharding == "pmod_xxhash64":
+            return F.pmod(F.xxhash64(doc_col), F.lit(self.num_shards)).cast("int")
+        return F.pmod(doc_col, F.lit(self.num_shards)).cast("int")
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "postings.parquet"))
@@ -120,6 +129,17 @@ def expand_wildcards(
     return qw
 
 
+def _empty_hits(score_dtype: str, with_total: bool = False) -> pd.DataFrame:
+    cols = {
+        "shard_id": pd.array([], dtype="int32"),
+        "doc_id": pd.array([], dtype="int64"),
+        "score": pd.array([], dtype=score_dtype),
+    }
+    if with_total:
+        cols["shard_total"] = pd.array([], dtype="int64")
+    return pd.DataFrame(cols)
+
+
 def _make_score_kernel(
     qweights: dict[str, float],
     n_docs: float,
@@ -127,17 +147,24 @@ def _make_score_kernel(
     k: int,
     prune: bool,
     score_dtype: str = "float32",
-    filter_docs: np.ndarray | None = None,
+    with_total: bool = False,
 ):
     """Per-shard scoring kernel (applyInPandas over shard_id groups).
 
-    Input: the ≤len(query) postings rows of one shard. Output: that shard's
-    top-k (shard_id, doc_id, score float32) — the analog of Katta's
-    per-shard TopScoreDocCollector capped at min(limit, maxDoc)
-    (LuceneServer.java:664-679).
+    Input: the ≤len(query) postings rows of one shard, plus an optional
+    per-shard array of allowed docIDs (the cogrouped filter — Katta's
+    Filter restricts the matched set without affecting scores, P2).
+    Output: that shard's top-k (shard_id, doc_id, score) — the analog of
+    Katta's per-shard TopScoreDocCollector capped at min(limit, maxDoc)
+    (LuceneServer.java:664-679) — and, when ``with_total``, the shard's
+    exact match count (totalHits partial, Hits.java:34-51).
     """
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(
+        pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty_hits(score_dtype, with_total)
         shard_id = int(pdf["shard_id"].iloc[0])
         # idf from the per-row GLOBAL df (broadcast-joined from the stats
         # table inside the same job — phase 1 without a driver round-trip);
@@ -225,22 +252,21 @@ def _make_score_kernel(
                 ]
 
         if acc_docs is None or acc_docs.size == 0 or k <= 0:
-            return pd.DataFrame(
-                {"shard_id": pd.array([], dtype="int32"),
-                 "doc_id": pd.array([], dtype="int64"),
-                 "score": pd.array([], dtype=score_dtype)}
-            )
+            return _empty_hits(score_dtype, with_total)
         scores32 = acc_scores.astype(score_dtype)
         # top-k with exact tie-break: score DESC, doc_id ASC
         kk = min(k, acc_docs.size)
         order = np.lexsort((acc_docs, -scores32))[:kk]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "shard_id": np.full(kk, shard_id, dtype=np.int32),
                 "doc_id": acc_docs[order],
                 "score": scores32[order],
             }
         )
+        if with_total:
+            out["shard_total"] = np.int64(acc_docs.size)
+        return out
 
     return kernel
 
@@ -248,7 +274,7 @@ def _make_score_kernel(
 def _make_and_kernel(
     qweights: dict[str, float], n_docs: float, avgdl: float, k: int,
     score_dtype: str = "float32",
-    filter_docs: np.ndarray | None = None,
+    with_total: bool = False,
 ):
     """Conjunctive (AND) kernel: posting-list intersection with skip-pointer
     galloping — SURVEY.md §2.3 J1, the operation Lucene's BooleanQuery runs
@@ -260,12 +286,10 @@ def _make_and_kernel(
     """
     n_terms = len(qweights)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"shard_id": pd.array([], dtype="int32"),
-             "doc_id": pd.array([], dtype="int64"),
-             "score": pd.array([], dtype=score_dtype)}
-        )
+    def kernel(
+        pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        empty = _empty_hits(score_dtype, with_total)
         if len(pdf) < n_terms or k <= 0:
             return empty  # a term missing from this shard ⇒ no AND matches
         shard_id = int(pdf["shard_id"].iloc[0])
@@ -316,13 +340,16 @@ def _make_and_kernel(
         scores32 = scores.astype(score_dtype)
         kk = min(k, cand.size)
         order = np.lexsort((cand, -scores32))[:kk]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "shard_id": np.full(kk, shard_id, dtype=np.int32),
                 "doc_id": cand[order],
                 "score": scores32[order],
             }
         )
+        if with_total:
+            out["shard_total"] = np.int64(cand.size)
+        return out
 
     return kernel
 
@@ -338,6 +365,9 @@ def search(
     score_dtype: str = "float32",
     ordered: bool = True,
     filter_docs: list[int] | None = None,
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
+    _with_total: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
@@ -346,11 +376,22 @@ def search(
     (partition column) and terms (pushed predicate + row-group skipping via
     the term-sorted layout) → one Arrow kernel per shard → ≤ k·shards rows
     → TakeOrderedAndProject. The corpus is never shuffled.
+
+    Filtered search (Katta's Filter, ILuceneServer.java:84-101, applied at
+    LuceneServer.java:334-345: restricts the matched set WITHOUT changing
+    surviving docs' scores): pass ``filter_df`` — any DataFrame whose
+    ``filter_doc_col`` holds allowed docIDs. It is shuffled by the index's
+    own sharding function and COGROUPED with the postings, so each shard
+    kernel sees exactly its own allowed set — fully distributed, nothing
+    travels through the driver (``filter_docs`` list remains as a
+    convenience wrapper for tiny driver-side sets).
     """
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
     sql_t = "float" if score_dtype == "float32" else "double"
     empty_schema = f"doc_id long, shard_id int, score {sql_t}"
+    if _with_total:
+        empty_schema += ", shard_total long"
     qweights = (
         expand_wildcards(spark, index, query) if "*" in query else parse_query(query)
     )
@@ -408,21 +449,48 @@ def search(
             F.broadcast(df_sub), "th"
         )
 
-    fdocs = (
-        np.asarray(sorted(filter_docs), dtype=np.int64)
-        if filter_docs is not None
-        else None
-    )
     if mode == "and":
-        kernel = _make_and_kernel(qweights, n_docs, avgdl, k, score_dtype, fdocs)
+        kernel = _make_and_kernel(
+            qweights, n_docs, avgdl, k, score_dtype, _with_total
+        )
     else:
         kernel = _make_score_kernel(
-            qweights, n_docs, avgdl, k, prune, score_dtype, fdocs
+            qweights, n_docs, avgdl, k, prune, score_dtype, _with_total
         )
-    hits = postings.groupBy("shard_id").applyInPandas(
-        kernel, f"shard_id int, doc_id long, score {sql_t}"
-    )
-    hits = hits.select("doc_id", "shard_id", "score")
+    out_schema = f"shard_id int, doc_id long, score {sql_t}"
+    if _with_total:
+        out_schema += ", shard_total long"
+    if filter_docs is not None and filter_df is None:
+        filter_df = spark.createDataFrame(
+            [(int(x),) for x in filter_docs], "doc_id long"
+        )
+        filter_doc_col = "doc_id"
+    if filter_df is None:
+        # 1-arg wrapper: applyInPandas treats a 2-arg function as
+        # (group_key, pdf), but our kernels' 2nd arg is the filter set.
+        hits = postings.groupBy("shard_id").applyInPandas(
+            lambda pdf: kernel(pdf), out_schema
+        )
+    else:
+        fdf = filter_df.select(
+            F.col(filter_doc_col).cast("long").alias("doc_id")
+        ).withColumn("shard_id", index.shard_expr(F.col("doc_id")))
+        if shard_ids is not None:
+            fdf = fdf.where(F.col("shard_id").isin(shard_ids))
+
+        def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return _empty_hits(score_dtype, _with_total)
+            allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+            return kernel(left, allowed)
+
+        hits = (
+            postings.groupBy("shard_id")
+            .cogroup(fdf.groupBy("shard_id"))
+            .applyInPandas(cog, out_schema)
+        )
+    sel = ["doc_id", "shard_id", "score"] + (["shard_total"] if _with_total else [])
+    hits = hits.select(*sel)
     if not ordered:
         # Caller does its own ordering (e.g. field sort) — returning the
         # per-shard union unsorted avoids a global score sort that would
@@ -431,6 +499,47 @@ def search(
     return hits.orderBy(
         F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
     ).limit(k)
+
+
+def search_with_total(
+    spark: SparkSession,
+    index: IndexHandle | str,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    score_dtype: str = "float32",
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k AND exact totalHits in ONE job — Katta returns both in one
+    response (Hits.java:34-51: total hit count + merged top-k;
+    LuceneServer.java:460-472 sums per-shard totals).
+
+    Each shard kernel emits its top-k rows tagged with the shard's exact
+    match count; the driver merge (≤ k·shards rows — exactly Katta's
+    client-level merge, LuceneClient.java:180-198) sums per-shard totals
+    and applies the reference tie-break. Block pruning is disabled so the
+    count is exact (Lucene's TopScoreDocCollector also visits every match
+    when totalHits is tracked; under WAND it degrades to a lower bound).
+
+    Returns DataFrame(doc_id, shard_id, score, total_hits), ≤ k rows,
+    total_hits constant across rows.
+    """
+    sql_t = "float" if score_dtype == "float32" else "double"
+    schema = f"doc_id long, shard_id int, score {sql_t}, total_hits long"
+    rows = search(
+        spark, index, query, k=k, mode=mode, score_dtype=score_dtype,
+        prune=False, ordered=False,
+        filter_df=filter_df, filter_doc_col=filter_doc_col,
+        _with_total=True,
+    ).collect()
+    if not rows:
+        return spark.createDataFrame([], schema)
+    total = sum({r.shard_id: int(r.shard_total) for r in rows}.values())
+    top = sorted(rows, key=lambda r: (-r.score, r.doc_id, -r.shard_id))[:k]
+    return spark.createDataFrame(
+        [(r.doc_id, r.shard_id, float(r.score), total) for r in top], schema
+    )
 
 
 def search_multi(
@@ -512,7 +621,7 @@ def search_multi(
     else:
         kernel = _make_score_kernel(qweights, n_docs, avgdl, k, True, score_dtype)
     hits = postings.groupBy("shard_id").applyInPandas(
-        kernel, f"shard_id int, doc_id long, score {sql_t}"
+        lambda pdf: kernel(pdf), f"shard_id int, doc_id long, score {sql_t}"
     )
     return (
         hits.select("doc_id", "shard_id", "score")

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from katta_spark.build import build_index
 from katta_spark.oracle import bm25_topk, with_doc_ids
-from katta_spark.query import search, search_multi
+from katta_spark.query import count_matches, search, search_multi, search_with_total
 from katta_spark.sources import point_lookup, read_transcripts
 from katta_spark.streaming import delta_index_dirs, stream_build
 from katta_spark.synth import synth_transcripts
@@ -43,6 +43,44 @@ def test_filtered_search_matches_filtered_oracle(spark, tiny_transcripts, tmp_pa
         spark, d, "hotalpha hotbeta", k=5, mode="and", filter_docs=allowed
     ).collect()
     assert all(r.doc_id in allowed_set for r in got_and)
+
+    # predicate-shaped filter (DataFrame, cogrouped per shard — the scale
+    # path: the allowed set never travels through the driver) must equal
+    # the driver-list path exactly
+    allowed_df = docs.where(F.col("role") == "user").select("doc_id")
+    got_df = search(
+        spark, d, "hotalpha hotbeta", k=10, filter_df=allowed_df
+    ).collect()
+    assert [(r.doc_id, r.score) for r in got_df] == [
+        (r.doc_id, r.score) for r in got
+    ]
+    # empty filter ⇒ no hits
+    assert (
+        search(
+            spark, d, "hotalpha", k=5,
+            filter_df=docs.where(F.lit(False)).select("doc_id"),
+        ).count()
+        == 0
+    )
+
+
+def test_search_with_total(spark, tiny_transcripts, tmp_path):
+    """A3/A4: top-k + exact totalHits in one job (Hits.java:34-51) — the
+    total equals the count_matches fast path, the top-k equals search()."""
+    d = str(tmp_path / "idx_tot")
+    build_index(spark, tiny_transcripts, d, num_shards=4)
+    out = search_with_total(spark, d, "hotalpha w00012", k=5).collect()
+    want_total = count_matches(spark, d, "hotalpha w00012")
+    want_hits = search(spark, d, "hotalpha w00012", k=5).collect()
+    assert out and all(r.total_hits == want_total for r in out)
+    assert [r.doc_id for r in out] == [r.doc_id for r in want_hits]
+    np.testing.assert_allclose(
+        np.array([r.score for r in out], np.float32),
+        np.array([r.score for r in want_hits], np.float32),
+        rtol=2e-6,
+    )
+    # absent term: empty result
+    assert search_with_total(spark, d, "zzzabsent", k=5).count() == 0
 
 
 def test_stream_build_incremental(spark, tmp_path):
