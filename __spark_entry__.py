@@ -70,6 +70,22 @@ def _field_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_ANN_CACHE: dict[str, str] = {}
+
+
+def _ann_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Bucket-partitioned ANN index over the embeddings table, built once
+    per sf_dir (the scale path: queries scan only their probe buckets)."""
+    if sf_dir in _ANN_CACHE:
+        return _ANN_CACHE[sf_dir]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"katta_ann_{key}")
+    if not os.path.exists(os.path.join(d, "ANN_META.json")):
+        sim.build_ann_index(_emb(spark, sf_dir), d, dim=64, planes=6, seed=7)
+    _ANN_CACHE[sf_dir] = d
+    return d
+
+
 _SPLIT_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -311,6 +327,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_total"] = bm25_total
 
+    def bm25_wildcard(spark, sf):
+        """P5 end-to-end: prefix wildcard expanded against the term
+        dictionary (Lucene rewrite, LuceneServer.java:602-624), then the
+        expanded OR query runs the normal kernel path."""
+        return _bm25(spark, sf, "sc* filter", 10)
+
+    q["bm25_wildcard"] = bm25_wildcard
+
     def split_index(spark, sf):
         """Compliance (LuceneComplianceTest.java:107-190): two half-corpus
         indexes searched together == the whole corpus — same SQL oracle as
@@ -374,6 +398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-data ops
     q["dedup_exact"] = lambda s, sf: tx.exact_dedup(_docs(s, sf))
+    # verified near-dup: LSH candidates ∩ exact Jaccard >= t — the composed
+    # scale pipeline (jaccard only on candidates, never corpus²)
+    q["dedup_near_pairs"] = lambda s, sf: tx.near_dup_pairs(_docs(s, sf), threshold=0.2)
     q["dedup_minhash_lsh"] = lambda s, sf: tx.minhash_lsh_pairs(_docs(s, sf))
     q["dedup_jaccard"] = lambda s, sf: tx.jaccard_pairs(_docs(s, sf), threshold=0.2)
     q["minhash_signatures"] = lambda s, sf: tx.minhash_signatures(_docs(s, sf), num_hashes=4)
@@ -384,10 +411,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- similarity search
     q["ann_cosine_top20"] = lambda s, sf: sim.cosine_topk(_emb(s, sf), query_vec_id=0, k=20)
-    # LSH variant: no SQL oracle (seeded-hyperplane kernel) → rows-only check.
-    q["ann_lsh_top10"] = lambda s, sf: sim.cosine_topk_lsh(
-        _emb(s, sf), query_vec_id=0, k=10, dim=64
-    )
+
+    def ann_lsh(spark, sf):
+        """ANN over the PERSISTED bucket-partitioned index (built once per
+        sf): multi-probe Hamming-ball bucket pruning, then exact cosine on
+        the pruned candidates. The md5-Rademacher hyperplanes are
+        engine-reproducible, so the whole approximate path has an exact
+        DuckDB oracle."""
+        return sim.cosine_topk_lsh(
+            _emb(spark, sf), query_vec_id=0, k=10, dim=64,
+            ann_dir=_ann_dir(spark, sf),
+        )
+
+    q["ann_lsh_top10"] = ann_lsh
 
     return q
 
@@ -437,6 +473,40 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_total"] = _bm25_sql([("join", 1.0), ("hash", 1.0)], 10, total=True)
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
+
+    # wildcard e2e: q = dictionary expansion of 'sc%' (each term weight 1)
+    # plus the literal term — same CTE body, SELECT-shaped q
+    o["bm25_wildcard"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (
+  SELECT DISTINCT term, 1.0 AS qw FROM tok WHERE term LIKE 'sc%'
+  UNION ALL SELECT 'filter', 1.0
+),
+idf AS (
+  SELECT s.term, ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+  FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1) s, corpus c
+  WHERE s.term IN (SELECT term FROM q)
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qw * idf.idf * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN idf USING (term)
+       JOIN dl USING (doc_id), corpus c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
 
     o["sorted_search"] = f"""
         SELECT doc_id, n_chars FROM (
@@ -509,6 +579,38 @@ def oracle_sql() -> dict[str, str]:
                min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
                min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3
         FROM sh GROUP BY doc_id
+    """
+
+    o["dedup_near_pairs"] = shingle_cte + """
+        , sig AS (
+          SELECT doc_id,
+                 min(md5('0|' || shingle)) h0, min(md5('1|' || shingle)) h1,
+                 min(md5('2|' || shingle)) h2, min(md5('3|' || shingle)) h3,
+                 min(md5('4|' || shingle)) h4, min(md5('5|' || shingle)) h5,
+                 min(md5('6|' || shingle)) h6, min(md5('7|' || shingle)) h7
+          FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id, unnest([
+            '0' || '#' || h0 || '#' || h1, '1' || '#' || h2 || '#' || h3,
+            '2' || '#' || h4 || '#' || h5, '3' || '#' || h6 || '#' || h7
+          ]) AS band FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.a, c.b, count(*) i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+          GROUP BY 1, 2
+        )
+        SELECT a, b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2
     """
 
     o["dedup_minhash_lsh"] = shingle_cte + """
@@ -602,6 +704,47 @@ def oracle_sql() -> dict[str, str]:
                ) AS cos
         FROM embeddings, q WHERE vec_id <> 0
         ORDER BY cos DESC, vec_id ASC LIMIT 20
+    """
+
+    # Full oracle for the APPROXIMATE path: the md5-Rademacher hyperplanes
+    # are deterministic constants, inlined as explicit sequential ±term
+    # chains so the projection sign (and hence bucket/probe set) matches
+    # the engine's left-to-right float64 fold bit-for-bit; candidates =
+    # Hamming ball of radius 2 around the query's bucket, ranked by exact
+    # cosine — identical semantics to similarity.ann_topk.
+    from katta_spark.similarity import rademacher_hyperplanes
+
+    H = rademacher_hyperplanes(64, 6, 7)
+
+    def _proj(col: str, p: int) -> str:
+        return " + ".join(
+            f"{col}[{d + 1}]::DOUBLE * {H[p, d]:.1f}" for d in range(64)
+        )
+
+    def _bucket(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({_proj(col, p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(6)
+        )
+
+    o["ann_lsh_top10"] = f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, ({_bucket("embedding")})::BIGINT AS bucket
+          FROM embeddings
+        ),
+        q AS (SELECT embedding AS qv, bucket AS qb FROM sig WHERE vec_id = 0),
+        cand AS (
+          SELECT s.vec_id, s.embedding FROM sig s, q
+          WHERE bit_count(xor(s.bucket, q.qb)) <= 2 AND s.vec_id <> 0
+        )
+        SELECT vec_id,
+               round(
+                 list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4
+               ) AS cos
+        FROM cand, q
+        ORDER BY cos DESC, vec_id ASC LIMIT 10
     """
 
     return o

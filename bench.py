@@ -84,8 +84,16 @@ def main() -> None:
         timed("quality_scores", lambda: tx.quality_scores(docs).count())
         timed("lang_id", lambda: tx.lang_id(docs).count())
         timed("ann_cosine_top20", lambda: sim.cosine_topk(emb, 0, 20).collect())
+        ann_dir = os.path.join(idx_dir, "ann")
         timed(
-            "ann_lsh_top10", lambda: sim.cosine_topk_lsh(emb, 0, 10, dim=64).collect()
+            "build_ann_index",
+            lambda: sim.build_ann_index(emb, ann_dir, dim=64, planes=6, seed=7),
+        )
+        timed(
+            "ann_lsh_top10",
+            lambda: sim.cosine_topk_lsh(
+                emb, 0, 10, dim=64, ann_dir=ann_dir
+            ).collect(),
         )
 
         # north-star: transcripts index-build throughput (turns/sec).

@@ -80,6 +80,15 @@ class IndexHandle:
     def shards(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "shards.parquet"))
 
+    def total_dl(self, spark: SparkSession) -> float:
+        """Corpus-wide Σ default-field tokens, memoized on the handle (the
+        index is immutable — a client holding a deployed-index view never
+        re-reads its stats, like Katta's cached IndexMetaData)."""
+        if not hasattr(self, "_total_dl"):
+            row = self.shards(spark).agg(F.sum("sum_dl").alias("sdl")).collect()[0]
+            object.__setattr__(self, "_total_dl", float(row["sdl"] or 0))
+        return self._total_dl
+
 
 def parse_query(query: str) -> dict[str, float]:
     """query string → {term: qweight}; duplicated terms weight 2x (F3).
@@ -576,11 +585,9 @@ def search_multi(
     hashes = sorted(term_hash(t) for t in terms)
     # phase 1: combined stats over all indexes
     n_docs = float(sum(h.n_docs for h in handles))
-    # exact combined avgdl from per-index shard stats
-    tot_dl = 0.0
-    for h in handles:
-        srow = h.shards(spark).agg(F.sum("sum_dl").alias("sdl")).collect()[0]
-        tot_dl += float(srow["sdl"] or 0)
+    # exact combined avgdl from per-index shard stats (memoized per handle
+    # — repeated queries over the same handles collect nothing here)
+    tot_dl = sum(h.total_dl(spark) for h in handles)
     avgdl = tot_dl / n_docs if n_docs else 1.0
     df_tot: dict[str, int] = {}
     for h in handles:

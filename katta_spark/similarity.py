@@ -2,14 +2,28 @@
 
 Brute-force cosine top-k is the exactness baseline (JVM-side arithmetic via
 zip_with/aggregate — no Python); LSH-bucketed search is the scale path: at
-100 TB you never rank the full corpus, you rank the query's LSH bucket(s).
+100 TB you never rank the full corpus, you build a bucket-partitioned ANN
+index ONCE and each query scans only its multi-probe bucket neighborhood
+(Iceberg/parquet partition pruning does the rest).
+
+The hyperplanes are md5-derived Rademacher (±1) sign vectors — sign random
+projections (Charikar's SimHash family; ±1 entries are a standard valid
+choice, cf. Achlioptas-style sparse projections). Being deterministic
+functions of (seed, plane, dim) they are reproducible in ANY engine, which
+gives the WHOLE approximate search path an exact cross-engine oracle
+(bucket assignment, Hamming-ball probing, and final ranking all match
+DuckDB bit-for-bit); dot products are evaluated as sequential left-to-right
+float64 folds on every engine so the sign of the projection is identical.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -63,46 +77,76 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((planes, dim)).astype(np.float64)
+def rademacher_hyperplanes(dim: int, planes: int, seed: int = 7) -> np.ndarray:
+    """(planes, dim) matrix of ±1.0 — entry sign = high bit of the first
+    hex digit of md5(f"{seed}|{plane}|{dim_idx}"). Deterministic in any
+    engine; no RNG state."""
+    H = np.empty((planes, dim), dtype=np.float64)
+    for p in range(planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[0]
+            H[p, d] = 1.0 if h in "89abcdef" else -1.0
+    return H
+
+
+def bucket_col(vec_col, H: np.ndarray):
+    """LSH bucket as a pure JVM Column: bit p = sign of the sequential
+    left-to-right float64 fold of Σ_d ±vec[d] (whole-stage codegen; the
+    fold order makes the sign bit-identical across engines)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(H.shape[0]):
+        signs = F.array(*[F.lit(float(s)) for s in H[p]])
+        dot = F.aggregate(
+            F.zip_with(vec_col, signs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0.0, F.lit(1 << p)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return bucket
 
 
 def lsh_signatures(
     embeddings: DataFrame,
     dim: int,
-    planes: int = 12,
+    planes: int = 6,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, bucket): random-hyperplane LSH bucket per vector.
-
-    The hyperplanes are seeded numpy, evaluated in one Arrow-batched
-    mapInPandas pass (vectorized matmul per batch — the idiomatic shape for
-    numeric kernels Spark lacks)."""
-    H = _hyperplanes(dim, planes, seed)
-    weights = (1 << np.arange(planes)).astype(np.int64)
-
-    def kernel(batches):
-        for pdf in batches:
-            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if M.size == 0:
-                yield pd.DataFrame({"vec_id": [], "bucket": []}).astype(
-                    {"vec_id": "int64", "bucket": "int64"}
-                )
-                continue
-            bits = (M @ H.T) > 0.0
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(np.int64),
-                    "bucket": bits @ weights,
-                }
-            )
-
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        kernel, "vec_id long, bucket long"
+    """(vec_id, embedding, bucket): Rademacher-hyperplane LSH bucket per
+    vector, computed entirely JVM-side (no Python, no shuffle)."""
+    H = rademacher_hyperplanes(dim, planes, seed)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        bucket_col(F.col(vec_col), H).alias("bucket"),
     )
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    dim: int,
+    planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the ANN index ONCE: vectors + buckets, PARTITIONED BY
+    bucket — the IVF-style layout where a query reads only its probe
+    buckets' partitions (at 100 TB this is the difference between ANN and
+    a full-corpus scan per query). Metadata (dim/planes/seed) rides along
+    so queries reproduce the exact hyperplanes."""
+    sigs = lsh_signatures(embeddings, dim, planes, seed, id_col, vec_col)
+    sigs.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "vectors.parquet")
+    )
+    meta = {"dim": dim, "planes": planes, "seed": seed}
+    with open(os.path.join(out_dir, "ANN_META.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
 
 
 def _hamming_ball(bucket: int, planes: int, radius: int) -> list[int]:
@@ -119,6 +163,54 @@ def _hamming_ball(bucket: int, planes: int, radius: int) -> list[int]:
     return sorted(out)
 
 
+def _bucket_of(vec, H: np.ndarray) -> int:
+    """Driver-side bucket of one vector — the SAME sequential left-to-right
+    float64 fold as bucket_col, so the sign matches the JVM bit-for-bit."""
+    b = 0
+    for p in range(H.shape[0]):
+        tot = 0.0
+        for x, s in zip(vec, H[p]):
+            tot += float(x) * s
+        if tot >= 0.0:
+            b |= 1 << p
+    return b
+
+
+def ann_topk(
+    spark: SparkSession,
+    ann_dir: str,
+    query_vec,
+    k: int = 10,
+    probe_radius: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k against a PERSISTED ANN index: compute the
+    query's bucket driver-side (one tiny fold), expand the multi-probe
+    Hamming ball, scan ONLY those bucket partitions (partition-pruned),
+    rank JVM-side, TakeOrderedAndProject."""
+    with open(os.path.join(ann_dir, "ANN_META.json")) as fh:
+        meta = json.load(fh)
+    H = rademacher_hyperplanes(meta["dim"], meta["planes"], meta["seed"])
+    probes = _hamming_ball(_bucket_of(query_vec, H), meta["planes"], probe_radius)
+    vecs = spark.read.parquet(os.path.join(ann_dir, "vectors.parquet")).where(
+        F.col("bucket").isin(probes)
+    )
+    if exclude_vec_id is not None:
+        vecs = vecs.where(F.col("vec_id") != exclude_vec_id)
+    q = spark.createDataFrame([(list(map(float, query_vec)),)], "qvec array<double>")
+    return (
+        vecs.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -129,32 +221,42 @@ def cosine_topk_lsh(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ann_dir: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: rank only the query's multi-probe LSH
     bucket neighborhood (Hamming ball of ``probe_radius`` around the query
     bucket — standard multi-probe LSH).
 
-    At 100 TB the bucket predicate prunes the scan (bucket is a partition/
-    cluster column of the signature table); recall is tuned by ``planes``
-    and ``probe_radius``.
+    With ``ann_dir`` (the scale path) candidates come from the persisted
+    bucket-partitioned index; otherwise signatures are computed on the fly
+    (JVM expressions — fine for one-off jobs, wasteful for repeated
+    queries: build_ann_index once instead).
     """
-    sigs = lsh_signatures(embeddings, dim, planes, seed, id_col, vec_col)
-    qrow = sigs.where(F.col("vec_id") == query_vec_id).collect()
+    spark = embeddings.sparkSession
+    qrow = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
     if not qrow:
         return cosine_topk(embeddings, query_vec_id, k, id_col, vec_col)
-    probes = _hamming_ball(int(qrow[0]["bucket"]), planes, probe_radius)
-    candidates = (
+    qvec = list(qrow[0][0])
+    if ann_dir is not None:
+        return ann_topk(
+            spark, ann_dir, qvec, k, probe_radius, exclude_vec_id=query_vec_id
+        )
+    H = rademacher_hyperplanes(dim, planes, seed)
+    probes = _hamming_ball(_bucket_of(qvec, H), planes, probe_radius)
+    sigs = lsh_signatures(embeddings, dim, planes, seed, id_col, vec_col)
+    cand = (
         sigs.where(F.col("bucket").isin(probes))
         .where(F.col("vec_id") != query_vec_id)
-        .select(F.col("vec_id").alias("_cand_id"))
     )
-    emb = embeddings.join(
-        candidates, F.col(id_col) == F.col("_cand_id"), "left_semi"
-    )
-    return cosine_topk(
-        emb.unionByName(embeddings.where(F.col(id_col) == query_vec_id)),
-        query_vec_id,
-        k,
-        id_col,
-        vec_col,
+    q = spark.createDataFrame([(list(map(float, qvec)),)], "qvec array<double>")
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
     )

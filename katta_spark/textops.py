@@ -157,6 +157,110 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.8, num_hashes: int = 8, bands: int = 4,
+    n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard): VERIFIED near-dup pairs — LSH candidates, then
+    exact n-gram Jaccard computed ONLY on those candidates (a < b).
+
+    This is the composed scale path: the quadratic shared-shingle join of
+    jaccard_pairs never runs on the full corpus — intersections are
+    counted per candidate pair (cand ⋈ shingles(a) ⋈ shingles(b)), so cost
+    is |candidates| x shingles/doc, not corpus².
+    """
+    cand = minhash_lsh_pairs(docs, num_hashes, bands, n, id_col, text_col)
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .join(
+            sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"]
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def dedup_near(
+    docs: DataFrame, threshold: float = 0.8, num_hashes: int = 8, bands: int = 4,
+    n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, canonical_id, is_dup): canonical assignment over the
+    TRANSITIVE CLOSURE of verified near-dup pairs (connected components by
+    iterative min-label propagation — converges in graph-diameter rounds,
+    small for dup clusters; each round is one join + one min-agg).
+
+    The closure is iterative dataflow DuckDB SQL can't express with plain
+    aggregates, so the gate covers near_dup_pairs and the closure is
+    property-tested against a union-find oracle (tests/test_textops.py).
+    """
+    spark = docs.sparkSession
+    pairs = near_dup_pairs(
+        docs, threshold, num_hashes, bands, n, id_col, text_col
+    ).select("a", "b")
+    # undirected edges, both directions
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("canonical_id")
+    ).cache()
+    for _ in range(max_iters):
+        # candidate label per node = min(own, min over neighbors' labels)
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("canonical_id").alias("nb_label"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce(F.col("nb_min"), F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint()  # cut the iterative lineage
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+            .where(F.col("canonical_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash as a bitstring.
 

@@ -52,6 +52,44 @@ def test_lsh_candidates_superset_of_high_jaccard(docs):
     assert high <= cand
 
 
+def test_near_dup_pairs_equals_lsh_intersect_jaccard(docs):
+    """The composed pipeline == (LSH candidates) ∩ (jaccard >= t)."""
+    t = 0.2
+    got = {(r.a, r.b, r.jaccard) for r in tx.near_dup_pairs(docs, threshold=t).collect()}
+    cand = {(r.a, r.b) for r in tx.minhash_lsh_pairs(docs).collect()}
+    jac = {(r.a, r.b): r.jaccard for r in tx.jaccard_pairs(docs, threshold=t).collect()}
+    want = {(a, b, j) for (a, b), j in jac.items() if (a, b) in cand}
+    assert got == want
+
+
+def test_dedup_near_matches_union_find(docs):
+    """Canonical assignment == connected components (union-find oracle)
+    over the verified pairs; canonicals are cluster minima."""
+    t = 0.2
+    pairs = [(r.a, r.b) for r in tx.near_dup_pairs(docs, threshold=t).collect()]
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min doc_id of the component
+    comp_min: dict[int, int] = {}
+    for i in ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in ids}
+    got = {r.doc_id: r.canonical_id for r in tx.dedup_near(docs, threshold=t).collect()}
+    assert got == want
+
+
 def test_simhash_duck_parity(docs, duck):
     import importlib
 
@@ -84,3 +122,30 @@ def test_lsh_recall_floor(emb):
     exact = {r.vec_id for r in sim.cosine_topk(emb, 0, 10).collect()}
     approx = {r.vec_id for r in sim.cosine_topk_lsh(emb, 0, 10, dim=64).collect()}
     assert len(exact & approx) >= 3  # ANN floor on random vectors
+
+
+def test_ann_index_persisted_equals_on_the_fly(emb, tmp_path):
+    """The persisted bucket-partitioned index (scale path: one build, each
+    query scans only its probe buckets) returns exactly the on-the-fly
+    result — and the bucket column survives the partition round-trip."""
+    d = str(tmp_path / "ann")
+    sim.build_ann_index(emb, d, dim=64, planes=6, seed=7)
+    on_fly = sim.cosine_topk_lsh(emb, 0, 10, dim=64).collect()
+    persisted = sim.cosine_topk_lsh(emb, 0, 10, dim=64, ann_dir=d).collect()
+    assert [(r.vec_id, r.cos) for r in persisted] == [
+        (r.vec_id, r.cos) for r in on_fly
+    ]
+    # partition pruning: the probe predicate hits the bucket partition col
+    import os
+
+    vecs = [f for f in os.listdir(os.path.join(d, "vectors.parquet"))
+            if f.startswith("bucket=")]
+    assert len(vecs) >= 2  # multiple bucket partitions materialized
+
+
+def test_bucket_col_matches_driver_fold(emb):
+    """JVM fold and the driver-side fold assign identical buckets."""
+    H = sim.rademacher_hyperplanes(64, 6, 7)
+    rows = sim.lsh_signatures(emb, dim=64).limit(50).collect()
+    for r in rows:
+        assert r.bucket == sim._bucket_of(list(r.embedding), H)
