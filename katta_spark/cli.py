@@ -12,7 +12,12 @@ Commands:
             (Katta: addIndex <name> <path> [replication], Katta.java:689-711;
              replication is a non-goal — storage handles redundancy)
   search    <index_dir>[,<index_dir2>...] <query> [-k K] [--mode or|and]
+            [--root REGISTRY] — with --root, the first arg is
+            names/patterns resolved against the registry (names, '*',
+            regex — Client.java:425-456)
             (Katta: search <indexNames> <query> [count], Katta.java:795-845)
+  listIndices <root>
+            registered indexes under a registry root (Katta: listIndices)
   count     <index_dir> <query>
             (Katta: count via getResultCount, LuceneClient.java:225-251)
   check     <index_dir>
@@ -44,6 +49,15 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("query")
     p_search.add_argument("-k", type=int, default=10)
     p_search.add_argument("--mode", choices=["or", "and"], default="or")
+    p_search.add_argument(
+        "--root",
+        default=None,
+        help="index registry root: treat index_dirs as names/patterns "
+        "resolved against it (Katta: names, '*', regex — Client.java:425-456)",
+    )
+
+    p_list = sub.add_parser("listIndices")
+    p_list.add_argument("root")
 
     p_count = sub.add_parser("count")
     p_count.add_argument("index_dir")
@@ -75,10 +89,19 @@ def main(argv: list[str] | None = None) -> int:
                 shards_per_batch=args.shards_per_batch,
             )
             print(json.dumps(summary))
+        elif args.cmd == "listIndices":
+            from katta_spark.registry import list_indexes
+
+            print(json.dumps(list_indexes(args.root), indent=2))
         elif args.cmd == "search":
             from katta_spark.query import search, search_multi
 
-            dirs = args.index_dirs.split(",")
+            if args.root:
+                from katta_spark.registry import resolve
+
+                dirs = resolve(args.root, args.index_dirs)
+            else:
+                dirs = args.index_dirs.split(",")
             if len(dirs) == 1:
                 hits = search(spark, dirs[0], args.query, k=args.k, mode=args.mode)
             else:

@@ -23,6 +23,7 @@ against the unpruned path and the brute-force oracle.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -59,10 +60,23 @@ class IndexHandle:
         row = spark.read.parquet(os.path.join(index_dir, "corpus.parquet")).collect()[0]
         kw = tuple(row["keyword_fields"] or ()) if "keyword_fields" in row else ()
         sharding = row["sharding"] if "sharding" in row else "pmod_doc_id"
-        return cls(
+        h = cls(
             index_dir, int(row["n_docs"]), float(row["avgdl"]),
             int(row["n_shards"]), kw, sharding,
         )
+        h._opened_at = time.time()
+        h._n_queries = 0
+        return h
+
+    def _record_query(self) -> None:
+        self._n_queries = getattr(self, "_n_queries", 0) + 1
+
+    def qpm(self) -> float:
+        """Queries per minute since the handle was opened — Katta's client
+        QPS metric (Client.java:458-464, getQueryPerMinute)."""
+        elapsed_min = (time.time() - getattr(self, "_opened_at", time.time())) / 60.0
+        n = getattr(self, "_n_queries", 0)
+        return n / elapsed_min if elapsed_min > 0 else float(n)
 
     def shard_expr(self, doc_col):
         """shard_id of a docID under this index's sharding function — lets
@@ -363,6 +377,61 @@ def _make_and_kernel(
     return kernel
 
 
+def _make_match_kernel(
+    qweights: dict[str, float], n_docs: float, avgdl: float, k: int,
+    score_dtype: str = "float32",
+    with_total: bool = False,
+):
+    """Match-only kernel: the distinct docIDs matching ≥1 query term, no
+    scoring, no stats — the cheap path for field-sorted search with
+    track_scores=False (Katta skips score tracking unless asked,
+    LuceneServer.java:97,145) and for coverage counts."""
+
+    def kernel(
+        pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty_hits(score_dtype, with_total)
+        shard_id = int(pdf["shard_id"].iloc[0])
+        parts = [
+            decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
+            for r in pdf.itertuples(index=False)
+        ]
+        docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        if filter_docs is not None:
+            docs = docs[np.isin(docs, filter_docs)]
+        kk = min(k, docs.size)
+        out = pd.DataFrame(
+            {
+                "shard_id": np.full(kk, shard_id, dtype=np.int32),
+                "doc_id": docs[:kk],
+                "score": np.zeros(kk, dtype=score_dtype),
+            }
+        )
+        if with_total:
+            out["shard_total"] = np.int64(docs.size)
+        return out
+
+    return kernel
+
+
+# Kernel-mode registry — the content-server extension point (SURVEY.md
+# §2.12; reference IContentServer, node/IContentServer.java:28-107):
+# registering a factory adds a new search mode. Factories share the
+# signature (qweights, n_docs, avgdl, k, prune, score_dtype, with_total).
+KERNEL_MODES: dict[str, object] = {
+    "or": lambda qw, n, a, k, prune, dt, wt: _make_score_kernel(
+        qw, n, a, k, prune, dt, wt
+    ),
+    "and": lambda qw, n, a, k, prune, dt, wt: _make_and_kernel(
+        qw, n, a, k, dt, wt
+    ),
+    "match": lambda qw, n, a, k, prune, dt, wt: _make_match_kernel(
+        qw, n, a, k, dt, wt
+    ),
+}
+
+
 def search(
     spark: SparkSession,
     index: IndexHandle | str,
@@ -397,6 +466,7 @@ def search(
     """
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
+    index._record_query()
     sql_t = "float" if score_dtype == "float32" else "double"
     empty_schema = f"doc_id long, shard_id int, score {sql_t}"
     if _with_total:
@@ -458,14 +528,11 @@ def search(
             F.broadcast(df_sub), "th"
         )
 
-    if mode == "and":
-        kernel = _make_and_kernel(
-            qweights, n_docs, avgdl, k, score_dtype, _with_total
-        )
-    else:
-        kernel = _make_score_kernel(
-            qweights, n_docs, avgdl, k, prune, score_dtype, _with_total
-        )
+    if mode not in KERNEL_MODES:
+        raise ValueError(f"unknown search mode {mode!r}; registered: {sorted(KERNEL_MODES)}")
+    kernel = KERNEL_MODES[mode](
+        qweights, n_docs, avgdl, k, prune, score_dtype, _with_total
+    )
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
     if _with_total:
         out_schema += ", shard_total long"
@@ -661,10 +728,11 @@ def search_sorted(
     """
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
-    # candidate docs = union of posting lists (huge k caps nothing away)
+    # candidate docs = union of posting lists (huge k caps nothing away);
+    # when scores aren't tracked, the match-only kernel skips BM25 entirely
     matches = search(
         spark, index, query, k=2**31 - 1, prune=False, score_dtype="float64",
-        ordered=False,
+        ordered=False, mode="or" if track_scores else "match",
     )
     if doc_id_col is None:
         src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
