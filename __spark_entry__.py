@@ -409,6 +409,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda s, sf: tx.quality_scores(_docs(s, sf))
     q["doc_fingerprint"] = lambda s, sf: tx.doc_fingerprint(_docs(s, sf))
 
+    def media_frames(spark, sf):
+        """Multimodal plumbing gate: the exploding frame-sampling kernel
+        (one media row → k frame rows, mapInPandas) over documents-as-media
+        (payload = text bytes, duration = n_chars). The decode itself is a
+        stub (no media libs in this container); the gated part is the REAL
+        Spark-side shape: schema, batching, explode factor, timestamps."""
+        import katta_spark.multimodal as mm
+
+        media = _docs(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+        )
+        return mm.sample_frames(media, every_ms=500).select(
+            "media_id", "frame_idx", "frame_ts_ms"
+        )
+
+    q["media_frame_sample"] = media_frames
+
     # ---- similarity search
     q["ann_cosine_top20"] = lambda s, sf: sim.cosine_topk(_emb(s, sf), query_vec_id=0, k=20)
 
@@ -692,6 +712,11 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
 
     o["doc_fingerprint"] = shingle_cte + """
         SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+    """
+
+    o["media_frame_sample"] = """
+        SELECT doc_id AS media_id, i::INT AS frame_idx, (i * 500)::INT AS frame_ts_ms
+        FROM documents, unnest(range(0, greatest(1, n_chars // 500))) AS t(i)
     """
 
     o["ann_cosine_top20"] = """

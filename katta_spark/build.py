@@ -59,6 +59,7 @@ import os
 import time
 import uuid
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -334,25 +335,41 @@ def build_index(
     # collision (likely around ~4e9 docs) would silently merge two
     # documents' postings; countDistinct per shard is exact because
     # shard_id is a function of doc_id (per-shard distincts sum globally).
-    shard_counts = (
-        docs.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("doc_id").alias("n_distinct"),
+    # Submitted from a DRIVER THREAD so this job's fixed cost (scheduling,
+    # scan setup) overlaps the dictionary and encode jobs below — the same
+    # move keeps a real cluster's executors busy instead of serializing
+    # small jobs between big ones.
+    def _run_phase1() -> list:
+        t0 = time.time()
+        rows = (
+            docs.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("doc_id").alias("n_distinct"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    n_docs = sum(int(r["n_docs"]) for r in shard_counts)
-    n_distinct = sum(int(r["n_distinct"]) for r in shard_counts)
-    if n_distinct != n_docs:
-        raise RuntimeError(
-            f"doc_id collision or duplicate input ids: {n_docs} rows but "
-            f"{n_distinct} distinct doc_ids"
-        )
-    phase_t["phase1_id_stats"] = round(time.time() - t_start, 2)
+        phase_t["phase1_id_stats"] = round(time.time() - t0, 2)
+        return rows
 
-    # ---- Phase 2: postings, in resumable shard batches (the one big
-    # shuffle per batch).
+    def _run_dictionary() -> int:
+        # (th → term) dictionary, once per build (vocab-sized shuffle after
+        # map-side partial agg), written in ONE job; the collision check —
+        # a th collision would silently merge two terms' postings — reads
+        # back only the tiny written parquet (no persist, no second pass
+        # over the corpus).
+        t0 = time.time()
+        (
+            term_dictionary(docs, keyword_cols)
+            .repartition(max(1, num_shards // 8), "th")
+            .sortWithinPartitions("th")
+            .write.mode("overwrite")
+            .parquet(p["dict"])
+        )
+        n = spark.read.parquet(p["dict"]).where(F.col("term") != F.col("_mx")).count()
+        phase_t["dictionary"] = round(time.time() - t0, 2)
+        return int(n)
+
     committed: set[int] = set()
     if os.path.exists(p["lineage"]):
         for r in spark.read.parquet(p["lineage"]).where(
@@ -369,26 +386,13 @@ def build_index(
 
     kernel = _make_encode_kernel(block)
     n_committed = n_skipped = 0
-    if any(b not in committed for b, _ in batches):
-        # (th → term) dictionary, once per build (vocab-sized shuffle after
-        # map-side partial agg), written in ONE job; the collision check —
-        # a th collision would silently merge two terms' postings — reads
-        # back only the tiny written parquet (no persist, no second pass
-        # over the corpus).
-        t0 = time.time()
-        (
-            term_dictionary(docs, keyword_cols)
-            .repartition(max(1, num_shards // 8), "th")
-            .sortWithinPartitions("th")
-            .write.mode("overwrite")
-            .parquet(p["dict"])
-        )
-        n_collisions = (
-            spark.read.parquet(p["dict"]).where(F.col("term") != F.col("_mx")).count()
-        )
-        if n_collisions:
-            raise RuntimeError(f"xxhash64 term collision(s) detected: {n_collisions}")
-        phase_t["dictionary"] = round(time.time() - t0, 2)
+    pool = ThreadPoolExecutor(max_workers=2)
+    fut_phase1 = pool.submit(_run_phase1)
+    fut_dict = (
+        pool.submit(_run_dictionary)
+        if any(b not in committed for b, _ in batches)
+        else None
+    )
     for batch_id, shard_ids in batches:
         if batch_id in committed:
             n_skipped += 1
@@ -464,6 +468,21 @@ def build_index(
         phase_t[f"batch{batch_id}_summary_lineage"] = round(time.time() - t1, 2)
         n_committed += 1
 
+    # Join the overlapped jobs; fail the build on either check.
+    shard_counts = fut_phase1.result()
+    n_docs = sum(int(r["n_docs"]) for r in shard_counts)
+    n_distinct = sum(int(r["n_distinct"]) for r in shard_counts)
+    if n_distinct != n_docs:
+        raise RuntimeError(
+            f"doc_id collision or duplicate input ids: {n_docs} rows but "
+            f"{n_distinct} distinct doc_ids"
+        )
+    if fut_dict is not None:
+        n_collisions = fut_dict.result()
+        if n_collisions:
+            raise RuntimeError(f"xxhash64 term collision(s) detected: {n_collisions}")
+    pool.shutdown()
+
     t2 = time.time()
     # ---- Phase 3: term stats + per-shard/corpus scalars from the postings
     # (vocab-sized; parquet prunes the blob columns). Katta's
@@ -473,24 +492,32 @@ def build_index(
     stats_done = os.path.exists(os.path.join(p["stats"], "_SUCCESS"))
     if not stats_done or n_committed:
         tdict_r = spark.read.parquet(p["dict"]).select("th", "term")
-        (
-            spark.read.parquet(p["postings"])
-            .groupBy("th")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-            .join(tdict_r, "th")
-            .select("term", "df", "cf", "th")
-            .write.mode("overwrite")
-            .parquet(p["stats"])
-        )
-        # per-shard token totals for shard-subset / multi-index stats
-        per_shard_dl = (
-            spark.read.parquet(p["postings"])
-            .join(tdict_r, "th")
-            .where(~F.col("term").contains(FIELD_SEP))
-            .groupBy("shard_id")
-            .agg(F.sum("cf").alias("sum_dl"))
-            .collect()
-        )
+
+        def _write_stats():
+            (
+                spark.read.parquet(p["postings"])
+                .groupBy("th")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .join(tdict_r, "th")
+                .select("term", "df", "cf", "th")
+                .write.mode("overwrite")
+                .parquet(p["stats"])
+            )
+
+        # stats write and the per-shard sums are independent vocab-sized
+        # jobs over the (blob-pruned) postings — overlap them too.
+        with ThreadPoolExecutor(max_workers=1) as p3pool:
+            fut_stats = p3pool.submit(_write_stats)
+            # per-shard token totals for shard-subset / multi-index stats
+            per_shard_dl = (
+                spark.read.parquet(p["postings"])
+                .join(tdict_r, "th")
+                .where(~F.col("term").contains(FIELD_SEP))
+                .groupBy("shard_id")
+                .agg(F.sum("cf").alias("sum_dl"))
+                .collect()
+            )
+            fut_stats.result()
         dl_by_shard = {int(r["shard_id"]): int(r["sum_dl"]) for r in per_shard_dl}
         shard_rows = [
             (

@@ -165,9 +165,9 @@ Design properties that carry the scaling onto a real cluster:
 - one corpus-sized shuffle total; fixed-width 24-byte token rows (term
   strings replaced by xxhash64 pre-shuffle; the vocab-sized dictionary
   travels in its own tiny job);
-- range repartition on (shard_id, th): the sampler balances partitions
-  against term skew, and the in-kernel numpy lexsort replaces the costlier
-  JVM sortWithinPartitions; no second postings-sized exchange;
+- salted hash repartition (shard_id, th % salt) with slices >> partitions
+  (straggler-free balance); the in-kernel numpy lexsort replaces the
+  costlier JVM sortWithinPartitions; 3-column packed token rows;
 - per-shard hash document spread bounds any single term's postings by
   df/num_shards.
 
