@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from katta_spark.scoring import idf_col, tf_norm_col
-from katta_spark.tokenizer import tokenize_col, tokenize_str
+from katta_spark.tokenizer import tokenize_col
 
 
 def with_doc_ids(transcripts: DataFrame, num_shards: int) -> DataFrame:

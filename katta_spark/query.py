@@ -598,11 +598,20 @@ def search_with_total(
     count is exact (Lucene's TopScoreDocCollector also visits every match
     when totalHits is tracked; under WAND it degrades to a lower bound).
 
-    Returns DataFrame(doc_id, shard_id, score, total_hits), ≤ k rows,
-    total_hits constant across rows.
+    Returns DataFrame(doc_id, shard_id, score, total_hits, shards_hit,
+    shards_total), ≤ k rows; total_hits / coverage constant across rows.
+    shards_hit vs shards_total is the coverage report (Katta's Hits
+    exposes missing shards, Hits.java:214-220; under Spark a job is
+    all-or-nothing so "searched" coverage is always full — what varies,
+    and is reported, is how many shards contributed matches).
     """
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
     sql_t = "float" if score_dtype == "float32" else "double"
-    schema = f"doc_id long, shard_id int, score {sql_t}, total_hits long"
+    schema = (
+        f"doc_id long, shard_id int, score {sql_t}, total_hits long, "
+        "shards_hit int, shards_total int"
+    )
     rows = search(
         spark, index, query, k=k, mode=mode, score_dtype=score_dtype,
         prune=False, ordered=False,
@@ -611,10 +620,16 @@ def search_with_total(
     ).collect()
     if not rows:
         return spark.createDataFrame([], schema)
-    total = sum({r.shard_id: int(r.shard_total) for r in rows}.values())
+    per_shard = {r.shard_id: int(r.shard_total) for r in rows}
+    total = sum(per_shard.values())
     top = sorted(rows, key=lambda r: (-r.score, r.doc_id, -r.shard_id))[:k]
     return spark.createDataFrame(
-        [(r.doc_id, r.shard_id, float(r.score), total) for r in top], schema
+        [
+            (r.doc_id, r.shard_id, float(r.score), total,
+             len(per_shard), index.num_shards)
+            for r in top
+        ],
+        schema,
     )
 
 

@@ -73,6 +73,8 @@ def test_search_with_total(spark, tiny_transcripts, tmp_path):
     want_total = count_matches(spark, d, "hotalpha w00012")
     want_hits = search(spark, d, "hotalpha w00012", k=5).collect()
     assert out and all(r.total_hits == want_total for r in out)
+    # coverage metadata (D4 analog): shards that contributed matches
+    assert all(1 <= r.shards_hit <= r.shards_total == 4 for r in out)
     assert [r.doc_id for r in out] == [r.doc_id for r in want_hits]
     np.testing.assert_allclose(
         np.array([r.score for r in out], np.float32),
