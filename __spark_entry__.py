@@ -445,6 +445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_top10"] = ann_lsh
 
+    def dedup_embedding(spark, sf):
+        """Embedding-cosine near-dup: LSH-bucketed candidate pairs (never
+        corpus²) verified with exact cosine — the dedup modality of the
+        similarity stack."""
+        return sim.embedding_near_dup_pairs(_emb(spark, sf), threshold=0.3)
+
+    q["dedup_embedding"] = dedup_embedding
+
     return q
 
 
@@ -770,6 +778,25 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                ) AS cos
         FROM cand, q
         ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """
+
+    o["dedup_embedding"] = f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, ({_bucket("embedding")})::BIGINT AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT x.vec_id a, y.vec_id b,
+                 round(
+                   list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                   4
+                 ) AS cos
+          FROM sig x JOIN sig y
+            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT a, b, cos FROM pairs WHERE cos >= 0.3
     """
 
     return o

@@ -211,6 +211,46 @@ def ann_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos): embedding-cosine near-duplicate pairs, a < b.
+
+    The dedup shape, not the search shape: candidate pairs are generated
+    ONLY within LSH buckets (high-cosine pairs land in the same
+    hyperplane bucket with probability (1 - θ/π)^planes), then verified
+    with exact cosine ≥ threshold. The join is bucket-equi — at 100 TB the
+    shuffle is by bucket and the quadratic blowup is bounded per bucket,
+    never corpus². All arithmetic JVM-side; deterministic hyperplanes give
+    the whole path an exact cross-engine oracle.
+    """
+    sigs = lsh_signatures(embeddings, dim, planes, seed, id_col, vec_col)
+    a = sigs.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                cosine_similarity_col(F.col("va"), F.col("vb")), 4
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,
