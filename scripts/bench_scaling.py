@@ -115,6 +115,17 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     all_lo = ", ".join(f"{r['turns_per_sec']:,.0f}" for r in lo_runs)
     all_hi = ", ".join(f"{r['turns_per_sec']:,.0f}" for r in hi_runs)
+    # per-phase scaling table from the best trials (phases overlap via
+    # driver threads, so they sum past the wall clock)
+    phase_rows = []
+    for ph in sorted(set(lo["phases"]) | set(hi["phases"])):
+        a, b = lo["phases"].get(ph), hi["phases"].get(ph)
+        if not a or not b or a < 1.0:
+            continue
+        phase_rows.append(
+            f"| {ph} | {a} | {b} | {a / b:.1f}x | {a / b / 4:.2f} |"
+        )
+    phase_table = "\n".join(phase_rows)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
@@ -141,6 +152,19 @@ compared because the host is a shared VM (see below).
 **Scaling efficiency = tp(4N) / (4 x tp(N)) = {eff:.3f}** (target >= 0.8:
 {"PASS" if eff >= 0.8 else "FAIL"})
 
+Round history (best trials): r01 tp(N)=8,124 / tp(4N)=18,766 / eff 0.577 —
+r02's build is ~2x faster at BOTH sizes (in-kernel numpy lexsort, one Arrow
+crossing, packed 3-column token rows, Observation batch metrics, driver-
+thread job overlap); the RATIO is bounded by the host, not the dataflow
+(see ceiling below).
+
+## Per-phase scaling (best trials; phases overlap via driver threads, so
+## phase times sum past the wall clock)
+
+| phase | N (s) | 4N (s) | speedup | eff |
+|---|---|---|---|---|
+{phase_table}
+
 ## Host ceiling (measured) — context for the number above
 
 This sandbox VM cannot deliver 4x resources to 4x the workers for ANY
@@ -162,9 +186,9 @@ north rule describes) the same per-executor shape adds bandwidth with every
 executor, which is exactly what this single box cannot emulate.
 
 Design properties that carry the scaling onto a real cluster:
-- one corpus-sized shuffle total; fixed-width 24-byte token rows (term
-  strings replaced by xxhash64 pre-shuffle; the vocab-sized dictionary
-  travels in its own tiny job);
+- one corpus-sized shuffle total of fixed-width int rows (term strings
+  replaced by xxhash64 pre-shuffle, shard_id+doclen packed into one slot;
+  the vocab-sized dictionary travels in its own tiny, overlapped job);
 - salted hash repartition (shard_id, th % salt) with slices >> partitions
   (straggler-free balance); the in-kernel numpy lexsort replaces the
   costlier JVM sortWithinPartitions; 3-column packed token rows;
