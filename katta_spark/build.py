@@ -483,6 +483,20 @@ def build_index(
             raise RuntimeError(f"xxhash64 term collision(s) detected: {n_collisions}")
     pool.shutdown()
 
+    # Empty-corpus / all-empty-text edge: a write of zero rows can leave
+    # only _SUCCESS, which a later read cannot infer a schema from —
+    # materialize explicitly-typed empty tables so every query path works.
+    def _ensure_readable(path: str, schema: str) -> None:
+        try:
+            spark.read.parquet(path).schema
+        except Exception:
+            spark.createDataFrame([], schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+
+    _ensure_readable(p["postings"], ENCODED_SCHEMA)
+    _ensure_readable(p["dict"], "th long, term string, _mx string")
+
     t2 = time.time()
     # ---- Phase 3: term stats + per-shard/corpus scalars from the postings
     # (vocab-sized; parquet prunes the blob columns). Katta's
@@ -518,6 +532,7 @@ def build_index(
                 .collect()
             )
             fut_stats.result()
+        _ensure_readable(p["stats"], "term string, df long, cf long, th long")
         dl_by_shard = {int(r["shard_id"]): int(r["sum_dl"]) for r in per_shard_dl}
         shard_rows = [
             (

@@ -729,6 +729,8 @@ def search_sorted(
     track_scores: bool = True,
     id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     doc_id_col: str | None = None,
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
 ) -> DataFrame:
     """Field-sorted search — Katta's TopFieldCollector path (T2/T4:
     LuceneServer.java:672-677, typed sort fields WritableType.java:33-35,
@@ -748,6 +750,7 @@ def search_sorted(
     matches = search(
         spark, index, query, k=2**31 - 1, prune=False, score_dtype="float64",
         ordered=False, mode="or" if track_scores else "match",
+        filter_df=filter_df, filter_doc_col=filter_doc_col,
     )
     if doc_id_col is None:
         src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))

@@ -62,6 +62,15 @@ def test_filtered_search_matches_filtered_oracle(spark, tiny_transcripts, tmp_pa
         ).count()
         == 0
     )
+    # field-sorted search honors the filter too (score-free match path)
+    from katta_spark.query import search_sorted
+
+    ss = search_sorted(
+        spark, d, "hotalpha hotbeta", tiny_transcripts,
+        sort_cols=[F.col("ts").desc()], k=8, track_scores=False,
+        filter_df=allowed_df,
+    ).collect()
+    assert ss and all(r.doc_id in allowed_set for r in ss)
 
 
 def test_search_with_total(spark, tiny_transcripts, tmp_path):
@@ -117,6 +126,19 @@ def test_stream_build_incremental(spark, tmp_path):
     # re-draining with no new files creates no new deltas (exactly-once)
     stream_build(spark, inp + "/*", root, num_shards=2)
     assert len(delta_index_dirs(root)) == 2
+
+
+def test_empty_corpus_build_and_search(spark, tiny_transcripts, tmp_path):
+    """A build over zero documents yields a valid, queryable (empty) index
+    — every table readable, searches return no rows, count is 0."""
+    d = str(tmp_path / "empty_idx")
+    empty = tiny_transcripts.where(F.lit(False))
+    res = build_index(spark, empty, d, num_shards=2)
+    assert res["n_docs"] == 0
+    assert search(spark, d, "hotalpha", k=5).count() == 0
+    assert search(spark, d, "hotalpha", k=5, mode="and").count() == 0
+    assert search_with_total(spark, d, "hotalpha", k=5).count() == 0
+    assert count_matches(spark, d, "hotalpha") == 0
 
 
 def test_point_lookup_and_reader(spark, tiny_transcripts, tmp_path):

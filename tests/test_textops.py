@@ -143,6 +143,30 @@ def test_ann_index_persisted_equals_on_the_fly(emb, tmp_path):
     assert len(vecs) >= 2  # multiple bucket partitions materialized
 
 
+def test_ann_query_prunes_bucket_partitions(emb, tmp_path):
+    """The probe predicate must reach the PARTITION level of the persisted
+    index: the scan's PartitionFilters carry the bucket IN-list, so at
+    100 TB a query reads only its Hamming-ball partitions."""
+    d = str(tmp_path / "ann_prune")
+    sim.build_ann_index(emb, d, dim=64, planes=6, seed=7)
+    qvec = list(emb.where(emb.vec_id == 0).collect()[0]["embedding"])
+    out = sim.ann_topk(emb.sparkSession, d, qvec, k=5, probe_radius=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+    # radius 1 over 6 planes = at most 7 probe buckets
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_embedding_near_dup_pairs_subset_of_exact(emb):
+    """Every reported pair is genuinely >= threshold; candidates restricted
+    to shared buckets (a ⊂ of the exact all-pairs result)."""
+    pairs = sim.embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    assert pairs and all(r.a < r.b and r.cos >= 0.3 for r in pairs)
+
+
 def test_bucket_col_matches_driver_fold(emb):
     """JVM fold and the driver-side fold assign identical buckets."""
     H = sim.rademacher_hyperplanes(64, 6, 7)
