@@ -103,6 +103,26 @@ def test_grep_docs(spark, tiny_transcripts):
     assert rows and all("hotalpha" in r.text for r in rows)
 
 
+def test_concurrent_queries_consistent(spark, root):
+    """SURVEY §5 cat 5 (LuceneSearchIntegrationTest.java:38-96: N threads
+    of continuous queries must all see the same hit count): concurrent
+    searches through one handle return identical results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    h = IndexHandle.open(spark, os.path.join(root, "whole"))
+
+    def one(_):
+        return [
+            (r.doc_id, r.shard_id, r.score)
+            for r in search(spark, h, "hotalpha w00012", k=10).collect()
+        ]
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(one, range(12)))
+    assert all(res == results[0] for res in results)
+    assert results[0]
+
+
 def test_qpm_metric(spark, root):
     h = IndexHandle.open(spark, os.path.join(root, "whole"))
     assert h.qpm() == 0.0
