@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda s, sf: tx.simhash16(_docs(s, sf))
     q["lang_id"] = lambda s, sf: tx.lang_id(_docs(s, sf))
     q["quality_scores"] = lambda s, sf: tx.quality_scores(_docs(s, sf))
+    q["token_counts"] = lambda s, sf: tx.token_counts(_docs(s, sf))
     q["doc_fingerprint"] = lambda s, sf: tx.doc_fingerprint(_docs(s, sf))
 
     def media_frames(spark, sf):
@@ -716,6 +717,15 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                  len(list_filter(t, x -> x IN ({en_sw})))::DOUBLE AS ns
           FROM (SELECT doc_id, text, {_TOK} AS t FROM documents)
         )
+    """
+
+    o["token_counts"] = f"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS n_ws_tokens,
+               len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))
+                 AS n_bpe_tokens
+        FROM documents
     """
 
     o["doc_fingerprint"] = shingle_cte + """

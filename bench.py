@@ -55,7 +55,8 @@ def main() -> None:
         timed(
             "build_documents_index",
             lambda: ksb.build_index(
-                spark, docs, idx_dir, num_shards=8, doc_id_col="doc_id"
+                spark, docs, idx_dir, num_shards=8, doc_id_col="doc_id",
+                keyword_cols=("lang", "source"),
             ),
         )
         extra["documents_build_docs_per_sec"] = round(
@@ -75,11 +76,28 @@ def main() -> None:
             lambda: ksq.search(spark, ih, "join hash scan merge", 10, mode="and").collect(),
         )
         timed("bm25_wildcard", lambda: ksq.search(spark, ih, "s* join", 10).collect())
+        timed(
+            "bm25_field",
+            lambda: ksq.search(spark, ih, "lang:en merge join", 10).collect(),
+        )
+        timed(
+            "filtered_search",
+            lambda: ksq.search(
+                spark, ih, "join hash", 10,
+                filter_df=docs.where("n_chars % 2 = 0"),
+            ).collect(),
+        )
+        timed(
+            "bm25_total",
+            lambda: ksq.search_with_total(spark, ih, "join hash", 10).collect(),
+        )
         timed("count_matches", lambda: ksq.count_matches(spark, ih, "join hash"))
 
         # training-data ops
         timed("dedup_exact", lambda: tx.exact_dedup(docs).count())
         timed("dedup_minhash_lsh", lambda: tx.minhash_lsh_pairs(docs).count())
+        timed("dedup_near_pairs", lambda: tx.near_dup_pairs(docs, threshold=0.2).count())
+        timed("token_counts", lambda: tx.token_counts(docs).count())
         timed("simhash", lambda: tx.simhash16(docs).count())
         timed("quality_scores", lambda: tx.quality_scores(docs).count())
         timed("lang_id", lambda: tx.lang_id(docs).count())

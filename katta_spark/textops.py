@@ -309,6 +309,29 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.select("doc_id", pred.alias("lang_pred"))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style splitting, simplified to
+# an engine-portable core): letter runs, digit runs, or single
+# non-alphanumeric non-space marks — the unit count a byte-pair encoder
+# would start from. Identical regex semantics in Spark and DuckDB.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace token count and a
+    BPE-ish pre-token count — the two budget numbers a training pipeline
+    tracks per document (data mixing, context packing). All JVM regex.
+    """
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+    )
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, avg_token_len, stopword_ratio, alnum_ratio).
 
