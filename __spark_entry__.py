@@ -409,6 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda s, sf: tx.quality_scores(_docs(s, sf))
     q["token_counts"] = lambda s, sf: tx.token_counts(_docs(s, sf))
     q["doc_fingerprint"] = lambda s, sf: tx.doc_fingerprint(_docs(s, sf))
+    # rolling-hash winnowing (MOSS): k=16-char grams, window w=8
+    q["winnow_fingerprints"] = lambda s, sf: tx.winnow_fingerprints(
+        _docs(s, sf), k=16, w=8
+    )
 
     def media_frames(spark, sf):
         """Multimodal plumbing gate: the exploding frame-sampling kernel
@@ -735,6 +739,22 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
     o["media_frame_sample"] = """
         SELECT doc_id AS media_id, i::INT AS frame_idx, (i * 500)::INT AS frame_ts_ms
         FROM documents, unnest(range(0, greatest(1, n_chars // 500))) AS t(i)
+    """
+
+    o["winnow_fingerprints"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 [md5(substring(text, i, 16)) FOR i IN range(1, length(text) - 14)]
+                   AS h
+          FROM documents WHERE length(text) >= 16
+        )
+        SELECT DISTINCT doc_id, fp AS fingerprint FROM (
+          SELECT doc_id, unnest(
+            CASE WHEN len(h) >= 8 THEN
+              [list_min(h[i : i + 7]) FOR i IN range(1, len(h) - 6)]
+            WHEN len(h) > 0 THEN [list_min(h)] ELSE [] END
+          ) AS fp FROM g
+        )
     """
 
     o["ann_cosine_top20"] = """

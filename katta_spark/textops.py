@@ -376,3 +376,39 @@ def doc_fingerprint(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return shingles(docs, n, id_col, text_col).groupBy("doc_id").agg(
         F.min(F.md5("shingle")).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fingerprint): winnowing fingerprints (Schleimer/Wilkerson/
+    Aiken, MOSS) — hash every character k-gram, keep the minimum of each
+    sliding window of w hashes, emit the distinct minima.
+
+    Classic implementations maintain a Rabin-Karp ROLLING hash for O(1)
+    per-gram updates; the dataflow-native equivalent computes each k-gram
+    hash independently but VECTORIZED (one array expression per document,
+    whole-stage codegen) — same fingerprints, no per-row Python, and the
+    per-doc cost is len·k inside one JVM expression. Guarantee preserved:
+    any shared substring of length ≥ w + k - 1 yields a shared fingerprint.
+    """
+    # SQL exprs because substring() needs a runtime start index per element
+    hashes = F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> md5(substring({text_col}, i, {k}))) "
+        f"ELSE array() END"
+    )
+    minima = F.expr(
+        f"CASE WHEN size(h) >= {w} THEN "
+        f"transform(sequence(1, size(h) - {w - 1}), "
+        f"i -> array_min(slice(h, i, {w}))) "
+        f"WHEN size(h) > 0 THEN array(array_min(h)) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), hashes.alias("h"))
+        .select("doc_id", F.explode(minima).alias("fingerprint"))
+        .distinct()
+    )

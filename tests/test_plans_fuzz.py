@@ -73,6 +73,19 @@ def test_sorted_search_plan_no_global_sort(spark, idx, tiny_transcripts):
     assert audit["no_global_limit"], audit["plan"][:2000]
 
 
+def test_filtered_search_plan_is_cogrouped(spark, idx, docs):
+    """The predicate-shaped filter must reach the kernels as a COGROUP —
+    never a driver-side collected list: the plan shows
+    FlatMapCoGroupsInPandas with both sides exchanged by shard."""
+    from katta_spark.plans import physical_plan
+
+    allowed = docs.where(F.col("role") == "user").select("doc_id")
+    hits = search(spark, idx, "hotalpha", k=10, filter_df=allowed)
+    plan = physical_plan(hits, mode="simple")
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert "LocalTableScan" not in plan, plan[:2000]
+
+
 def test_rank_identity_fuzz(spark, idx, docs):
     """12 random queries (hot/mid/rare/absent mixes, duplicates, random k)
     must be rank-identical to the oracle."""

@@ -52,6 +52,36 @@ def test_lsh_candidates_superset_of_high_jaccard(docs):
     assert high <= cand
 
 
+def test_winnow_fingerprints_reference(spark):
+    """Winnowing == a plain-Python reference (MOSS semantics), and the
+    guarantee holds: a shared substring of length >= w+k-1 shares a
+    fingerprint."""
+    import hashlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over a sleeping cat"),
+        (3, "zz"),
+    ]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in tx.winnow_fingerprints(docs2, k=8, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+    def ref(text, k=8, w=4):
+        if len(text) < k:
+            return set()
+        hs = [hashlib.md5(text[i:i + k].encode()).hexdigest()
+              for i in range(len(text) - k + 1)]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    for d, text in rows:
+        assert got.get(d, set()) == ref(text), d
+    assert got[1] & got[2]  # shared prefix >= w+k-1 chars
+
+
 def test_near_dup_pairs_equals_lsh_intersect_jaccard(docs):
     """The composed pipeline == (LSH candidates) ∩ (jaccard >= t)."""
     t = 0.2
