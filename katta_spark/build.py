@@ -423,7 +423,14 @@ def build_index(
                 F.pmod(F.col("th"), F.lit(salt)),
             )
             .mapInPandas(kernel, ENCODED_SCHEMA)
-            .repartition(len(shard_ids), F.col("shard_id"))
+            # keys = (shard, th%16 slice) >> partitions: hashing bare
+            # shard ids into as many partitions collides (Poisson max
+            # bucket 2-3x mean = a write-stage straggler, measured ~20%);
+            # files stay th-sorted so row-group min/max skipping holds,
+            # ≤16 files per shard.
+            .repartition(
+                len(shard_ids), F.col("shard_id"), F.pmod(F.col("th"), F.lit(16))
+            )
             .sortWithinPartitions("shard_id", "th")
         )
         # Batch metrics piggyback on the write itself (CollectMetrics
