@@ -640,9 +640,15 @@ def search_multi(
     k: int = 10,
     mode: str = "or",
     score_dtype: str = "float32",
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
 ) -> DataFrame:
     """Search several indexes as one corpus — Katta's multi-index search
     (``search(query, ["idx1", "idx2"])``, LuceneClientTest.java:266-279).
+    ``filter_df`` restricts matches like in :func:`search` (Katta's Filter
+    also applies to multi-index searches): the allowed set is mapped
+    through EACH index's own sharding function (+ shard offset) and
+    cogrouped per shard.
 
     Semantics replicated exactly: phase 1 aggregates df / numDocs across
     ALL searched indexes (DocumentFrequencyWritable summing,
@@ -709,9 +715,38 @@ def search_multi(
         kernel = _make_and_kernel(qweights, n_docs, avgdl, k, score_dtype)
     else:
         kernel = _make_score_kernel(qweights, n_docs, avgdl, k, True, score_dtype)
-    hits = postings.groupBy("shard_id").applyInPandas(
-        lambda pdf: kernel(pdf), f"shard_id int, doc_id long, score {sql_t}"
-    )
+    out_schema = f"shard_id int, doc_id long, score {sql_t}"
+    if filter_df is None:
+        hits = postings.groupBy("shard_id").applyInPandas(
+            lambda pdf: kernel(pdf), out_schema
+        )
+    else:
+        fbase = filter_df.select(F.col(filter_doc_col).cast("long").alias("doc_id"))
+        fparts = []
+        offset = 0
+        for h in handles:
+            fparts.append(
+                fbase.withColumn(
+                    "shard_id",
+                    (h.shard_expr(F.col("doc_id")) + F.lit(offset)).cast("int"),
+                )
+            )
+            offset += h.num_shards
+        fdf = fparts[0]
+        for fp in fparts[1:]:
+            fdf = fdf.unionByName(fp)
+
+        def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return _empty_hits(score_dtype)
+            allowed = np.unique(right["doc_id"].to_numpy(np.int64))
+            return kernel(left, allowed)
+
+        hits = (
+            postings.groupBy("shard_id")
+            .cogroup(fdf.groupBy("shard_id"))
+            .applyInPandas(cog, out_schema)
+        )
     return (
         hits.select("doc_id", "shard_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc())

@@ -69,6 +69,26 @@ def test_split_equals_whole(spark, split_indexes, query, k, mode):
     )
 
 
+def test_multi_index_filtered(spark, tiny_transcripts, split_indexes):
+    """Filter applies to multi-index searches too (Katta Filter over
+    several indexes): filtered multi == filtered whole, score-identical."""
+    whole, a, b = split_indexes
+    docs = with_doc_ids(tiny_transcripts, 4)
+    allowed = docs.where(F.col("role") == "user").select("doc_id")
+    got = search_multi(
+        spark, [a, b], "hotalpha hotbeta", k=10, filter_df=allowed
+    ).collect()
+    want = search(
+        spark, whole, "hotalpha hotbeta", k=10, filter_df=allowed
+    ).collect()
+    assert got and [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], dtype=np.float32),
+        np.array([r.score for r in want], dtype=np.float32),
+        rtol=2e-6,
+    )
+
+
 def test_incremental_delta_index(spark, tiny_transcripts, tmp_path_factory):
     """Incremental update = build a delta index over new docs; queries span
     [base, delta] with combined stats (Katta: deploy another index)."""
