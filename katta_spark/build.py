@@ -563,6 +563,14 @@ def build_index(
     else:
         row = spark.read.parquet(p["corpus"]).collect()[0]
         assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
+        stored_kw = tuple(row["keyword_fields"] or ())
+        if stored_kw != keyword_cols:
+            raise ValueError(
+                f"index at {index_dir!r} was built with keyword_cols="
+                f"{stored_kw!r}, resume requested {keyword_cols!r} — the "
+                "committed postings would be stale; rebuild into a fresh "
+                "directory instead"
+            )
         avgdl = float(row["avgdl"])
 
     phase_t["phase3_stats"] = round(time.time() - t2, 2)

@@ -82,6 +82,13 @@ def test_field_count_matches(spark, fidx, docs):
     assert n == want
 
 
+def test_resume_with_different_keyword_cols_refuses(spark, fidx, tiny_transcripts):
+    """A fully-committed index resumed with different keyword_cols would
+    serve stale postings — the build must refuse."""
+    with pytest.raises(ValueError, match="keyword_cols"):
+        build_index(spark, tiny_transcripts, fidx, num_shards=4)  # no fields
+
+
 def test_avgdl_excludes_keyword_fields(spark, fidx, tiny_transcripts, tmp_path_factory):
     """Keyword postings must not shift avgdl: an index with and without
     keyword fields reports the same corpus scalars."""
