@@ -77,3 +77,80 @@ def stream_build(
         q.awaitTermination()
         return q
     return stream.start()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+):
+    """Streaming EXACT dedup — the custom stateful operator a training-data
+    ingest pipeline runs in front of everything else: only the FIRST
+    occurrence of each distinct text ever survives, across all
+    micro-batches, forever.
+
+    Implemented with applyInPandasWithState keyed by md5(text): the state
+    per key is one boolean ("seen"); a batch's rows for an unseen key emit
+    exactly one row (the minimum doc key — deterministic within-batch
+    tie-break) and flip the state. State is Spark-managed (checkpointed,
+    recoverable); at scale it shards by the hash key across executors —
+    nothing global, nothing driver-side.
+
+    Output: parquet rows (text_md5, conv_id, turn_idx, text) of first
+    occurrences. Drains what is currently available, then stops
+    (availableNow — production would run continuously).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    os.makedirs(output_dir, exist_ok=True)
+    checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
+    c1, c2 = id_cols
+
+    def dedup_fn(
+        key, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values([c1, c2]).head(1)
+            if best is None or (
+                (pdf[c1].iloc[0], pdf[c2].iloc[0])
+                < (best[c1].iloc[0], best[c2].iloc[0])
+            ):
+                best = pdf
+        state.update((True,))
+        if best is not None:
+            yield best[["text_md5", c1, c2, text_col]]
+
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("text_md5", F.md5(F.col(text_col)))
+        .select("text_md5", c1, c2, text_col)
+    )
+    out = src.groupBy("text_md5").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=f"text_md5 string, {c1} string, {c2} int, "
+        f"{text_col} string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -141,6 +141,37 @@ def test_empty_corpus_build_and_search(spark, tiny_transcripts, tmp_path):
     assert count_matches(spark, d, "hotalpha") == 0
 
 
+def test_stream_dedup_stateful(spark, tmp_path):
+    """Stateful streaming dedup (applyInPandasWithState): only the first
+    occurrence of each distinct text EVER survives — across micro-batches,
+    via Spark-managed keyed state (checkpointed), not a driver-side set."""
+    from katta_spark.streaming import stream_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    b1 = synth_transcripts(spark, 800, seed=42)
+    b1.write.mode("overwrite").parquet(os.path.join(inp, "b1"))
+    stream_dedup(spark, inp + "/*", out)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    # exact-dedup semantics within the drained data
+    want1 = b1.select("text").distinct().count()
+    assert n1 == want1
+    # batch 2 = SAME texts (different ids) + genuinely new rows
+    dup = b1.limit(200).withColumn("turn_idx", (F.col("turn_idx") + 10_000).cast("int"))
+    new = synth_transcripts(spark, 1200, seed=42).exceptAll(b1)
+    dup.unionByName(new).write.mode("overwrite").parquet(os.path.join(inp, "b2"))
+    stream_dedup(spark, inp + "/*", out)
+    after = spark.read.parquet(out)
+    # replayed texts are suppressed by state; only unseen texts appended
+    want_total = (
+        b1.select("text").unionByName(new.select("text")).distinct().count()
+    )
+    assert after.count() == want_total
+    assert after.select("text_md5").distinct().count() == after.count()
+
+
 def test_point_lookup_and_reader(spark, tiny_transcripts, tmp_path):
     p = str(tmp_path / "tx.parquet")
     tiny_transcripts.write.mode("overwrite").parquet(p)
