@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     p_add.add_argument("--text-col", default="text")
     p_add.add_argument("--doc-id-col", default=None)
     p_add.add_argument("--shards-per-batch", type=int, default=None)
+    p_add.add_argument(
+        "--keyword-cols", default="",
+        help="comma-separated NOT_ANALYZED fields indexed as field:value "
+        "terms (searchable via field-qualified queries)",
+    )
 
     p_search = sub.add_parser("search")
     p_search.add_argument("index_dirs")
@@ -87,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 doc_id_col=args.doc_id_col,
                 shards_per_batch=args.shards_per_batch,
+                keyword_cols=tuple(
+                    c for c in args.keyword_cols.split(",") if c
+                ),
             )
             print(json.dumps(summary))
         elif args.cmd == "listIndices":
