@@ -13,6 +13,27 @@ Everything here derives from public knowledge only: the Apache Spark API and
 the reference repo's observable behavior (cited file:line in docstrings).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from katta_spark.scoring import BM25_B, BM25_K1  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy convenience re-exports (avoid importing pyspark at package
+    import time): katta_spark.build_index, .search, .search_multi, ..."""
+    _lazy = {
+        "build_index": ("katta_spark.build", "build_index"),
+        "search": ("katta_spark.query", "search"),
+        "search_multi": ("katta_spark.query", "search_multi"),
+        "search_sorted": ("katta_spark.query", "search_sorted"),
+        "search_with_total": ("katta_spark.query", "search_with_total"),
+        "count_matches": ("katta_spark.query", "count_matches"),
+        "get_details": ("katta_spark.query", "get_details"),
+        "IndexHandle": ("katta_spark.query", "IndexHandle"),
+    }
+    if name in _lazy:
+        import importlib
+
+        mod, attr = _lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -18,6 +18,8 @@ Commands:
             (Katta: search <indexNames> <query> [count], Katta.java:795-845)
   listIndices <root>
             registered indexes under a registry root (Katta: listIndices)
+  removeIndex <index_dir>
+            delete a deployed index (refuses non-index dirs; Katta: removeIndex)
   count     <index_dir> <query>
             (Katta: count via getResultCount, LuceneClient.java:225-251)
   check     <index_dir>
@@ -64,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     p_list = sub.add_parser("listIndices")
     p_list.add_argument("root")
 
+    p_rm = sub.add_parser("removeIndex")
+    p_rm.add_argument("index_dir")
+
     p_count = sub.add_parser("count")
     p_count.add_argument("index_dir")
     p_count.add_argument("query")
@@ -97,6 +102,19 @@ def main(argv: list[str] | None = None) -> int:
                 ),
             )
             print(json.dumps(summary))
+        elif args.cmd == "removeIndex":
+            # Katta: removeIndex <name> (Katta.java COMMANDS). Only deletes
+            # a directory that demonstrably IS an index.
+            import os
+            import shutil
+
+            if not os.path.exists(os.path.join(args.index_dir, "FORMAT_VERSION")):
+                raise SystemExit(
+                    f"{args.index_dir!r} has no FORMAT_VERSION marker — "
+                    "refusing to delete a non-index directory"
+                )
+            shutil.rmtree(args.index_dir)
+            print(f"removed {args.index_dir}")
         elif args.cmd == "listIndices":
             from katta_spark.registry import list_indexes
 
