@@ -55,6 +55,7 @@ Scale notes (designed for ~100 TB / 1000 executors, tested on local[32]):
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -330,6 +331,32 @@ def build_index(
     with open(version_file, "w") as fh:
         fh.write(str(FORMAT_VERSION))
 
+    # Build parameters are persisted at build START (before any batch
+    # commits), so resuming a PARTIAL build with different parameters is
+    # refused up front — a batch-wise mix of keyword_cols/sharding would
+    # silently serve stale or missing field postings for part of the
+    # corpus (the staleness class the keyword_cols guard exists for).
+    meta_file = os.path.join(index_dir, "BUILD_META.json")
+    build_meta = {
+        "keyword_cols": list(keyword_cols),
+        "num_shards": num_shards,
+        "text_col": text_col,
+        "doc_id_col": doc_id_col,
+    }
+    if os.path.exists(meta_file):
+        with open(meta_file) as fh:
+            stored_meta = json.load(fh)
+        if stored_meta != build_meta:
+            raise ValueError(
+                f"index at {index_dir!r} was started with build parameters "
+                f"{stored_meta!r}; resume requested {build_meta!r} — "
+                "committed batches would be inconsistent; rebuild into a "
+                "fresh directory instead"
+            )
+    else:
+        with open(meta_file, "w") as fh:
+            json.dump(build_meta, fh)
+
     # ---- Phase 1: per-shard doc counts + docID-collision check. Column-
     # pruned to the id columns — never touches text. A 64-bit birthday
     # collision (likely around ~4e9 docs) would silently merge two
@@ -393,101 +420,114 @@ def build_index(
         if any(b not in committed for b, _ in batches)
         else None
     )
-    for batch_id, shard_ids in batches:
-        if batch_id in committed:
-            n_skipped += 1
-            continue
-        t0 = time.time()
-        batch_docs = docs
-        if len(shard_ids) < num_shards:
-            batch_docs = docs.where(F.col("shard_id").isin(shard_ids))
-        tokens = token_rows(batch_docs, keyword_cols)
-        # Salted hash repartition of the fixed-width token rows by
-        # (shard_id, th % salt): salt slices (>> partitions) average out
-        # per-partition imbalance, every (shard, term) group lands wholly
-        # in one partition, and — unlike a range exchange — no sampling
-        # job re-executes the tokenize lineage. The kernel lexsorts in
-        # numpy (measured ~2x cheaper than the JVM sortWithinPartitions it
-        # replaces) and encodes. The second, postings-sized hash exchange
-        # groups each shard into one task so the write is ONE th-sorted
-        # file per shard — parquet min/max row-group skipping on th, file
-        # count O(num_shards); hash (not range) so nothing is sampled and
-        # the kernel runs exactly once.
-        n_encode_parts = encode_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
-        postings = (
-            tokens.repartition(
-                n_encode_parts,
-                F.shiftright(F.col("sd"), 32),
-                F.pmod(F.col("th"), F.lit(salt)),
+    try:
+        for batch_id, shard_ids in batches:
+            if batch_id in committed:
+                n_skipped += 1
+                continue
+            # Surface overlapped-job failures (docID-collision scan errors,
+            # dictionary write errors) as soon as they are known instead of
+            # only after every batch has been fully written.
+            for fut in (fut_phase1, fut_dict):
+                if fut is not None and fut.done():
+                    fut.result()
+            t0 = time.time()
+            batch_docs = docs
+            if len(shard_ids) < num_shards:
+                batch_docs = docs.where(F.col("shard_id").isin(shard_ids))
+            tokens = token_rows(batch_docs, keyword_cols)
+            # Salted hash repartition of the fixed-width token rows by
+            # (shard_id, th % salt): salt slices (>> partitions) average out
+            # per-partition imbalance, every (shard, term) group lands wholly
+            # in one partition, and — unlike a range exchange — no sampling
+            # job re-executes the tokenize lineage. The kernel lexsorts in
+            # numpy (measured ~2x cheaper than the JVM sortWithinPartitions it
+            # replaces) and encodes. The second, postings-sized hash exchange
+            # groups each shard into one task so the write is ONE th-sorted
+            # file per shard — parquet min/max row-group skipping on th, file
+            # count O(num_shards); hash (not range) so nothing is sampled and
+            # the kernel runs exactly once.
+            n_encode_parts = encode_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
             )
-            .mapInPandas(kernel, ENCODED_SCHEMA)
-            # keys = (shard, th%16 slice) >> partitions: hashing bare
-            # shard ids into as many partitions collides (Poisson max
-            # bucket 2-3x mean = a write-stage straggler, measured ~20%);
-            # files stay th-sorted so row-group min/max skipping holds,
-            # ≤16 files per shard.
-            .repartition(
-                len(shard_ids), F.col("shard_id"), F.pmod(F.col("th"), F.lit(16))
-            )
-            .sortWithinPartitions("shard_id", "th")
-        )
-        # Batch metrics piggyback on the write itself (CollectMetrics
-        # node): no blob-sized read-back job after the commit.
-        obs = Observation(f"batch{batch_id}")
-        postings = postings.observe(
-            obs,
-            F.count(F.lit(1)).alias("terms"),
-            F.sum("df").alias("postings"),
-            F.sum(F.length("doc_ids") + F.length("tfs") + F.length("doclens")).alias(
-                "bytes"
-            ),
-        )
-        (
-            postings.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("shard_id")
-            .parquet(p["postings"])
-        )
-        t1 = time.time()
-        # Lineage row AFTER the data commit — crash between the two replays
-        # the batch idempotently (dynamic partition overwrite).
-        summary = obs.get
-        lineage_row = spark.createDataFrame(
-            [
-                (
-                    run_id,
-                    batch_id,
-                    shard_ids,
-                    "committed",
-                    int(summary["terms"] or 0),
-                    int(summary["postings"] or 0),
-                    int(summary["bytes"] or 0),
-                    int((time.time() - t0) * 1000),
+            postings = (
+                tokens.repartition(
+                    n_encode_parts,
+                    F.shiftright(F.col("sd"), 32),
+                    F.pmod(F.col("th"), F.lit(salt)),
                 )
-            ],
-            "run_id string, batch_id int, shard_ids array<int>, status string, "
-            "terms long, postings long, bytes long, elapsed_ms long",
-        )
-        lineage_row.write.mode("append").parquet(p["lineage"])
-        phase_t[f"batch{batch_id}_encode_write"] = round(t1 - t0, 2)
-        phase_t[f"batch{batch_id}_summary_lineage"] = round(time.time() - t1, 2)
-        n_committed += 1
+                .mapInPandas(kernel, ENCODED_SCHEMA)
+                # keys = (shard, th%16 slice) >> partitions: hashing bare
+                # shard ids into as many partitions collides (Poisson max
+                # bucket 2-3x mean = a write-stage straggler, measured ~20%);
+                # files stay th-sorted so row-group min/max skipping holds,
+                # ≤16 files per shard.
+                .repartition(
+                    len(shard_ids), F.col("shard_id"), F.pmod(F.col("th"), F.lit(16))
+                )
+                .sortWithinPartitions("shard_id", "th")
+            )
+            # Batch metrics piggyback on the write itself (CollectMetrics
+            # node): no blob-sized read-back job after the commit.
+            obs = Observation(f"batch{batch_id}")
+            postings = postings.observe(
+                obs,
+                F.count(F.lit(1)).alias("terms"),
+                F.sum("df").alias("postings"),
+                F.sum(F.length("doc_ids") + F.length("tfs") + F.length("doclens")).alias(
+                    "bytes"
+                ),
+            )
+            (
+                postings.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard_id")
+                .parquet(p["postings"])
+            )
+            t1 = time.time()
+            # Lineage row AFTER the data commit — crash between the two replays
+            # the batch idempotently (dynamic partition overwrite).
+            summary = obs.get
+            lineage_row = spark.createDataFrame(
+                [
+                    (
+                        run_id,
+                        batch_id,
+                        shard_ids,
+                        "committed",
+                        int(summary["terms"] or 0),
+                        int(summary["postings"] or 0),
+                        int(summary["bytes"] or 0),
+                        int((time.time() - t0) * 1000),
+                    )
+                ],
+                "run_id string, batch_id int, shard_ids array<int>, status string, "
+                "terms long, postings long, bytes long, elapsed_ms long",
+            )
+            lineage_row.write.mode("append").parquet(p["lineage"])
+            phase_t[f"batch{batch_id}_encode_write"] = round(t1 - t0, 2)
+            phase_t[f"batch{batch_id}_summary_lineage"] = round(time.time() - t1, 2)
+            n_committed += 1
 
-    # Join the overlapped jobs; fail the build on either check.
-    shard_counts = fut_phase1.result()
-    n_docs = sum(int(r["n_docs"]) for r in shard_counts)
-    n_distinct = sum(int(r["n_distinct"]) for r in shard_counts)
-    if n_distinct != n_docs:
-        raise RuntimeError(
-            f"doc_id collision or duplicate input ids: {n_docs} rows but "
-            f"{n_distinct} distinct doc_ids"
-        )
-    if fut_dict is not None:
-        n_collisions = fut_dict.result()
-        if n_collisions:
-            raise RuntimeError(f"xxhash64 term collision(s) detected: {n_collisions}")
+        # Join the overlapped jobs; fail the build on either check.
+        shard_counts = fut_phase1.result()
+        n_docs = sum(int(r["n_docs"]) for r in shard_counts)
+        n_distinct = sum(int(r["n_distinct"]) for r in shard_counts)
+        if n_distinct != n_docs:
+            raise RuntimeError(
+                f"doc_id collision or duplicate input ids: {n_docs} rows but "
+                f"{n_distinct} distinct doc_ids"
+            )
+        if fut_dict is not None:
+            n_collisions = fut_dict.result()
+            if n_collisions:
+                raise RuntimeError(f"xxhash64 term collision(s) detected: {n_collisions}")
+    except BaseException:
+        # Abandon overlapped driver-thread jobs without blocking: queued
+        # futures are cancelled, running ones are detached (Spark jobs
+        # in driver threads cannot be interrupted from here).
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise
     pool.shutdown()
 
     # Empty-corpus / all-empty-text edge: a write of zero rows can leave
@@ -554,6 +594,11 @@ def build_index(
         ).write.mode("overwrite").parquet(p["shards"])
         sum_dl = sum(dl_by_shard.values())
         avgdl = (sum_dl / n_docs) if n_docs else 1.0
+        # Guard avgdl==0 (every doc's analyzed text empty but keyword fields
+        # present): tf_norm divides by avgdl — mirror the oracle's
+        # avgdl==0 → 1.0 so keyword-term scores stay finite (oracle.py).
+        if avgdl == 0.0:
+            avgdl = 1.0
         sharding = "pmod_doc_id" if doc_id_col is None else "pmod_xxhash64"
         spark.createDataFrame(
             [(n_docs, avgdl, num_shards, list(keyword_cols), sharding)],

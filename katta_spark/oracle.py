@@ -72,7 +72,7 @@ def bm25_topk(
     from katta_spark.query import parse_query
 
     spark = docs.sparkSession
-    qw = parse_query(query)
+    qw = parse_query(query, keyword_cols)
     if not qw:
         qw = {"\x00-no-such-term": 1.0}
     qterms = spark.createDataFrame(

@@ -104,18 +104,24 @@ class IndexHandle:
         return self._total_dl
 
 
-def parse_query(query: str) -> dict[str, float]:
+def parse_query(
+    query: str, keyword_fields: tuple[str, ...] | None = None
+) -> dict[str, float]:
     """query string → {term: qweight}; duplicated terms weight 2x (F3).
 
     ``field:value`` tokens are field-qualified keyword terms (reference:
     Katta.java:825-826 parses queries with a KeywordAnalyzer QueryParser,
-    so field terms are matched verbatim, case preserved); everything else
-    is analyzed with the standard tokenizer."""
-    import re as _re
-
+    so field terms are matched verbatim, case preserved) — but ONLY for
+    fields the index actually declares (``keyword_fields``, carried on the
+    handle). Any other colon-bearing token (URLs, 'a:b' noise) falls back
+    to the standard analyzer, like Lucene analyzing an unknown-field text
+    query, so e.g. 'http://x.com' matches [http, x, com] instead of
+    becoming an unmatchable verbatim term."""
+    fields = set(keyword_fields or ())
     qw: dict[str, float] = {}
     for raw in query.split():
-        if _re.match(r"^[A-Za-z_][A-Za-z0-9_]*:\S", raw):
+        fld, sep, rest = raw.partition(":")
+        if sep and rest and fld in fields:
             qw[raw] = qw.get(raw, 0.0) + 1.0
         else:
             for t in tokenize_str(raw):
@@ -147,7 +153,7 @@ def expand_wildcards(
             for r in rows:
                 qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
         else:
-            for t, w in parse_query(raw).items():
+            for t, w in parse_query(raw, index.keyword_fields).items():
                 qw[t] = qw.get(t, 0.0) + w
     return qw
 
@@ -472,7 +478,9 @@ def search(
     if _with_total:
         empty_schema += ", shard_total long"
     qweights = (
-        expand_wildcards(spark, index, query) if "*" in query else parse_query(query)
+        expand_wildcards(spark, index, query)
+        if "*" in query
+        else parse_query(query, index.keyword_fields)
     )
     if not qweights or k <= 0:
         return spark.createDataFrame([], empty_schema)
@@ -665,7 +673,8 @@ def search_multi(
     ]
     sql_t = "float" if score_dtype == "float32" else "double"
     empty_schema = f"doc_id long, shard_id int, score {sql_t}"
-    qweights = parse_query(query)
+    all_kw = tuple({f for h in handles for f in h.keyword_fields})
+    qweights = parse_query(query, all_kw)
     if not qweights or k <= 0:
         return spark.createDataFrame([], empty_schema)
     terms = sorted(qweights)
@@ -804,7 +813,7 @@ def count_matches(spark: SparkSession, index: IndexHandle | str, query: str) -> 
     number of docs matching ≥1 query term — no scores materialized."""
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
-    terms = sorted(parse_query(query))
+    terms = sorted(parse_query(query, index.keyword_fields))
     if not terms:
         return 0
     hashes = [term_hash(t) for t in terms]

@@ -33,11 +33,15 @@ def list_indexes(root: str) -> dict[str, str]:
 def resolve(root: str, patterns: str | list[str]) -> list[str]:
     """Resolve index names / ``*`` / regex patterns to index dirs.
 
-    Exactly Katta's order (Client.java:431-449): an exact name match wins;
-    otherwise the pattern is compiled as a regex and matched against all
-    registered names. Unknown names/patterns raise (Katta logs a warning
-    per miss and the client errors when nothing resolves).
+    Exactly Katta's order (Client.java:425-456): an exact name match wins;
+    the bare ``*`` selects every registered index (Client.java:428); any
+    other pattern is compiled VERBATIM as a regex (``Pattern.compile``) and
+    matched against all registered names. A pattern that matches nothing
+    only logs a warning (Client.java per-miss warn); the call errors only
+    when the union of all patterns resolves to nothing.
     """
+    import warnings
+
     if isinstance(patterns, str):
         patterns = [p for p in patterns.split(",") if p]
     registry = list_indexes(root)
@@ -46,14 +50,28 @@ def resolve(root: str, patterns: str | list[str]) -> list[str]:
         if pat in registry:
             hit[pat] = registry[pat]
             continue
-        rx = re.compile(pat.replace("*", ".*") if "*" in pat else pat)
-        matched = {n: d for n, d in registry.items() if rx.fullmatch(n)}
+        if pat == "*":
+            hit.update(registry)
+            continue
+        try:
+            rx = re.compile(pat)
+        except re.error:
+            matched = {}
+        else:
+            matched = {n: d for n, d in registry.items() if rx.fullmatch(n)}
         if not matched:
-            raise ValueError(
+            warnings.warn(
                 f"no index matches {pat!r} under {root!r} "
-                f"(registered: {sorted(registry)})"
+                f"(registered: {sorted(registry)})",
+                stacklevel=2,
             )
+            continue
         hit.update(matched)
+    if not hit:
+        raise ValueError(
+            f"no index matches any of {patterns!r} under {root!r} "
+            f"(registered: {sorted(registry)})"
+        )
     return [hit[n] for n in sorted(hit)]
 
 

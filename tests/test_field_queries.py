@@ -35,11 +35,17 @@ def docs(tiny_transcripts):
 
 
 def test_parse_query_field_terms():
-    qw = parse_query("role:user hotalpha role:user w00011")
+    qw = parse_query("role:user hotalpha role:user w00011", KW)
     assert qw == {"role:user": 2.0, "hotalpha": 1.0, "w00011": 1.0}
-    # a bare colon-less token is analyzed; punctuation-only field values
-    # still parse as field terms
-    assert parse_query("Role:USER") == {"Role:USER": 1.0}  # case preserved
+    # field values are matched verbatim, case preserved (KeywordAnalyzer)
+    assert parse_query("role:USER", KW) == {"role:USER": 1.0}
+    # a colon token whose prefix is NOT a declared keyword field falls back
+    # to the analyzer — 'http://example.com' must not become an unmatchable
+    # verbatim term (it would empty AND-mode queries)
+    assert parse_query("http://example.com", KW) == {
+        "http": 1.0, "example": 1.0, "com": 1.0,
+    }
+    assert parse_query("role:user", ()) == {"role": 1.0, "user": 1.0}
 
 
 @pytest.mark.parametrize(
@@ -87,6 +93,43 @@ def test_resume_with_different_keyword_cols_refuses(spark, fidx, tiny_transcript
     serve stale postings — the build must refuse."""
     with pytest.raises(ValueError, match="keyword_cols"):
         build_index(spark, tiny_transcripts, fidx, num_shards=4)  # no fields
+
+
+def test_partial_resume_with_different_keyword_cols_refuses(
+    spark, tiny_transcripts, tmp_path_factory
+):
+    """The guard must fire for a PARTIAL build too: parameters are persisted
+    at build START (BUILD_META.json), so a crashed build resumed with
+    different keyword_cols refuses before mixing batches — not only after
+    all batches are done."""
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("partial_idx"))
+    build_index(spark, tiny_transcripts, d, num_shards=4, keyword_cols=KW)
+    # simulate a crash after batch commits but before phase 3 finished
+    shutil.rmtree(os.path.join(d, "stats.parquet"))
+    with pytest.raises(ValueError, match="keyword_cols"):
+        build_index(spark, tiny_transcripts, d, num_shards=4)  # no fields
+
+
+def test_avgdl_zero_guard(spark, tmp_path_factory):
+    """All-empty analyzed text + non-null keyword fields: avgdl would be 0
+    and keyword-term scores would divide by zero — the build persists
+    avgdl=1.0 (mirroring the oracle's guard) and field search stays finite."""
+    import math
+    import os
+
+    d = str(tmp_path_factory.mktemp("empty_text_idx"))
+    rows = [(f"c{i}", 0, "", "user") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, role string"
+    )
+    build_index(spark, df, d, num_shards=2, keyword_cols=("role",))
+    row = spark.read.parquet(os.path.join(d, "corpus.parquet")).collect()[0]
+    assert row["avgdl"] == 1.0
+    hits = search(spark, d, "role:user", k=5).collect()
+    assert hits and all(math.isfinite(r.score) and r.score > 0 for r in hits)
 
 
 def test_avgdl_excludes_keyword_fields(spark, fidx, tiny_transcripts, tmp_path_factory):

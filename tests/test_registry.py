@@ -37,16 +37,22 @@ def root(spark, tmp_path_factory):
 def test_list_and_resolve(root):
     assert sorted(list_indexes(root)) == ["index1", "index2", "whole"]
     assert resolve(root, "index1") == [os.path.join(root, "index1")]
-    # Katta-style regex and '*' patterns
+    # Katta-style regex patterns, compiled VERBATIM (Client.java:425-456):
+    # '*' is a regex quantifier except for the special-cased bare '*'.
     assert resolve(root, "index[12]") == [
         os.path.join(root, "index1"), os.path.join(root, "index2")
     ]
-    assert resolve(root, "index*") == [
+    assert resolve(root, "index.*") == [
         os.path.join(root, "index1"), os.path.join(root, "index2")
     ]
+    assert len(resolve(root, "*")) == 3
     assert len(resolve(root, "index1,whole")) == 2
-    with pytest.raises(ValueError):
-        resolve(root, "nosuch*")
+    # a miss among hits only warns (Client.java warn-per-miss) …
+    with pytest.warns(UserWarning):
+        assert resolve(root, "nosuch.*,index1") == [os.path.join(root, "index1")]
+    # … the call errors only when NOTHING resolves
+    with pytest.raises(ValueError), pytest.warns(UserWarning):
+        resolve(root, "nosuch.*")
 
 
 def test_search_by_pattern_equals_whole(spark, root):
