@@ -103,6 +103,27 @@ class IndexHandle:
             object.__setattr__(self, "_total_dl", float(row["sdl"] or 0))
         return self._total_dl
 
+    def df_of_terms(self, spark: SparkSession, terms: list[str]) -> dict[str, int]:
+        """Per-term global df, memoized per handle (df=0 for unindexed
+        terms is cached too) — Katta's CachedDfSource invariant
+        (LuceneServer.java:441: an immutable deployed index never re-serves
+        the same df question twice). Repeated queries over warm handles
+        trigger ZERO stats jobs."""
+        cache: dict[str, int] = self.__dict__.setdefault("_df_cache", {})
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            mhashes = [term_hash(t) for t in missing]
+            rows = (
+                self.stats(spark)
+                .where(F.col("th").isin(mhashes) & F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                cache[t] = found.get(t, 0)
+        return {t: cache[t] for t in terms}
+
 
 def parse_query(
     query: str, keyword_fields: tuple[str, ...] | None = None
@@ -129,14 +150,32 @@ def parse_query(
     return qw
 
 
+# Lucene guards wildcard rewrites with BooleanQuery.maxClauseCount (default
+# 1024): a broad prefix over a web-scale vocabulary must error, not build a
+# million-clause query. Same analog here.
+MAX_WILDCARD_EXPANSIONS = 1024
+
+# Past this many query terms, the scan filter switches from a pushed
+# In(th, …) predicate to a broadcast-joined term table (see search()).
+_ISIN_MAX_TERMS = 64
+
+
 def expand_wildcards(
-    spark: SparkSession, index: "IndexHandle", query: str
+    spark: SparkSession,
+    index: "IndexHandle",
+    query: str,
+    max_expansions: int = MAX_WILDCARD_EXPANSIONS,
 ) -> dict[str, float]:
     """P5 query rewrite: prefix wildcards (``ab*``) expand against the term
     dictionary, like Lucene's per-shard rewrite of WildcardQuery
     (LuceneServer.java:602-624; reference test query 'text:ab*',
     LuceneClientTest.java:310). Expansion is global (stats table) so all
-    shards score the same rewritten term set."""
+    shards score the same rewritten term set.
+
+    Expansion is capped at ``max_expansions`` terms per wildcard (Lucene's
+    maxClauseCount analog): the dictionary scan collects at most cap+1
+    rows — a too-broad prefix fails fast without pulling the vocabulary
+    through the driver."""
     import re as _re
 
     qw: dict[str, float] = {}
@@ -148,8 +187,15 @@ def expand_wildcards(
                 .where(F.col("term").startswith(low[:-1]))
                 .where(~F.col("term").contains(":"))
                 .select("term")
+                .limit(max_expansions + 1)
                 .collect()
             )
+            if len(rows) > max_expansions:
+                raise ValueError(
+                    f"wildcard {raw!r} expands to more than "
+                    f"{max_expansions} terms (Lucene maxClauseCount "
+                    "analog) — narrow the prefix or raise max_expansions"
+                )
             for r in rows:
                 qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
         else:
@@ -218,14 +264,18 @@ def _make_score_kernel(
         suffix = np.concatenate([np.cumsum(qimps[::-1])[::-1][1:], [0.0]])
         MARGIN = 1.0 + 1e-9  # guard float rounding of the bound arithmetic
 
-        doc_parts: list[np.ndarray] = []
-        contrib_parts: list[np.ndarray] = []
         theta = -np.inf  # running lower bound of the k-th best score
         # Exact accumulation: upper bounds only *skip decoding blocks* that
         # provably cannot create a NEW top-k entry AND contain no already-
         # accumulated candidate (whose exact score must stay exact).
-        acc_docs = None
-        acc_scores = None
+        # The accumulator is kept SORTED by doc_id (postings decode in
+        # sorted order), so each term merges in O(|acc| + |postings|) —
+        # no per-term np.unique re-sort of the whole accumulated set
+        # (that re-sort was O(T·M log M) and quadratic-ish for a 500-term
+        # wildcard expansion). Sum order per doc is unchanged (term order),
+        # so scores are bit-identical to the previous accumulation.
+        acc_docs: np.ndarray | None = None  # int64, sorted ascending
+        acc_scores: np.ndarray | None = None
 
         for pos, row in enumerate(pdf.itertuples(index=False)):
             # block-max bound: idf * tf_norm(block max_tf, block min_dl)
@@ -242,7 +292,9 @@ def _make_score_kernel(
                 # (must stay exact) or its new-doc bound can reach θ.
                 skips = read_skips(row.skips)
                 firsts = skips["first_doc"]
-                acc_u = np.sort(i64_to_u64_order(acc_docs))
+                # acc_docs is sorted in int64 order == u64 order (the map
+                # is order-preserving), so no sort is needed here.
+                acc_u = i64_to_u64_order(acc_docs)
                 # block bi covers [firsts[bi], firsts[bi+1])
                 idx = np.searchsorted(firsts, acc_u, side="right") - 1
                 has_acc = np.zeros(firsts.size, dtype=bool)
@@ -267,15 +319,26 @@ def _make_score_kernel(
                 * row.idf_row
                 * scoring.tf_norm_np(t, l, avgdl)
             )
-            doc_parts.append(d)
-            contrib_parts.append(contrib)
-
-            # refresh accumulator + θ after each term
-            all_docs = np.concatenate(doc_parts)
-            all_contrib = np.concatenate(contrib_parts)
-            acc_docs, inv = np.unique(all_docs, return_inverse=True)
-            acc_scores = np.bincount(inv, weights=all_contrib)
-            if acc_docs.size >= k and k > 0:
+            # merge this term's (sorted, unique-doc) contributions
+            if acc_docs is None:
+                acc_docs = d.copy()
+                acc_scores = np.asarray(contrib, dtype=np.float64).copy()
+            elif d.size:
+                pos_in = np.searchsorted(acc_docs, d)
+                pos_c = np.minimum(pos_in, max(acc_docs.size - 1, 0))
+                hit = (
+                    acc_docs[pos_c] == d
+                    if acc_docs.size
+                    else np.zeros(d.size, dtype=bool)
+                )
+                # docs are unique within a posting list → indices unique
+                acc_scores[pos_c[hit]] += contrib[hit]
+                if not hit.all():
+                    new_d, new_c = d[~hit], contrib[~hit]
+                    ins = np.searchsorted(acc_docs, new_d)
+                    acc_docs = np.insert(acc_docs, ins, new_d)
+                    acc_scores = np.insert(acc_scores, ins, new_c)
+            if acc_docs is not None and acc_docs.size >= k and k > 0:
                 theta = np.partition(acc_scores, acc_scores.size - k)[
                     acc_scores.size - k
                 ]
@@ -489,21 +552,37 @@ def search(
     # Term hashes computed DRIVER-SIDE with the pure-Python xxHash64
     # (bit-identical to F.xxhash64, parity-tested) — zero Spark jobs.
     hashes = sorted(term_hash(t) for t in terms)
+    # Small term lists become a pushed In(th, …) scan predicate (row-group
+    # skipping); LARGE lists (broad wildcard expansions) would bloat the
+    # plan and degenerate the pushed predicate, so past the threshold the
+    # term list travels as a broadcast-joined side table instead — the
+    # postings are filtered by the (inner) broadcast stats join itself.
+    use_isin = len(hashes) <= _ISIN_MAX_TERMS
+    q_pairs = [(term_hash(t), t) for t in terms]
+
+    def _stats_for_query(stats_df):
+        # the term guard drops any query term whose xxhash64 collides with
+        # a different indexed term
+        if use_isin:
+            return stats_df.where(
+                F.col("th").isin(hashes) & F.col("term").isin(terms)
+            )
+        q_df = spark.createDataFrame(q_pairs, "th long, term string")
+        return stats_df.join(F.broadcast(q_df), ["th", "term"], "left_semi")
+
     if shard_ids is None:
         # Phase 1 (global df per term — Katta's getDocFrequencies,
         # LuceneClient.java:264-286) is a broadcast join of the tiny stats
         # rows into the postings scan — no driver round-trip between the
         # phases; the kernel derives idf from the joined global df. The
-        # stats rows also carry the term STRING (postings store only th):
-        # the term.isin guard on the vocab-sized stats scan drops any
-        # query term whose hash collides with a different indexed term.
+        # stats rows also carry the term STRING (postings store only th).
         n_docs, avgdl = float(index.n_docs), index.avgdl
-        # th is the pushed predicate (int64 min/max row-group skipping).
-        postings = index.postings(spark).where(F.col("th").isin(hashes))
-        stats_small = (
-            index.stats(spark)
-            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
-            .select("th", "term", F.col("df").alias("df_g"))
+        postings = index.postings(spark)
+        if use_isin:
+            # th is the pushed predicate (int64 min/max row-group skipping)
+            postings = postings.where(F.col("th").isin(hashes))
+        stats_small = _stats_for_query(index.stats(spark)).select(
+            "th", "term", F.col("df").alias("df_g")
         )
         postings = postings.join(F.broadcast(stats_small), "th")
     else:
@@ -520,16 +599,13 @@ def search(
         avgdl = (
             float(sum(r["sum_dl"] for r in srows)) / n_docs if n_docs else 1.0
         )
-        postings = (
-            index.postings(spark)
-            .where(F.col("th").isin(hashes))
-            .where(F.col("shard_id").isin(shard_ids))
-        )
-        term_map = (
-            index.stats(spark)
-            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
-            .select("th", "term")
-        )
+        postings = index.postings(spark).where(F.col("shard_id").isin(shard_ids))
+        if use_isin:
+            postings = postings.where(F.col("th").isin(hashes))
+        else:
+            th_df = spark.createDataFrame([(h,) for h in hashes], "th long")
+            postings = postings.join(F.broadcast(th_df), "th", "left_semi")
+        term_map = _stats_for_query(index.stats(spark)).select("th", "term")
         # subset-global df joined per row (same shape as the global path)
         df_sub = postings.groupBy("th").agg(F.sum("df").alias("df_g"))
         postings = postings.join(F.broadcast(term_map), "th").join(
@@ -679,21 +755,19 @@ def search_multi(
         return spark.createDataFrame([], empty_schema)
     terms = sorted(qweights)
 
-    hashes = sorted(term_hash(t) for t in terms)
     # phase 1: combined stats over all indexes
     n_docs = float(sum(h.n_docs for h in handles))
     # exact combined avgdl from per-index shard stats (memoized per handle
     # — repeated queries over the same handles collect nothing here)
     tot_dl = sum(h.total_dl(spark) for h in handles)
     avgdl = tot_dl / n_docs if n_docs else 1.0
+    # per-handle df, memoized (df_of_terms) — repeated multi-index queries
+    # over warm handles collect nothing here
     df_tot: dict[str, int] = {}
     for h in handles:
-        for r in (
-            h.stats(spark)
-            .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
-            .collect()
-        ):
-            df_tot[r["term"]] = df_tot.get(r["term"], 0) + int(r["df"])
+        for t, d in h.df_of_terms(spark, terms).items():
+            if d:
+                df_tot[t] = df_tot.get(t, 0) + d
     live_terms = sorted(df_tot)
     if not live_terms or (mode == "and" and len(live_terms) < len(terms)):
         return spark.createDataFrame([], empty_schema)

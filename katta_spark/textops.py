@@ -113,6 +113,14 @@ def jaccard_pairs(
     )
 
 
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 8, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
@@ -122,26 +130,14 @@ def minhash_signatures(
     md5-hex string minimum is order-isomorphic to a uniform hash minimum,
     and identical across engines — the cross-engine-verifiable MinHash.
     """
-    sh = shingles(docs, n, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_shingles(shingles(docs, n, id_col, text_col), num_hashes)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, num_hashes: int = 8, bands: int = 4, n: int = 3,
-    id_col: str = "doc_id", text_col: str = "text",
+def _lsh_pairs_from_shingles(
+    sh: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(a, b) candidate near-dup pairs sharing >=1 LSH band, a < b.
-
-    bands bands of num_hashes/bands rows each. The scale path: shuffle is
-    by band bucket (small), candidate verification (jaccard_pairs) runs on
-    candidates only.
-    """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sig = _signatures_from_shingles(sh, num_hashes)
     band_cols = [
         F.concat_ws("#", F.lit(str(bi)), *[F.col(f"h{bi * rows + r}") for r in range(rows)]).alias("band")
         for bi in range(bands)
@@ -157,6 +153,21 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 4, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs sharing >=1 LSH band, a < b.
+
+    bands bands of num_hashes/bands rows each. The scale path: shuffle is
+    by band bucket (small), candidate verification (jaccard_pairs) runs on
+    candidates only.
+    """
+    return _lsh_pairs_from_shingles(
+        shingles(docs, n, id_col, text_col), num_hashes, bands
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame, threshold: float = 0.8, num_hashes: int = 8, bands: int = 4,
     n: int = 3, id_col: str = "doc_id", text_col: str = "text",
@@ -168,9 +179,19 @@ def near_dup_pairs(
     jaccard_pairs never runs on the full corpus — intersections are
     counted per candidate pair (cand ⋈ shingles(a) ⋈ shingles(b)), so cost
     is |candidates| x shingles/doc, not corpus².
+
+    The shingle table is computed ONCE and persisted (MEMORY_AND_DISK):
+    signatures, sizes, and intersections all branch from the same cached
+    relation instead of re-executing the tokenize/explode lineage 3x —
+    at 100 TB the shingle materialization is the dominant scan, so the
+    pipeline must pay it once.
     """
-    cand = minhash_lsh_pairs(docs, num_hashes, bands, n, id_col, text_col)
-    sh = shingles(docs, n, id_col, text_col)
+    from pyspark import StorageLevel
+
+    sh = shingles(docs, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = _lsh_pairs_from_shingles(sh, num_hashes, bands)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "a"), "a")

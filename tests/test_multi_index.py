@@ -69,6 +69,26 @@ def test_split_equals_whole(spark, split_indexes, query, k, mode):
     )
 
 
+def test_multi_index_stats_memoized(spark, split_indexes):
+    """Repeated multi-index queries over WARM handles must trigger zero
+    stats/shards jobs (df_of_terms + total_dl memoization — Katta's
+    CachedDfSource invariant)."""
+    _, a, b = split_indexes
+    ha, hb = IndexHandle.open(spark, a), IndexHandle.open(spark, b)
+    first = search_multi(spark, [ha, hb], "hotalpha w00011", k=10).collect()
+
+    def _boom(*_a, **_k):
+        raise AssertionError("stats/shards re-read on a warm handle")
+
+    for h in (ha, hb):
+        h.stats = _boom
+        h.shards = _boom
+    again = search_multi(spark, [ha, hb], "hotalpha w00011", k=10).collect()
+    assert [(r.doc_id, r.score) for r in first] == [
+        (r.doc_id, r.score) for r in again
+    ]
+
+
 def test_multi_index_filtered(spark, tiny_transcripts, split_indexes):
     """Filter applies to multi-index searches too (Katta Filter over
     several indexes): filtered multi == filtered whole, score-identical."""

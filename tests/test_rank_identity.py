@@ -118,6 +118,39 @@ def test_lineage_rows(spark, index):
     assert all(r.terms > 0 and r.postings > 0 and r.bytes > 0 for r in rows)
 
 
+def test_wildcard_expansion_cap(spark, index):
+    """Lucene maxClauseCount analog: a too-broad prefix errors instead of
+    pulling the vocabulary through the driver."""
+    from katta_spark.query import expand_wildcards
+
+    with pytest.raises(ValueError, match="expands to more than"):
+        expand_wildcards(spark, index, "w*", max_expansions=3)
+    # a narrow prefix under the cap still expands
+    qw = expand_wildcards(spark, index, "hotal*", max_expansions=3)
+    assert qw == {"hotalpha": 1.0}
+
+
+def test_many_term_query_broadcast_path(spark, index, docs):
+    """>_ISIN_MAX_TERMS query terms switch from a pushed In(th) predicate
+    to a broadcast-joined term table; ranking must be identical to the
+    oracle (this also exercises the incremental OR-kernel accumulator on a
+    wide expansion-like query)."""
+    from katta_spark.query import _ISIN_MAX_TERMS
+
+    terms = [f"w{i:05d}" for i in range(10, 10 + _ISIN_MAX_TERMS + 10)]
+    q = " ".join(terms + ["hotalpha"])
+    got = search(spark, index, q, k=15).collect()
+    want = bm25_topk(docs, q, k=15, shard_col="shard_id").collect()
+    assert [(r.doc_id, r.shard_id) for r in got] == [
+        (r.doc_id, r.shard_id) for r in want
+    ]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+
+
 def test_zero_doc_shards(spark, tmp_path_factory):
     """Shards with zero documents (num_shards >> n_docs) must build and
     search cleanly — reference KATTA-203 (zero-doc shard handling)."""
