@@ -810,23 +810,51 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         ORDER BY cos DESC, vec_id ASC LIMIT 10
     """
 
-    o["dedup_embedding"] = f"""
-        WITH sig AS (
-          SELECT vec_id, embedding, ({_bucket("embedding")})::BIGINT AS bucket
-          FROM embeddings
-        ),
-        pairs AS (
-          SELECT x.vec_id a, y.vec_id b,
-                 round(
-                   list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
-                   / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
-                   4
-                 ) AS cos
-          FROM sig x JOIN sig y
-            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    # Banded sign-LSH (similarity.banded_lsh_buckets: 4 bands x 6 planes,
+    # total 24 md5-Rademacher planes): candidates share >=1 band bucket,
+    # then exact-cosine verify — bit-identical band assignment via the
+    # same sequential fold order.
+    HB = rademacher_hyperplanes(64, 24, 7)
+
+    def _band_proj(col: str, p: int) -> str:
+        return " + ".join(
+            f"{col}[{d + 1}]::DOUBLE * {HB[p, d]:.1f}" for d in range(64)
         )
-        SELECT a, b, cos FROM pairs WHERE cos >= 0.3
+
+    def _band_bucket(col: str, bi: int, r: int = 6) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN ({_band_proj(col, bi * r + p)}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(r)
+        )
+        return f"'{bi}' || '#' || (({bits})::BIGINT)::VARCHAR"
+
+    band_exprs = ", ".join(_band_bucket("embedding", bi) for bi in range(4))
+    o["dedup_embedding"] = f"""
+        WITH banded AS (
+          SELECT vec_id, unnest([{band_exprs}]) AS band FROM embeddings
+        ),
+        cand AS (
+          SELECT DISTINCT x.vec_id a, y.vec_id b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.vec_id < y.vec_id
+        )
+        SELECT a, b,
+               round(
+                 list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+                 4
+               ) AS cos
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = a
+        JOIN embeddings eb ON eb.vec_id = b
+        WHERE round(
+                 list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+                 4
+              ) >= 0.3
     """
 
     return o

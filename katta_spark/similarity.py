@@ -211,11 +211,48 @@ def ann_topk(
     )
 
 
+def banded_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, band): BANDED sign-LSH — ``bands`` independent buckets per
+    vector, band b derived from its own slice of ``planes_per_band``
+    hyperplanes (total planes = bands × planes_per_band).
+
+    The MinHash-LSH banding trick applied to sign random projections:
+    ``planes_per_band`` controls bucket granularity (2^r buckets per band
+    — raise r with corpus size to bound per-bucket occupancy), while
+    ``bands`` controls recall (a pair is a candidate if it agrees on ANY
+    one band: P = 1-(1-p^r)^b, p = 1-θ/π) — the two knobs are independent,
+    unlike a single all-planes bucket where shrinking buckets collapses
+    recall. All JVM expressions, deterministic md5-Rademacher planes.
+    """
+    H = rademacher_hyperplanes(dim, bands * planes_per_band, seed)
+    band_cols = []
+    for bi in range(bands):
+        sub = H[bi * planes_per_band : (bi + 1) * planes_per_band]
+        band_cols.append(
+            F.concat_ws(
+                "#", F.lit(str(bi)), bucket_col(F.col(vec_col), sub).cast("string")
+            )
+        )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     dim: int = 64,
-    planes: int = 6,
+    bands: int = 4,
+    planes_per_band: int = 6,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -223,23 +260,34 @@ def embedding_near_dup_pairs(
     """(a, b, cos): embedding-cosine near-duplicate pairs, a < b.
 
     The dedup shape, not the search shape: candidate pairs are generated
-    ONLY within LSH buckets (high-cosine pairs land in the same
-    hyperplane bucket with probability (1 - θ/π)^planes), then verified
-    with exact cosine ≥ threshold. The join is bucket-equi — at 100 TB the
-    shuffle is by bucket and the quadratic blowup is bounded per bucket,
-    never corpus². All arithmetic JVM-side; deterministic hyperplanes give
-    the whole path an exact cross-engine oracle.
+    ONLY within BANDED LSH buckets (banded_lsh_buckets — pairs must share
+    at least one band), then verified with exact cosine ≥ threshold. The
+    candidate join is band-equi, so at 100 TB the shuffle is by band
+    bucket and per-bucket occupancy is controlled by ``planes_per_band``
+    INDEPENDENTLY of recall (``bands``): raise planes_per_band as the
+    corpus grows (r ≈ log2(n) keeps expected bucket size constant) without
+    losing the high-cosine pairs a single deeper all-planes bucket would
+    drop. All arithmetic JVM-side; deterministic hyperplanes give the
+    whole path an exact cross-engine oracle.
     """
-    sigs = lsh_signatures(embeddings, dim, planes, seed, id_col, vec_col)
-    a = sigs.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("va"), "bucket"
+    banded = banded_lsh_buckets(
+        embeddings, dim, bands, planes_per_band, seed, id_col, vec_col
     )
-    b = sigs.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), "bucket"
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
     )
     return (
-        a.join(b, "bucket")
-        .where(F.col("a") < F.col("b"))
+        cand.join(ea, "a")
+        .join(eb, "b")
         .select(
             "a",
             "b",

@@ -1,0 +1,116 @@
+"""Banded sign-LSH for embedding near-dup: occupancy vs recall knobs.
+
+The banding trick (MinHash-LSH style, applied to Charikar sign random
+projections): ``planes_per_band`` bounds per-bucket occupancy — it can be
+raised with corpus size — while ``bands`` keeps recall, because candidates
+need agree on only ONE band. A single all-planes bucket couples the two:
+shrinking buckets collapses recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.similarity import (
+    banded_lsh_buckets,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def skewed_embeddings(spark):
+    """400 vectors clustered around one dominant direction (directional
+    skew — the adversarial case for LSH bucket balance) + 100 spread
+    vectors + 20 planted near-dup pairs (cos > 0.995)."""
+    rng = np.random.default_rng(7)
+    dom = rng.normal(size=DIM)
+    dom /= np.linalg.norm(dom)
+    rows = []
+    vid = 0
+    for _ in range(400):  # skew cluster: dominant direction + small noise
+        v = dom + 0.35 * rng.normal(size=DIM)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    for _ in range(100):  # background
+        v = rng.normal(size=DIM)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    planted = []
+    for _ in range(20):  # planted near-dups: tiny perturbation
+        v = rng.normal(size=DIM)
+        w = v + 0.01 * rng.normal(size=DIM)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+    return df, planted
+
+
+def _max_band_occupancy(df, planes_per_band: int, bands: int = 4) -> int:
+    occ = (
+        banded_lsh_buckets(df, DIM, bands=bands, planes_per_band=planes_per_band)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    return int(occ["mx"])
+
+
+def test_planes_per_band_bounds_occupancy(spark, skewed_embeddings):
+    """Raising planes_per_band strictly shrinks the worst bucket on a
+    direction-skewed corpus — the knob that must grow with corpus size."""
+    df, _ = skewed_embeddings
+    coarse = _max_band_occupancy(df, planes_per_band=2)
+    fine = _max_band_occupancy(df, planes_per_band=8)
+    assert fine < coarse, (fine, coarse)
+    # and the fine buckets break the skew cluster well below its size
+    assert fine < 400
+
+
+def test_banding_keeps_recall(spark, skewed_embeddings):
+    """Every planted near-dup pair (cos > 0.995) survives as a candidate
+    and is returned by the verified pipeline, even at fine granularity
+    (planes_per_band=8) — a single 32-plane bucket would lose pairs, the
+    4x8 banding does not (P ≈ 1-(1-p^8)^4 ≈ 1 for p ≈ 0.999)."""
+    df, planted = skewed_embeddings
+    got = {
+        (r.a, r.b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.98, dim=DIM, bands=4, planes_per_band=8
+        ).collect()
+    }
+    missing = [p for p in planted if p not in got]
+    assert not missing, f"banding lost planted near-dups: {missing}"
+
+
+def test_pairs_are_verified_exact(spark, skewed_embeddings):
+    """Every returned pair really has cosine >= threshold (no unverified
+    LSH candidates leak through)."""
+    df, _ = skewed_embeddings
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.9, dim=DIM, bands=4, planes_per_band=4
+    ).collect()
+    assert pairs
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in df.collect()}
+    for r in pairs:
+        va, vb = emb[r.a], emb[r.b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert round(cos, 4) >= 0.9 - 1e-9
+        assert abs(round(cos, 4) - r.cos) < 2e-4
+
+
+def test_ann_exact_baseline_unchanged(spark, skewed_embeddings):
+    """cosine_topk (the exact baseline) finds a planted near-dup as the
+    top neighbor of its twin."""
+    df, planted = skewed_embeddings
+    a, b = planted[0]
+    top = cosine_topk(df, query_vec_id=a, k=1).collect()[0]
+    assert top.vec_id == b
