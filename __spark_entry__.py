@@ -327,6 +327,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_total"] = bm25_total
 
+    def bm25_not(spark, sf):
+        """F2 boolean MUST_NOT (-term, Lucene QueryParser syntax exposed
+        verbatim by Katta.java:825-826): docs containing the excluded term
+        are dropped inside the shard kernels; survivors' scores are
+        unchanged."""
+        return _bm25(spark, sf, "join hash -scan", 10)
+
+    q["bm25_not"] = bm25_not
+
+    def bm25_phrase(spark, sf):
+        """F2 phrase clause: '"join hash"' must appear as consecutive
+        tokens (verified against stored text on candidates only — the
+        kernel's must-set already restricts to docs containing both
+        tokens); 'merge' is an extra SHOULD scoring term."""
+        hits = ksq.search(
+            spark, _index_dir(spark, sf), '"join hash" merge', k=10,
+            score_dtype="float64",
+            source=_docs(spark, sf), source_doc_id_col="doc_id",
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_phrase"] = bm25_phrase
+
     def bm25_wildcard(spark, sf):
         """P5 end-to-end: prefix wildcard expanded against the term
         dictionary (Lucene rewrite, LuceneServer.java:602-624), then the
@@ -504,6 +527,23 @@ def oracle_sql() -> dict[str, str]:
         ),
     )
     o["bm25_total"] = _bm25_sql([("join", 1.0), ("hash", 1.0)], 10, total=True)
+    # MUST_NOT: anti-join on the excluded term's matches (scores unchanged)
+    o["bm25_not"] = _bm25_sql(
+        [("join", 1.0), ("hash", 1.0)], 10,
+        filter_clause=(
+            "WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'scan')"
+        ),
+    )
+    # phrase: contains-verify of the consecutive token run on candidates;
+    # scoring = plain BM25 over all three scoring terms
+    o["bm25_phrase"] = _bm25_sql(
+        [("join", 1.0), ("hash", 1.0), ("merge", 1.0)], 10,
+        filter_clause=(
+            "WHERE doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"contains(' ' || array_to_string({_TOK}, ' ') || ' ', "
+            "' join hash '))"
+        ),
+    )
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
 

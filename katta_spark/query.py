@@ -39,7 +39,7 @@ from katta_spark.codec import (
     read_skips,
     vb_decode,
 )
-from katta_spark.tokenizer import tokenize_str
+from katta_spark.tokenizer import tokenize_col, tokenize_str
 from katta_spark.xxhash import term_hash
 
 
@@ -150,6 +150,65 @@ def parse_query(
     return qw
 
 
+def parse_bool_query(
+    query: str, keyword_fields: tuple[str, ...] | None = None
+) -> tuple[dict[str, float], set[str], set[str], list[list[str]]]:
+    """Lucene-QueryParser-style boolean clauses (F2 — the syntax Katta
+    exposes verbatim through Lucene's QueryParser, Katta.java:825-826):
+
+    - ``+term``    MUST: the doc must contain the term (it also scores)
+    - ``-term``    MUST_NOT: the doc must not contain the term (never scores)
+    - ``"a b c"``  phrase: the doc must contain the exact consecutive token
+                   sequence (verified against stored text — our postings
+                   carry no positions); each phrase token scores as a
+                   normal term. Phrases are MUST clauses here (a
+                   documented simplification of Lucene's default-OR bare
+                   phrase; negated phrases are rejected).
+    - plain terms  SHOULD: score when present.
+
+    Returns (qweights, must, must_not, phrases): qweights covers every
+    SCORING term (should + must + phrase tokens), duplicated clauses
+    weight additively like parse_query.
+    """
+    import re as _re
+
+    fields = set(keyword_fields or ())
+    qw: dict[str, float] = {}
+    must: set[str] = set()
+    must_not: set[str] = set()
+    phrases: list[list[str]] = []
+
+    def _terms_of(raw: str) -> list[str]:
+        fld, sep, val = raw.partition(":")
+        if sep and val and fld in fields:
+            return [raw]
+        return tokenize_str(raw)
+
+    def _phrase(m: "_re.Match") -> str:
+        if m.group(1) == "-":
+            raise ValueError("negated phrases are not supported")
+        toks = tokenize_str(m.group(2))
+        if toks:
+            phrases.append(toks)
+            for t in toks:
+                qw[t] = qw.get(t, 0.0) + 1.0
+                must.add(t)
+        return " "
+
+    rest = _re.sub(r'([+-]?)"([^"]*)"', _phrase, query)
+    for raw in rest.split():
+        if raw.startswith("+") and len(raw) > 1:
+            for t in _terms_of(raw[1:]):
+                qw[t] = qw.get(t, 0.0) + 1.0
+                must.add(t)
+        elif raw.startswith("-") and len(raw) > 1:
+            must_not.update(_terms_of(raw[1:]))
+        else:
+            for t in _terms_of(raw):
+                qw[t] = qw.get(t, 0.0) + 1.0
+    return qw, must, must_not, phrases
+
+
 # Lucene guards wildcard rewrites with BooleanQuery.maxClauseCount (default
 # 1024): a broad prefix over a web-scale vocabulary must error, not build a
 # million-clause query. Same analog here.
@@ -223,6 +282,8 @@ def _make_score_kernel(
     prune: bool,
     score_dtype: str = "float32",
     with_total: bool = False,
+    must_terms: frozenset[str] = frozenset(),
+    not_terms: frozenset[str] = frozenset(),
 ):
     """Per-shard scoring kernel (applyInPandas over shard_id groups).
 
@@ -233,7 +294,13 @@ def _make_score_kernel(
     Katta's per-shard TopScoreDocCollector capped at min(limit, maxDoc)
     (LuceneServer.java:664-679) — and, when ``with_total``, the shard's
     exact match count (totalHits partial, Hits.java:34-51).
-    """
+
+    Boolean clauses (parse_bool_query): ``must_terms`` docs must contain
+    every listed term (they score too — Lucene MUST clauses score);
+    ``not_terms`` docs are excluded and never score. Docs live wholly in
+    one shard, so both masks are exact per shard. Block pruning is forced
+    off with clauses present (the θ bound is over UNMASKED scores)."""
+    prune = prune and not must_terms and not not_terms
 
     def kernel(
         pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
@@ -241,6 +308,17 @@ def _make_score_kernel(
         if not len(pdf):
             return _empty_hits(score_dtype, with_total)
         shard_id = int(pdf["shard_id"].iloc[0])
+        excl_parts: list[np.ndarray] = []
+        if not_terms:
+            neg = pdf[pdf["term"].isin(not_terms)]
+            for row in neg.itertuples(index=False):
+                excl_parts.append(
+                    decode_posting_list(row.doc_ids, row.tfs, row.doclens)[0]
+                )
+            pdf = pdf[~pdf["term"].isin(not_terms)]
+            if not len(pdf):
+                return _empty_hits(score_dtype, with_total)
+        must_seen: dict[str, np.ndarray] = {}
         # idf from the per-row GLOBAL df (broadcast-joined from the stats
         # table inside the same job — phase 1 without a driver round-trip);
         # then row-level impact bound from raw (max_tf, min_dl), and terms
@@ -319,6 +397,10 @@ def _make_score_kernel(
                 * row.idf_row
                 * scoring.tf_norm_np(t, l, avgdl)
             )
+            if row.term in must_terms:
+                # prune is off with clauses → d is the FULL (filtered)
+                # posting list of this must term in this shard
+                must_seen[row.term] = d
             # merge this term's (sorted, unique-doc) contributions
             if acc_docs is None:
                 acc_docs = d.copy()
@@ -344,6 +426,23 @@ def _make_score_kernel(
                 ]
 
         if acc_docs is None or acc_docs.size == 0 or k <= 0:
+            return _empty_hits(score_dtype, with_total)
+        if must_terms:
+            if len(must_seen) < len(must_terms):
+                # a must term has no postings in this shard ⇒ no matches
+                return _empty_hits(score_dtype, with_total)
+            msk: np.ndarray | None = None
+            for arr in must_seen.values():
+                msk = arr if msk is None else msk[np.isin(msk, arr)]
+                if msk.size == 0:
+                    return _empty_hits(score_dtype, with_total)
+            keep = np.isin(acc_docs, msk)
+            acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+        if excl_parts:
+            excl = np.concatenate(excl_parts)
+            keep = ~np.isin(acc_docs, excl)
+            acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+        if acc_docs.size == 0:
             return _empty_hits(score_dtype, with_total)
         scores32 = acc_scores.astype(score_dtype)
         # top-k with exact tie-break: score DESC, doc_id ASC
@@ -514,10 +613,24 @@ def search(
     filter_docs: list[int] | None = None,
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
+    source: DataFrame | None = None,
+    source_text_col: str = "text",
+    source_id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    source_doc_id_col: str | None = None,
     _with_total: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
+
+    Boolean syntax (parse_bool_query — Lucene QueryParser's operators,
+    which Katta exposes verbatim, Katta.java:825-826): ``+term`` MUST,
+    ``-term`` MUST_NOT, ``"a b"`` phrase. MUST/MUST_NOT are enforced
+    inside the shard kernels (one job, no extra shuffles). Phrases are
+    verified against stored text: pass ``source`` (the corpus DataFrame;
+    ``source_doc_id_col`` or ``source_id_cols`` must reproduce the
+    index's docIDs) — candidates are already restricted to docs
+    containing every phrase token, so the verify join touches candidates
+    only. ``mode`` must be 'or' when boolean operators are present.
 
     Plan at scale: parquet scan of postings pruned to the query's shards
     (partition column) and terms (pushed predicate + row-group skipping via
@@ -540,15 +653,34 @@ def search(
     empty_schema = f"doc_id long, shard_id int, score {sql_t}"
     if _with_total:
         empty_schema += ", shard_total long"
-    qweights = (
-        expand_wildcards(spark, index, query)
-        if "*" in query
-        else parse_query(query, index.keyword_fields)
-    )
+    must: set[str] = set()
+    must_not: set[str] = set()
+    phrases: list[list[str]] = []
+    if "*" in query:
+        qweights = expand_wildcards(spark, index, query)
+    else:
+        qweights, must, must_not, phrases = parse_bool_query(
+            query, index.keyword_fields
+        )
+    boolean = bool(must or must_not or phrases)
+    if boolean and mode != "or":
+        raise ValueError(
+            "boolean operators (+/-/phrase) define their own clause "
+            f"semantics; mode={mode!r} is not combinable with them"
+        )
+    if phrases and source is None:
+        raise ValueError(
+            "phrase queries verify adjacency against stored text — pass "
+            "source= (the corpus DataFrame)"
+        )
+    if phrases and _with_total:
+        raise ValueError("phrase queries do not support totalHits yet")
     if not qweights or k <= 0:
         return spark.createDataFrame([], empty_schema)
 
-    terms = sorted(qweights)
+    # fetch set = scoring terms ∪ excluded terms (the kernel needs the
+    # excluded terms' postings to build the per-shard exclusion mask)
+    terms = sorted(set(qweights) | must_not)
     # Term hashes computed DRIVER-SIDE with the pure-Python xxHash64
     # (bit-identical to F.xxhash64, parity-tested) — zero Spark jobs.
     hashes = sorted(term_hash(t) for t in terms)
@@ -612,11 +744,24 @@ def search(
             F.broadcast(df_sub), "th"
         )
 
-    if mode not in KERNEL_MODES:
-        raise ValueError(f"unknown search mode {mode!r}; registered: {sorted(KERNEL_MODES)}")
-    kernel = KERNEL_MODES[mode](
-        qweights, n_docs, avgdl, k, prune, score_dtype, _with_total
-    )
+    if boolean:
+        # phrase verify drops docs AFTER scoring, so with phrases present
+        # the kernel must emit every (must-constrained) candidate — the
+        # must-set already bounds candidates to docs containing all phrase
+        # tokens, so this is candidate-sized, not corpus-sized.
+        k_kernel = (2**31 - 1) if phrases else k
+        kernel = _make_score_kernel(
+            qweights, n_docs, avgdl, k_kernel, False, score_dtype,
+            _with_total, frozenset(must), frozenset(must_not),
+        )
+    else:
+        if mode not in KERNEL_MODES:
+            raise ValueError(
+                f"unknown search mode {mode!r}; registered: {sorted(KERNEL_MODES)}"
+            )
+        kernel = KERNEL_MODES[mode](
+            qweights, n_docs, avgdl, k, prune, score_dtype, _with_total
+        )
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
     if _with_total:
         out_schema += ", shard_total long"
@@ -651,6 +796,30 @@ def search(
         )
     sel = ["doc_id", "shard_id", "score"] + (["shard_total"] if _with_total else [])
     hits = hits.select(*sel)
+    if phrases:
+        # Adjacency verify on stored text, CANDIDATES ONLY: the kernel's
+        # must-set already restricted hits to docs containing every phrase
+        # token, so this join touches |candidates| rows, never the corpus.
+        # Surviving docs keep their BM25 scores unchanged (filter
+        # semantics, like Katta's Filter).
+        if source_doc_id_col is None:
+            src = source.withColumn(
+                "doc_id", F.xxhash64(*[F.col(c) for c in source_id_cols])
+            )
+        else:
+            src = source.withColumn(
+                "doc_id", F.col(source_doc_id_col).cast("long")
+            )
+        joined = hits.join(
+            src.select("doc_id", F.col(source_text_col).alias("__text")),
+            "doc_id",
+        )
+        padded = F.concat(
+            F.lit(" "), F.array_join(tokenize_col(F.col("__text")), " "), F.lit(" ")
+        )
+        for p in phrases:
+            joined = joined.where(padded.contains(" " + " ".join(p) + " "))
+        hits = joined.drop("__text")
     if not ordered:
         # Caller does its own ordering (e.g. field sort) — returning the
         # per-shard union unsorted avoids a global score sort that would

@@ -1,0 +1,139 @@
+"""Boolean query clauses: +MUST, -MUST_NOT, "phrase" (F2).
+
+Reference: Katta hands query strings verbatim to Lucene's QueryParser
+(Katta.java:825-826), whose boolean surface is +/-/quoted phrases over a
+default-OR query. Clause semantics here: a doc matches if it contains all
+MUST terms (incl. phrase tokens), no MUST_NOT term, and phrases appear as
+consecutive token runs in the stored text; surviving docs keep their plain
+BM25 scores (sum over matching scoring clauses) — so the oracle is the
+FULL OR ranking post-filtered by the constraints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.build import build_index
+from katta_spark.oracle import bm25_topk, with_doc_ids
+from katta_spark.query import parse_bool_query, search
+from katta_spark.tokenizer import tokenize_col
+
+
+@pytest.fixture(scope="module")
+def bidx(spark, tiny_transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bool_idx"))
+    build_index(spark, tiny_transcripts, d, num_shards=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs(tiny_transcripts):
+    return with_doc_ids(tiny_transcripts, 4).cache()
+
+
+def _docs_with_term(docs, term):
+    return docs.where(
+        F.array_contains(tokenize_col(F.col("text")), term)
+    ).select("doc_id")
+
+
+def _oracle_filtered(docs, scoring_query, keep_df, k):
+    """Full OR ranking post-filtered to keep_df docIDs, first k — scores
+    of surviving docs are unchanged by constraints (filter semantics)."""
+    full = bm25_topk(docs, scoring_query, k=10**6, shard_col="shard_id")
+    return (
+        full.join(keep_df, "doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+
+
+def test_parse_bool_query():
+    qw, must, must_not, phrases = parse_bool_query('+alpha -beta "gam ma" delta')
+    assert qw == {"alpha": 1.0, "gam": 1.0, "ma": 1.0, "delta": 1.0}
+    assert must == {"alpha", "gam", "ma"}
+    assert must_not == {"beta"}
+    assert phrases == [["gam", "ma"]]
+    with pytest.raises(ValueError, match="negated phrases"):
+        parse_bool_query('-"a b"')
+
+
+def test_must_clause(spark, bidx, docs):
+    got = search(spark, bidx, "hotalpha +w00011", k=10).collect()
+    want = _oracle_filtered(
+        docs, "hotalpha w00011", _docs_with_term(docs, "w00011"), 10
+    )
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_must_not_clause(spark, bidx, docs):
+    got = search(spark, bidx, "hotalpha -hotbeta", k=10).collect()
+    keep = docs.select("doc_id").exceptAll(
+        _docs_with_term(docs, "hotbeta")
+    )
+    want = _oracle_filtered(docs, "hotalpha", keep, 10)
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+    # and no hit contains the excluded term
+    hit_ids = [r.doc_id for r in got]
+    bad = _docs_with_term(docs, "hotbeta").where(
+        F.col("doc_id").isin(hit_ids)
+    ).count()
+    assert bad == 0
+
+
+def test_phrase_clause(spark, bidx, docs, tiny_transcripts):
+    got = search(
+        spark, bidx, '"hotalpha hotbeta"', k=10,
+        source=tiny_transcripts,
+    ).collect()
+    padded = F.concat(
+        F.lit(" "), F.array_join(tokenize_col(F.col("text")), " "), F.lit(" ")
+    )
+    keep = docs.where(padded.contains(" hotalpha hotbeta ")).select("doc_id")
+    assert keep.count() > 0, "fixture must contain the phrase"
+    want = _oracle_filtered(docs, "hotalpha hotbeta", keep, 10)
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_phrase_with_should_term(spark, bidx, docs, tiny_transcripts):
+    """Phrase + extra SHOULD term: constraint from the phrase, scoring from
+    all three terms."""
+    got = search(
+        spark, bidx, '"hotalpha hotbeta" w00011', k=10,
+        source=tiny_transcripts,
+    ).collect()
+    padded = F.concat(
+        F.lit(" "), F.array_join(tokenize_col(F.col("text")), " "), F.lit(" ")
+    )
+    keep = docs.where(padded.contains(" hotalpha hotbeta ")).select("doc_id")
+    want = _oracle_filtered(docs, "hotalpha hotbeta w00011", keep, 10)
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
+def test_boolean_guard_rails(spark, bidx, tiny_transcripts):
+    with pytest.raises(ValueError, match="phrase queries verify"):
+        search(spark, bidx, '"hotalpha hotbeta"', k=5)  # no source
+    with pytest.raises(ValueError, match="not combinable"):
+        search(spark, bidx, "+hotalpha hotbeta", k=5, mode="and")
+
+
+def test_must_term_absent_everywhere(spark, bidx):
+    assert search(spark, bidx, "hotalpha +zzzqqq", k=5).collect() == []
