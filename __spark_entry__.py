@@ -350,6 +350,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_phrase"] = bm25_phrase
 
+    def bm25_total_multi(spark, sf):
+        """A4/§2.7: totalHits across a LIST of indexes (split corpus) —
+        Katta's multi-index count sums per-node results over every index
+        (LuceneClient.java:225-251); top-k, scores and total must equal
+        the whole-corpus answer."""
+        a, b = _split_index_dirs(spark, sf)
+        out = ksq.search_with_total(
+            spark, [a, b], "join hash", k=10, score_dtype="float64",
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score_r"), "total_hits"
+        )
+
+    q["bm25_total_multi"] = bm25_total_multi
+
     def bm25_wildcard(spark, sf):
         """P5 end-to-end: prefix wildcard expanded against the term
         dictionary (Lucene rewrite, LuceneServer.java:602-624), then the
@@ -546,6 +561,8 @@ def oracle_sql() -> dict[str, str]:
     )
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
+    # …and the whole-corpus totalHits (cross-index accumulation)
+    o["bm25_total_multi"] = o["bm25_total"]
 
     # wildcard e2e: q = dictionary expansion of 'sc%' (each term weight 1)
     # plus the literal term — same CTE body, SELECT-shaped q

@@ -832,7 +832,7 @@ def search(
 
 def search_with_total(
     spark: SparkSession,
-    index: IndexHandle | str,
+    index: "IndexHandle | str | list[IndexHandle | str]",
     query: str,
     k: int = 10,
     mode: str = "or",
@@ -851,6 +851,12 @@ def search_with_total(
     count is exact (Lucene's TopScoreDocCollector also visits every match
     when totalHits is tracked; under WAND it degrades to a lower bound).
 
+    ``index`` may be a LIST of indexes: totals then accumulate across all
+    searched indexes with cross-index stats, exactly like Katta's
+    multi-index count summing per-node results over every index
+    (LuceneClient.java:225-251) — scores stay identical to a single
+    merged index.
+
     Returns DataFrame(doc_id, shard_id, score, total_hits, shards_hit,
     shards_total), ≤ k rows; total_hits / coverage constant across rows.
     shards_hit vs shards_total is the coverage report (Katta's Hits
@@ -858,19 +864,32 @@ def search_with_total(
     all-or-nothing so "searched" coverage is always full — what varies,
     and is reported, is how many shards contributed matches).
     """
-    if isinstance(index, str):
-        index = IndexHandle.open(spark, index)
     sql_t = "float" if score_dtype == "float32" else "double"
     schema = (
         f"doc_id long, shard_id int, score {sql_t}, total_hits long, "
         "shards_hit int, shards_total int"
     )
-    rows = search(
-        spark, index, query, k=k, mode=mode, score_dtype=score_dtype,
-        prune=False, ordered=False,
-        filter_df=filter_df, filter_doc_col=filter_doc_col,
-        _with_total=True,
-    ).collect()
+    if isinstance(index, (list, tuple)):
+        handles = [
+            IndexHandle.open(spark, ix) if isinstance(ix, str) else ix
+            for ix in index
+        ]
+        shards_total = sum(h.num_shards for h in handles)
+        rows = search_multi(
+            spark, handles, query, k=k, mode=mode, score_dtype=score_dtype,
+            filter_df=filter_df, filter_doc_col=filter_doc_col,
+            ordered=False, _with_total=True,
+        ).collect()
+    else:
+        if isinstance(index, str):
+            index = IndexHandle.open(spark, index)
+        shards_total = index.num_shards
+        rows = search(
+            spark, index, query, k=k, mode=mode, score_dtype=score_dtype,
+            prune=False, ordered=False,
+            filter_df=filter_df, filter_doc_col=filter_doc_col,
+            _with_total=True,
+        ).collect()
     if not rows:
         return spark.createDataFrame([], schema)
     per_shard = {r.shard_id: int(r.shard_total) for r in rows}
@@ -879,7 +898,7 @@ def search_with_total(
     return spark.createDataFrame(
         [
             (r.doc_id, r.shard_id, float(r.score), total,
-             len(per_shard), index.num_shards)
+             len(per_shard), shards_total)
             for r in top
         ],
         schema,
@@ -895,6 +914,8 @@ def search_multi(
     score_dtype: str = "float32",
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
+    ordered: bool = True,
+    _with_total: bool = False,
 ) -> DataFrame:
     """Search several indexes as one corpus — Katta's multi-index search
     (``search(query, ["idx1", "idx2"])``, LuceneClientTest.java:266-279).
@@ -918,6 +939,8 @@ def search_multi(
     ]
     sql_t = "float" if score_dtype == "float32" else "double"
     empty_schema = f"doc_id long, shard_id int, score {sql_t}"
+    if _with_total:
+        empty_schema += ", shard_total long"
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
     qweights = parse_query(query, all_kw)
     if not qweights or k <= 0:
@@ -964,10 +987,18 @@ def search_multi(
     postings = postings.join(F.broadcast(df_g), "th")
 
     if mode == "and":
-        kernel = _make_and_kernel(qweights, n_docs, avgdl, k, score_dtype)
+        kernel = _make_and_kernel(
+            qweights, n_docs, avgdl, k, score_dtype, _with_total
+        )
     else:
-        kernel = _make_score_kernel(qweights, n_docs, avgdl, k, True, score_dtype)
+        # with totals the count must be exact → no block pruning
+        kernel = _make_score_kernel(
+            qweights, n_docs, avgdl, k, not _with_total, score_dtype,
+            _with_total,
+        )
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
+    if _with_total:
+        out_schema += ", shard_total long"
     if filter_df is None:
         hits = postings.groupBy("shard_id").applyInPandas(
             lambda pdf: kernel(pdf), out_schema
@@ -990,7 +1021,7 @@ def search_multi(
 
         def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
-                return _empty_hits(score_dtype)
+                return _empty_hits(score_dtype, _with_total)
             allowed = np.unique(right["doc_id"].to_numpy(np.int64))
             return kernel(left, allowed)
 
@@ -999,11 +1030,15 @@ def search_multi(
             .cogroup(fdf.groupBy("shard_id"))
             .applyInPandas(cog, out_schema)
         )
-    return (
-        hits.select("doc_id", "shard_id", "score")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc())
-        .limit(k)
+    sel = ["doc_id", "shard_id", "score"] + (
+        ["shard_total"] if _with_total else []
     )
+    hits = hits.select(*sel)
+    if not ordered:
+        return hits
+    return hits.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
+    ).limit(k)
 
 
 def search_sorted(
@@ -1051,16 +1086,42 @@ def search_sorted(
     return out
 
 
-def count_matches(spark: SparkSession, index: IndexHandle | str, query: str) -> int:
+def count_matches(
+    spark: SparkSession,
+    index: "IndexHandle | str | list[IndexHandle | str]",
+    query: str,
+) -> int:
     """Hit-count fast path (Katta getResultCount, LuceneServer.java:413-423):
-    number of docs matching ≥1 query term — no scores materialized."""
-    if isinstance(index, str):
-        index = IndexHandle.open(spark, index)
-    terms = sorted(parse_query(query, index.keyword_fields))
+    number of docs matching ≥1 query term — no scores materialized.
+
+    A LIST of indexes counts across all of them (Katta's count() sums
+    per-node results over every searched index, LuceneClient.java:225-251):
+    match counting needs no stats, so the postings streams simply bag-union
+    with offset shard ids."""
+    handles = (
+        [IndexHandle.open(spark, ix) if isinstance(ix, str) else ix for ix in index]
+        if isinstance(index, (list, tuple))
+        else [IndexHandle.open(spark, index) if isinstance(index, str) else index]
+    )
+    all_kw = tuple({f for h in handles for f in h.keyword_fields})
+    terms = sorted(parse_query(query, all_kw))
     if not terms:
         return 0
     hashes = [term_hash(t) for t in terms]
-    postings = index.postings(spark).where(F.col("th").isin(hashes))
+    parts = []
+    offset = 0
+    for h in handles:
+        parts.append(
+            h.postings(spark)
+            .where(F.col("th").isin(hashes))
+            .withColumn(
+                "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
+            )
+        )
+        offset += h.num_shards
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         docs = [decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]

@@ -168,3 +168,26 @@ def test_multi_index_count(spark, split_indexes):
     whole, a, b = split_indexes
     total = count_matches(spark, whole, "hotalpha")
     assert count_matches(spark, a, "hotalpha") + count_matches(spark, b, "hotalpha") == total
+    # the LIST form counts across indexes in one call (LuceneClient.java:
+    # 225-251 sums per-node results over every searched index)
+    assert count_matches(spark, [a, b], "hotalpha") == total
+
+
+def test_multi_index_total_hits(spark, split_indexes):
+    """search_with_total over an index LIST: top-k, totalHits and coverage
+    accumulate across indexes and equal the whole-corpus answer."""
+    from katta_spark.query import search_with_total
+
+    whole, a, b = split_indexes
+    got = search_with_total(spark, [a, b], "hotalpha w00011", k=10).collect()
+    want = search_with_total(spark, whole, "hotalpha w00011", k=10).collect()
+    assert got and want
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert got[0].total_hits == want[0].total_hits
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+    # coverage: 2+2 shards searched across the two half indexes
+    assert got[0].shards_total == 4
