@@ -25,6 +25,13 @@ Commands:
   check     <index_dir>
             index health/stats report (Katta: check / listIndices,
              Katta.java:542-675)
+  generateIndex <index_dir> <words_per_doc> <num_docs>
+            build a synthetic benchmark index (Katta: generateIndex
+            <inputTextFile> <outputPath> <numOfWordsPerDoc> <numOfDocuments>,
+            Katta.java:850-876 / tool/SampleIndexGenerator.java:46-95).
+            The reference draws words from an input dictionary file; here the
+            dictionary is the deterministic synthetic vocabulary
+            (--vocab-size, no external data), generated fully distributed.
 """
 
 from __future__ import annotations
@@ -75,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p_check = sub.add_parser("check")
     p_check.add_argument("index_dir")
+
+    p_gen = sub.add_parser("generateIndex")
+    p_gen.add_argument("index_dir")
+    p_gen.add_argument("words_per_doc", type=int)
+    p_gen.add_argument("num_docs", type=int)
+    p_gen.add_argument("--vocab-size", type=int, default=2000)
+    p_gen.add_argument("--num-shards", type=int, default=8)
+    p_gen.add_argument("--seed", type=int, default=42)
+    p_gen.add_argument(
+        "--keyword-cols", default="role",
+        help="NOT_ANALYZED fields of the synthetic transcripts indexed as "
+        "field:value terms (SampleIndexGenerator indexes 'key' NOT_ANALYZED "
+        "next to the analyzed 'text')",
+    )
 
     args = ap.parse_args(argv)
 
@@ -141,6 +162,36 @@ def main(argv: list[str] | None = None) -> int:
             from katta_spark.query import count_matches
 
             print(count_matches(spark, args.index_dir, args.query))
+        elif args.cmd == "generateIndex":
+            import time
+
+            from katta_spark.build import build_index
+            from katta_spark.synth import synth_transcripts
+
+            t0 = time.time()
+            docs = synth_transcripts(
+                spark,
+                args.num_docs,
+                seed=args.seed,
+                vocab_size=args.vocab_size,
+                max_doclen=max(3, args.words_per_doc),
+            )
+            summary = build_index(
+                spark,
+                docs,
+                args.index_dir,
+                num_shards=args.num_shards,
+                keyword_cols=tuple(
+                    c for c in args.keyword_cols.split(",") if c
+                ),
+            )
+            # Katta prints "Index created with : N documents in M ms"
+            # (SampleIndexGenerator.java:83-84).
+            print(
+                f"Index created with : {summary['n_docs']} documents in "
+                f"{int((time.time() - t0) * 1000)} ms"
+            )
+            print(json.dumps(summary))
         elif args.cmd == "check":
             import os
 

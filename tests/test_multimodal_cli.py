@@ -70,3 +70,23 @@ def test_cli_end_to_end(spark, tiny_transcripts, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["num_shards"] == 2 and len(report["shards"]) == 2
     assert all(s["terms"] > 0 for s in report["shards"])
+
+
+def test_cli_generate_index(spark, tmp_path, capsys):
+    """generateIndex parity: Katta.java:850-876 builds a synthetic benchmark
+    index searchable on text terms and the NOT_ANALYZED keyword field."""
+    from katta_spark import cli
+
+    idx = str(tmp_path / "genidx")
+    assert cli.main(
+        ["generateIndex", idx, "20", "500", "--num-shards", "2"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Index created with : 500 documents in" in out
+    assert json.loads(out.strip().splitlines()[-1])["n_docs"] == 500
+
+    assert cli.main(["search", idx, "hotalpha", "-k", "5"]) == 0
+    assert capsys.readouterr().out.startswith("Hits: 5")
+    # the keyword field is searchable (SampleIndexGenerator's NOT_ANALYZED key)
+    assert cli.main(["count", idx, "role:user"]) == 0
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) > 0
