@@ -373,6 +373,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_wildcard"] = bm25_wildcard
 
+    def bm25_range(spark, sf):
+        """F2 term-range clause (Lucene QueryParser ``field:[lo TO hi]``,
+        lexicographic TermRangeQuery semantics): expanded against the term
+        dictionary to the matching ``source:*`` keyword terms — here the
+        bounds deliberately straddle the src13 < src2 lexicographic fold —
+        then scored as a normal OR rewrite alongside 'merge'."""
+        hits = ksq.search(
+            spark, _field_index_dir(spark, sf), "source:[src13 TO src4] merge",
+            k=10, score_dtype="float64",
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_range"] = bm25_range
+
     def split_index(spark, sf):
         """Compliance (LuceneComplianceTest.java:107-190): two half-corpus
         indexes searched together == the whole corpus — same SQL oracle as
@@ -559,6 +573,49 @@ def oracle_sql() -> dict[str, str]:
             "' join hash '))"
         ),
     )
+    # term range: q = the keyword terms whose VALUE sorts inside the bounds
+    # (lexicographic — the oracle derives the expansion itself) + 'merge'
+    o["bm25_range"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf0 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+ptf AS (
+  SELECT tf0.doc_id, tf0.term, tf0.tf, dl.dl FROM tf0 JOIN dl USING (doc_id)
+  UNION ALL
+  SELECT doc_id, 'lang:' || lang, 1.0, 1.0 FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 'source:' || source, 1.0, 1.0 FROM documents
+  WHERE source IS NOT NULL
+),
+q AS (
+  SELECT DISTINCT term, 1.0 AS qw FROM ptf
+  WHERE term LIKE 'source:%'
+    AND substr(term, 8) >= 'src13' AND substr(term, 8) <= 'src4'
+  UNION ALL SELECT 'merge', 1.0
+),
+idf AS (
+  SELECT s.term, ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+  FROM (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY 1) s, corpus c
+  WHERE s.term IN (SELECT term FROM q)
+),
+scores AS (
+  SELECT ptf.doc_id,
+         sum(q.qw * idf.idf * (ptf.tf * 2.2)
+             / (ptf.tf + 1.2 * (0.25 + 0.75 * ptf.dl / c.avgdl))) AS s
+  FROM ptf JOIN q USING (term) JOIN idf USING (term), corpus c
+  GROUP BY ptf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
     # …and the whole-corpus totalHits (cross-index accumulation)

@@ -263,6 +263,80 @@ def expand_wildcards(
     return qw
 
 
+import re as _re_mod
+
+# Lucene QueryParser range syntax: field:[lo TO hi] inclusive,
+# field:{lo TO hi} exclusive; '*' as an open bound (Katta exposes the full
+# QueryParser surface, Katta.java:825-826; Lucene 3.5 TermRangeQuery
+# compares term text lexicographically).
+_RANGE_RE = _re_mod.compile(
+    r"(?:([A-Za-z_][A-Za-z0-9_]*):)?([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])"
+)
+
+
+def expand_ranges(
+    spark: SparkSession,
+    index: "IndexHandle",
+    query: str,
+    max_expansions: int = MAX_WILDCARD_EXPANSIONS,
+) -> dict[str, float]:
+    """Term-range rewrite: ``field:[lo TO hi]`` expands against the term
+    dictionary to every indexed ``field:value`` whose value sorts inside the
+    bounds (lexicographic, Lucene TermRangeQuery semantics), each scoring as
+    a normal OR term — the same scoring-rewrite precedent as
+    ``expand_wildcards``. ``{lo TO hi}`` excludes the bounds; ``*`` opens a
+    bound. A bare ``[lo TO hi]`` (no field) ranges over the ANALYZED default
+    field's terms. Expansion is capped at ``max_expansions`` (Lucene
+    maxClauseCount analog) and is global (stats table) so every shard scores
+    the same rewritten term set.
+
+    The non-range remainder of the query is rewritten by
+    ``expand_wildcards`` (which itself falls back to plain parsing), so
+    ranges, wildcards and plain terms compose."""
+    qw: dict[str, float] = {}
+    fields = set(index.keyword_fields or ())
+
+    def _expand(m: "_re_mod.Match") -> str:
+        fld, lbr, lo, hi, rbr = m.groups()
+        if fld is not None and fld not in fields:
+            raise ValueError(
+                f"range on unknown keyword field {fld!r}; index declares "
+                f"{sorted(fields)!r}"
+            )
+        if fld is None:
+            # analyzed default field: term text is the value itself
+            value = F.col("term")
+            base = index.stats(spark).where(~F.col("term").contains(":"))
+        else:
+            value = F.substring(F.col("term"), len(fld) + 2, 1 << 20)
+            base = index.stats(spark).where(
+                F.col("term").startswith(fld + ":")
+            )
+        if lo != "*":
+            base = base.where(
+                value > lo if lbr == "{" else value >= lo
+            )
+        if hi != "*":
+            base = base.where(
+                value < hi if rbr == "}" else value <= hi
+            )
+        rows = base.select("term").limit(max_expansions + 1).collect()
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"range {m.group(0)!r} expands to more than "
+                f"{max_expansions} terms (Lucene maxClauseCount analog) — "
+                "narrow the bounds or raise max_expansions"
+            )
+        for r in rows:
+            qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
+        return " "
+
+    rest = _RANGE_RE.sub(_expand, query)
+    for t, w in expand_wildcards(spark, index, rest).items():
+        qw[t] = qw.get(t, 0.0) + w
+    return qw
+
+
 def _empty_hits(score_dtype: str, with_total: bool = False) -> pd.DataFrame:
     cols = {
         "shard_id": pd.array([], dtype="int32"),
@@ -656,7 +730,9 @@ def search(
     must: set[str] = set()
     must_not: set[str] = set()
     phrases: list[list[str]] = []
-    if "*" in query:
+    if _RANGE_RE.search(query):
+        qweights = expand_ranges(spark, index, query)
+    elif "*" in query:
         qweights = expand_wildcards(spark, index, query)
     else:
         qweights, must, must_not, phrases = parse_bool_query(

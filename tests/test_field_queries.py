@@ -146,3 +146,55 @@ def test_avgdl_excludes_keyword_fields(spark, fidx, tiny_transcripts, tmp_path_f
     assert a["n_docs"] == b["n_docs"]
     assert a["avgdl"] == pytest.approx(b["avgdl"], rel=1e-12)
     assert list(a["keyword_fields"]) == ["role", "tool"]
+
+
+# ---- term-range queries (Lucene QueryParser field:[lo TO hi] — the full
+# parser surface Katta exposes, Katta.java:825-826; TermRangeQuery compares
+# term text lexicographically)
+
+
+def test_expand_ranges_inclusive_exclusive_open(spark, fidx):
+    from katta_spark.query import IndexHandle, expand_ranges
+
+    ix = IndexHandle.open(spark, fidx)
+    # roles present: assistant, system, tool, user (lexicographic order)
+    assert expand_ranges(spark, ix, "role:[system TO user]") == {
+        "role:system": 1.0, "role:tool": 1.0, "role:user": 1.0,
+    }
+    assert expand_ranges(spark, ix, "role:{system TO user}") == {
+        "role:tool": 1.0,
+    }
+    assert expand_ranges(spark, ix, "role:[tool TO *]") == {
+        "role:tool": 1.0, "role:user": 1.0,
+    }
+    # bare range = analyzed default field; plain terms compose
+    qw = expand_ranges(spark, ix, "[w00010 TO w00012] hotalpha")
+    assert qw == {
+        "w00010": 1.0, "w00011": 1.0, "w00012": 1.0, "hotalpha": 1.0,
+    }
+
+
+def test_range_query_rank_identity(spark, fidx, docs):
+    got = search(spark, fidx, "role:[system TO user] hotalpha", k=10).collect()
+    want = bm25_topk(
+        docs, "role:system role:tool role:user hotalpha", k=10,
+        shard_col="shard_id", keyword_cols=KW,
+    ).collect()
+    assert [(r.doc_id, r.shard_id) for r in got] == [
+        (r.doc_id, r.shard_id) for r in want
+    ]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_range_guards(spark, fidx):
+    from katta_spark.query import IndexHandle, expand_ranges
+
+    ix = IndexHandle.open(spark, fidx)
+    with pytest.raises(ValueError, match="unknown keyword field"):
+        expand_ranges(spark, ix, "lang:[a TO z]")
+    with pytest.raises(ValueError, match="more than 1 terms"):
+        expand_ranges(spark, ix, "role:[a TO z]", max_expansions=1)
