@@ -373,6 +373,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_wildcard"] = bm25_wildcard
 
+    def bm25_boost(spark, sf):
+        """F2 boost clause (term^2): the boosted term's contribution is
+        multiplied — identical to the additive duplicate-term weighting."""
+        return _bm25(spark, sf, "join^2 hash^0.5 merge", 10)
+
+    q["bm25_boost"] = bm25_boost
+
+    def bm25_fuzzy(spark, sf):
+        """F2 fuzzy clause (term~1): expanded against the term dictionary
+        to every term within the edit distance (JVM bounded levenshtein),
+        then scored as a normal OR rewrite."""
+        return _bm25(spark, sf, "merg~1", 10)
+
+    q["bm25_fuzzy"] = bm25_fuzzy
+
     def bm25_range(spark, sf):
         """F2 term-range clause (Lucene QueryParser ``field:[lo TO hi]``,
         lexicographic TermRangeQuery semantics): expanded against the term
@@ -573,6 +588,43 @@ def oracle_sql() -> dict[str, str]:
             "' join hash '))"
         ),
     )
+    o["bm25_boost"] = _bm25_sql(
+        [("join", 2.0), ("hash", 0.5), ("merge", 1.0)], 10
+    )
+
+    # fuzzy: q = dictionary terms within edit distance 1 of 'merg' (the
+    # oracle derives the expansion itself via DuckDB's levenshtein)
+    o["bm25_fuzzy"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (
+  SELECT DISTINCT term, 1.0 AS qw FROM tok WHERE levenshtein(term, 'merg') <= 1
+),
+idf AS (
+  SELECT s.term, ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+  FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1) s, corpus c
+  WHERE s.term IN (SELECT term FROM q)
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qw * idf.idf * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN idf USING (term)
+       JOIN dl USING (doc_id), corpus c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
     # term range: q = the keyword terms whose VALUE sorts inside the bounds
     # (lexicographic — the oracle derives the expansion itself) + 'merge'
     o["bm25_range"] = f"""

@@ -141,13 +141,32 @@ def parse_query(
     fields = set(keyword_fields or ())
     qw: dict[str, float] = {}
     for raw in query.split():
+        raw, boost = split_boost(raw)
         fld, sep, rest = raw.partition(":")
         if sep and rest and fld in fields:
-            qw[raw] = qw.get(raw, 0.0) + 1.0
+            qw[raw] = qw.get(raw, 0.0) + boost
         else:
             for t in tokenize_str(raw):
-                qw[t] = qw.get(t, 0.0) + 1.0
+                qw[t] = qw.get(t, 0.0) + boost
     return qw
+
+
+# Lucene QueryParser boost suffix: term^2 / term^0.5 multiplies the clause's
+# score contribution (Katta exposes the full parser, Katta.java:825-826).
+_BOOST_RE = None  # compiled lazily below
+
+
+def split_boost(raw: str) -> tuple[str, float]:
+    """``term^2.5`` → ("term", 2.5); no suffix → ("term", 1.0)."""
+    global _BOOST_RE
+    if _BOOST_RE is None:
+        import re as _re
+
+        _BOOST_RE = _re.compile(r"^(.*)\^(\d+(?:\.\d+)?)$")
+    m = _BOOST_RE.match(raw)
+    if m and m.group(1):
+        return m.group(1), float(m.group(2))
+    return raw, 1.0
 
 
 def parse_bool_query(
@@ -198,14 +217,17 @@ def parse_bool_query(
     rest = _re.sub(r'([+-]?)"([^"]*)"', _phrase, query)
     for raw in rest.split():
         if raw.startswith("+") and len(raw) > 1:
-            for t in _terms_of(raw[1:]):
-                qw[t] = qw.get(t, 0.0) + 1.0
+            clause, boost = split_boost(raw[1:])
+            for t in _terms_of(clause):
+                qw[t] = qw.get(t, 0.0) + boost
                 must.add(t)
         elif raw.startswith("-") and len(raw) > 1:
-            must_not.update(_terms_of(raw[1:]))
+            # a boost on MUST_NOT is meaningless (the clause never scores)
+            must_not.update(_terms_of(split_boost(raw[1:])[0]))
         else:
-            for t in _terms_of(raw):
-                qw[t] = qw.get(t, 0.0) + 1.0
+            clause, boost = split_boost(raw)
+            for t in _terms_of(clause):
+                qw[t] = qw.get(t, 0.0) + boost
     return qw, must, must_not, phrases
 
 
@@ -234,29 +256,52 @@ def expand_wildcards(
     Expansion is capped at ``max_expansions`` terms per wildcard (Lucene's
     maxClauseCount analog): the dictionary scan collects at most cap+1
     rows — a too-broad prefix fails fast without pulling the vocabulary
-    through the driver."""
+    through the driver.
+
+    Fuzzy terms (``term~`` / ``term~1`` — Lucene QueryParser FuzzyQuery
+    syntax) expand the same way, to every analyzed dictionary term within
+    the given Levenshtein distance (default 2, computed JVM-side with
+    ``F.levenshtein``'s bounded form); each expanded term scores as a
+    normal OR term (the scoring-rewrite simplification used for wildcards,
+    documented vs Lucene's similarity-boosted rewrite)."""
     import re as _re
 
     qw: dict[str, float] = {}
+
+    def _collect_capped(base, clause: str) -> None:
+        rows = base.select("term").limit(max_expansions + 1).collect()
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"{clause!r} expands to more than {max_expansions} terms "
+                "(Lucene maxClauseCount analog) — narrow it or raise "
+                "max_expansions"
+            )
+        for r in rows:
+            qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
+
     for raw in query.split():
         low = raw.lower()
+        fz = _re.fullmatch(r"([a-z0-9]+)~([0-2]?)", low)
         if _re.fullmatch(r"[a-z0-9]+\*", low):
-            rows = (
+            _collect_capped(
                 index.stats(spark)
                 .where(F.col("term").startswith(low[:-1]))
-                .where(~F.col("term").contains(":"))
-                .select("term")
-                .limit(max_expansions + 1)
-                .collect()
+                .where(~F.col("term").contains(":")),
+                raw,
             )
-            if len(rows) > max_expansions:
-                raise ValueError(
-                    f"wildcard {raw!r} expands to more than "
-                    f"{max_expansions} terms (Lucene maxClauseCount "
-                    "analog) — narrow the prefix or raise max_expansions"
+        elif fz:
+            word, dist = fz.group(1), int(fz.group(2) or 2)
+            _collect_capped(
+                index.stats(spark)
+                .where(~F.col("term").contains(":"))
+                # cheap length prefilter keeps the bounded levenshtein scan
+                # from touching wildly different-length terms
+                .where(
+                    F.abs(F.length("term") - F.lit(len(word))) <= F.lit(dist)
                 )
-            for r in rows:
-                qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
+                .where(F.levenshtein(F.col("term"), F.lit(word), dist) >= 0),
+                raw,
+            )
         else:
             for t, w in parse_query(raw, index.keyword_fields).items():
                 qw[t] = qw.get(t, 0.0) + w
@@ -732,7 +777,7 @@ def search(
     phrases: list[list[str]] = []
     if _RANGE_RE.search(query):
         qweights = expand_ranges(spark, index, query)
-    elif "*" in query:
+    elif "*" in query or "~" in query:
         qweights = expand_wildcards(spark, index, query)
     else:
         qweights, must, must_not, phrases = parse_bool_query(

@@ -137,3 +137,78 @@ def test_boolean_guard_rails(spark, bidx, tiny_transcripts):
 
 def test_must_term_absent_everywhere(spark, bidx):
     assert search(spark, bidx, "hotalpha +zzzqqq", k=5).collect() == []
+
+
+# ---- boosts (term^2) and fuzzy (term~N) — the remaining QueryParser
+# operator surface (Katta.java:825-826 hands queries verbatim to Lucene)
+
+
+def test_split_boost_and_parse():
+    from katta_spark.query import parse_query, split_boost
+
+    assert split_boost("join^2") == ("join", 2.0)
+    assert split_boost("join^2.5") == ("join", 2.5)
+    assert split_boost("join") == ("join", 1.0)
+    assert split_boost("^2") == ("^2", 1.0)  # bare boost is not a term
+    assert parse_query("join^2 hash") == {"join": 2.0, "hash": 1.0}
+    assert parse_query("role:user^3", ("role",)) == {"role:user": 3.0}
+    qw, must, _, _ = parse_bool_query("+join^2 -scan hash^0.5")
+    assert qw == {"join": 2.0, "hash": 0.5} and must == {"join"}
+
+
+def test_boost_rank_identity(spark, bidx, docs):
+    """join^2 must rank identically to the literal duplicated term (the
+    additive-weight semantics parse_query defines for duplicates)."""
+    got = search(spark, bidx, "hotalpha^2 w00011", k=10).collect()
+    want = bm25_topk(
+        docs, "hotalpha hotalpha w00011", k=10, shard_col="shard_id"
+    ).collect()
+    assert [(r.doc_id, r.shard_id) for r in got] == [
+        (r.doc_id, r.shard_id) for r in want
+    ]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_fuzzy_expansion_matches_python_levenshtein(spark, bidx):
+    """term~N expands to exactly the dictionary terms within edit distance
+    N (cross-checked against a pure-Python Levenshtein over the vocab)."""
+    import os
+
+    from katta_spark.query import IndexHandle, expand_wildcards
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ix = IndexHandle.open(spark, bidx)
+    vocab = [r["term"] for r in ix.stats(spark).select("term").collect()]
+    for q, dist in [("w00010", 1), ("hotalpha", 2), ("w0001", 1)]:
+        got = set(expand_wildcards(spark, ix, f"{q}~{dist}"))
+        want = {t for t in vocab if lev(t, q) <= dist}
+        assert got == want, (q, dist, got ^ want)
+
+
+def test_fuzzy_query_rank_identity(spark, bidx, docs):
+    """A fuzzy query scores exactly like the explicit OR of its expansion."""
+    from katta_spark.query import IndexHandle, expand_wildcards
+
+    ix = IndexHandle.open(spark, bidx)
+    expanded = sorted(expand_wildcards(spark, ix, "w00010~1"))
+    assert len(expanded) > 3
+    got = search(spark, bidx, "w00010~1", k=10).collect()
+    want = bm25_topk(
+        docs, " ".join(expanded), k=10, shard_col="shard_id"
+    ).collect()
+    assert [(r.doc_id, round(r.score, 4)) for r in got] == [
+        (r.doc_id, round(r.score, 4)) for r in want
+    ]
