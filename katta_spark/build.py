@@ -12,19 +12,20 @@ the blob path (a range exchange was also tried for the token shuffle — its
 sampling job re-executes the tokenize lineage and cost MORE than the
 second hash exchange it saved):
 
-    phase 1 (ID-only scan): per-shard doc counts + docID-collision check —
-            column-pruned to the id columns, never reads text
     phase 2 (THE pass):     tokenize (JVM codegen) → explode → fixed-width
-            rows (shard_id, th=xxhash64(term), doc_id, doclen) → salted
-            hash repartition by (shard_id, th % salt) — salt slices >>
-            partitions average out imbalance; every (shard, th) group
-            lands wholly in one partition; hash (not range) so no
-            sampling job re-executes the tokenize lineage — → ONE
-            mapInPandas kernel per partition: numpy lexsort (measured
-            ~2x cheaper than the JVM row sort it replaces) + vectorized
-            run-length tf + posting-list encode → one postings-sized
-            hash exchange by shard → write ONE th-sorted file per shard
-            (parquet min/max row-group skipping on th)
+            rows (shard_id, th=xxhash64(term), doc_id, doclen) + ONE
+            doc-marker row per document (salted sentinel term family —
+            per-shard doc counts and the docID-collision check fall out
+            of the kernel, replacing the former separate ID-only corpus
+            scan) → salted hash repartition by (shard_id, th % salt) —
+            salt slices >> partitions average out imbalance; every
+            (shard, th) group lands wholly in one partition; hash (not
+            range) so no sampling job re-executes the tokenize lineage —
+            → ONE mapInPandas kernel per partition: numpy lexsort
+            (measured ~2x cheaper than the JVM row sort it replaces) +
+            vectorized run-length tf + posting-list encode → one
+            postings-sized hash exchange by shard → write ONE th-sorted
+            file per shard (parquet min/max row-group skipping on th)
     dictionary (vocab-sized): (th → term) map + hash-collision check;
             postings store only the 8-byte th, never strings
     phase 3 (vocab-sized):  term stats (df, cf) and per-shard/corpus
@@ -70,11 +71,30 @@ from pyspark.sql import functions as F
 from katta_spark.codec import encode_posting_lists_batch
 from katta_spark.oracle import with_doc_ids
 from katta_spark.tokenizer import tokenize_col
+from katta_spark.xxhash import term_hash
 
 # Bump whenever the on-disk postings layout changes: a resumed build over a
 # directory with a different version wipes and rebuilds (the analog of
 # Katta refusing to serve a shard whose format it cannot read).
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6
+
+# Doc-marker (sentinel) postings: ONE extra token row per document rides the
+# existing corpus shuffle, so per-shard doc counts and the docID-collision
+# check fall out of the encode kernel itself — no separate ID-only corpus
+# scan (the old phase 1 job). The sentinel term family is salted over
+# SENTINEL_SALT hashes ('\x00docs:<doc_id % salt>') so the marker rows
+# spread across salt slices like any hot term (a single sentinel term would
+# concentrate n_docs/num_shards rows into one partition at scale). '\x00'
+# can occur in neither analyzed tokens ([a-z0-9]+) nor 'field:value' terms,
+# so the sentinel term space never collides with real terms (modulo the
+# same ~vocab²/2⁶⁴ xxhash64 birthday risk the dictionary check covers for
+# real terms). Sentinel rows are excluded from stats/avgdl by the inner
+# dictionary join (they are not in the dictionary) and are never queried
+# (query terms hash real strings).
+SENTINEL_SALT = 256
+SENTINEL_HASHES = tuple(
+    term_hash(f"\x00docs:{i}") for i in range(SENTINEL_SALT)
+)
 
 # Kernel output: term identified by th = xxhash64(term) only; term strings
 # live in the vocab-sized dictionary table, so the corpus-sized shuffle and
@@ -209,7 +229,21 @@ def token_rows(
             )
         )
         base = base.unionByName(kw)
-    return base
+    # Doc-marker row (one per document, empty-text docs included): rides the
+    # same shuffle; the kernel turns each (shard, sentinel-slice) group into
+    # a posting row whose df = distinct docs and cf = input rows — per-shard
+    # doc counts and the docID-collision check with NO separate corpus scan.
+    marker = docs_with_ids.select(
+        F.xxhash64(
+            F.concat(
+                F.lit("\x00docs:"),
+                F.pmod(F.col("doc_id"), F.lit(SENTINEL_SALT)).cast("string"),
+            )
+        ).alias("th"),
+        "doc_id",
+        F.shiftleft(F.col("shard_id").cast("long"), 32).alias("sd"),
+    )
+    return base.unionByName(marker)
 
 
 def term_dictionary(
@@ -357,28 +391,6 @@ def build_index(
         with open(meta_file, "w") as fh:
             json.dump(build_meta, fh)
 
-    # ---- Phase 1: per-shard doc counts + docID-collision check. Column-
-    # pruned to the id columns — never touches text. A 64-bit birthday
-    # collision (likely around ~4e9 docs) would silently merge two
-    # documents' postings; countDistinct per shard is exact because
-    # shard_id is a function of doc_id (per-shard distincts sum globally).
-    # Submitted from a DRIVER THREAD so this job's fixed cost (scheduling,
-    # scan setup) overlaps the dictionary and encode jobs below — the same
-    # move keeps a real cluster's executors busy instead of serializing
-    # small jobs between big ones.
-    def _run_phase1() -> list:
-        t0 = time.time()
-        rows = (
-            docs.groupBy("shard_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.countDistinct("doc_id").alias("n_distinct"),
-            )
-            .collect()
-        )
-        phase_t["phase1_id_stats"] = round(time.time() - t0, 2)
-        return rows
-
     def _run_dictionary() -> int:
         # (th → term) dictionary, once per build (vocab-sized shuffle after
         # map-side partial agg), written in ONE job; the collision check —
@@ -413,8 +425,7 @@ def build_index(
 
     kernel = _make_encode_kernel(block)
     n_committed = n_skipped = 0
-    pool = ThreadPoolExecutor(max_workers=2)
-    fut_phase1 = pool.submit(_run_phase1)
+    pool = ThreadPoolExecutor(max_workers=1)
     fut_dict = (
         pool.submit(_run_dictionary)
         if any(b not in committed for b, _ in batches)
@@ -425,12 +436,11 @@ def build_index(
             if batch_id in committed:
                 n_skipped += 1
                 continue
-            # Surface overlapped-job failures (docID-collision scan errors,
-            # dictionary write errors) as soon as they are known instead of
-            # only after every batch has been fully written.
-            for fut in (fut_phase1, fut_dict):
-                if fut is not None and fut.done():
-                    fut.result()
+            # Surface overlapped-job failures (dictionary write errors) as
+            # soon as they are known instead of only after every batch has
+            # been fully written.
+            if fut_dict is not None and fut_dict.done():
+                fut_dict.result()
             t0 = time.time()
             batch_docs = docs
             if len(shard_ids) < num_shards:
@@ -469,14 +479,20 @@ def build_index(
             )
             # Batch metrics piggyback on the write itself (CollectMetrics
             # node): no blob-sized read-back job after the commit.
+            # min_dl == 0 ⟺ doc-marker row (every real token row carries
+            # dl ≥ 1), so the metrics exclude the sentinel family cheaply.
+            real = F.col("min_dl") > 0
             obs = Observation(f"batch{batch_id}")
             postings = postings.observe(
                 obs,
-                F.count(F.lit(1)).alias("terms"),
-                F.sum("df").alias("postings"),
-                F.sum(F.length("doc_ids") + F.length("tfs") + F.length("doclens")).alias(
-                    "bytes"
-                ),
+                F.count(F.when(real, 1)).alias("terms"),
+                F.sum(F.when(real, F.col("df"))).alias("postings"),
+                F.sum(
+                    F.when(
+                        real,
+                        F.length("doc_ids") + F.length("tfs") + F.length("doclens"),
+                    )
+                ).alias("bytes"),
             )
             (
                 postings.write.mode("overwrite")
@@ -509,15 +525,8 @@ def build_index(
             phase_t[f"batch{batch_id}_summary_lineage"] = round(time.time() - t1, 2)
             n_committed += 1
 
-        # Join the overlapped jobs; fail the build on either check.
-        shard_counts = fut_phase1.result()
-        n_docs = sum(int(r["n_docs"]) for r in shard_counts)
-        n_distinct = sum(int(r["n_distinct"]) for r in shard_counts)
-        if n_distinct != n_docs:
-            raise RuntimeError(
-                f"doc_id collision or duplicate input ids: {n_docs} rows but "
-                f"{n_distinct} distinct doc_ids"
-            )
+        # Join the overlapped dictionary job; fail the build on a term-hash
+        # collision.
         if fut_dict is not None:
             n_collisions = fut_dict.result()
             if n_collisions:
@@ -543,6 +552,30 @@ def build_index(
 
     _ensure_readable(p["postings"], ENCODED_SCHEMA)
     _ensure_readable(p["dict"], "th long, term string, _mx string")
+
+    # Per-shard doc counts + docID-collision check from the doc-marker
+    # postings — a tiny read pruned to the sentinel th family (pushed
+    # In predicate + row-group skipping on the th-sorted files), NO
+    # corpus scan. df = distinct doc_ids per (shard, slice); cf = input
+    # rows: a 64-bit doc_id birthday collision (likely around ~4e9
+    # docs) or duplicate input ids makes cf exceed df.
+    t_s = time.time()
+    sent = (
+        spark.read.parquet(p["postings"])
+        .where(F.col("th").isin(list(SENTINEL_HASHES)))
+        .groupBy("shard_id")
+        .agg(F.sum("df").alias("n_docs"), F.sum("cf").alias("n_rows"))
+        .collect()
+    )
+    shard_counts = [(int(r["shard_id"]), int(r["n_docs"])) for r in sent]
+    n_docs = sum(c for _, c in shard_counts)
+    n_rows = sum(int(r["n_rows"]) for r in sent)
+    if n_rows != n_docs:
+        raise RuntimeError(
+            f"doc_id collision or duplicate input ids: {n_rows} rows but "
+            f"{n_docs} distinct doc_ids"
+        )
+    phase_t["sentinel_doc_stats"] = round(time.time() - t_s, 2)
 
     t2 = time.time()
     # ---- Phase 3: term stats + per-shard/corpus scalars from the postings
@@ -582,12 +615,7 @@ def build_index(
         _ensure_readable(p["stats"], "term string, df long, cf long, th long")
         dl_by_shard = {int(r["shard_id"]): int(r["sum_dl"]) for r in per_shard_dl}
         shard_rows = [
-            (
-                int(r["shard_id"]),
-                int(r["n_docs"]),
-                dl_by_shard.get(int(r["shard_id"]), 0),
-            )
-            for r in shard_counts
+            (sid, cnt, dl_by_shard.get(sid, 0)) for sid, cnt in shard_counts
         ]
         spark.createDataFrame(
             shard_rows, "shard_id int, n_docs long, sum_dl long"

@@ -200,7 +200,8 @@ def main(argv: list[str] | None = None) -> int:
             from katta_spark.query import IndexHandle
 
             ix = IndexHandle.open(spark, args.index_dir)
-            post = ix.postings(spark)
+            # min_dl > 0 excludes the doc-marker (sentinel) posting rows
+            post = ix.postings(spark).where(F.col("min_dl") > 0)
             per_shard = (
                 post.groupBy("shard_id")
                 .agg(

@@ -89,3 +89,46 @@ def test_doc_ids_unique_and_stable(tiny_transcripts):
     sizes = [r["count"] for r in docs.groupBy("shard_id").count().collect()]
     assert len(sizes) == 4
     assert max(sizes) / min(sizes) < 1.5
+
+
+def test_duplicate_doc_id_refused(spark, tmp_path_factory):
+    """The doc-marker (sentinel) postings must still catch duplicate /
+    colliding docIDs now that there is no separate ID-scan phase: two input
+    rows with the same doc_id make marker cf exceed df -> build fails."""
+    import pytest as _pytest
+
+    from katta_spark.build import build_index
+
+    rows = [(i, f"alpha beta w{i:04d}") for i in range(50)] + [(7, "dup text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("dup_idx"))
+    with _pytest.raises(RuntimeError, match="collision or duplicate"):
+        build_index(spark, df, d, num_shards=2, doc_id_col="doc_id")
+
+
+def test_sentinel_invisible_to_queries_and_stats(spark, tiny_transcripts, tmp_path_factory):
+    """Doc-marker rows must not leak into stats, avgdl, or term_stats —
+    and per-shard doc counts (shards.parquet) must equal the true counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from katta_spark.build import SENTINEL_HASHES, build_index
+    from katta_spark.oracle import with_doc_ids
+
+    d = str(tmp_path_factory.mktemp("sent_idx"))
+    summary = build_index(spark, tiny_transcripts, d, num_shards=4)
+    assert summary["n_docs"] == 2000
+    stats = spark.read.parquet(os.path.join(d, "stats.parquet"))
+    assert stats.where(F.col("th").isin(list(SENTINEL_HASHES))).count() == 0
+    want = (
+        with_doc_ids(tiny_transcripts, 4)
+        .groupBy("shard_id").count().orderBy("shard_id").collect()
+    )
+    got = (
+        spark.read.parquet(os.path.join(d, "shards.parquet"))
+        .orderBy("shard_id").collect()
+    )
+    assert [(r.shard_id, r.n_docs) for r in got] == [
+        (r.shard_id, r["count"]) for r in want
+    ]
