@@ -425,7 +425,8 @@ def build_index(
 
     kernel = _make_encode_kernel(block)
     n_committed = n_skipped = 0
-    pool = ThreadPoolExecutor(max_workers=1)
+    pool = ThreadPoolExecutor(max_workers=2)
+    lineage_futs: list = []
     fut_dict = (
         pool.submit(_run_dictionary)
         if any(b not in committed for b, _ in batches)
@@ -436,11 +437,12 @@ def build_index(
             if batch_id in committed:
                 n_skipped += 1
                 continue
-            # Surface overlapped-job failures (dictionary write errors) as
-            # soon as they are known instead of only after every batch has
-            # been fully written.
-            if fut_dict is not None and fut_dict.done():
-                fut_dict.result()
+            # Surface overlapped-job failures (dictionary write errors,
+            # earlier lineage appends) as soon as they are known instead
+            # of only after every batch has been fully written.
+            for fut in (fut_dict, *lineage_futs):
+                if fut is not None and fut.done():
+                    fut.result()
             t0 = time.time()
             batch_docs = docs
             if len(shard_ids) < num_shards:
@@ -501,32 +503,41 @@ def build_index(
                 .parquet(p["postings"])
             )
             t1 = time.time()
-            # Lineage row AFTER the data commit — crash between the two replays
-            # the batch idempotently (dynamic partition overwrite).
+            # Lineage row AFTER the data commit — crash between the two
+            # replays the batch idempotently (dynamic partition overwrite).
+            # The append itself runs in a driver thread, overlapping the
+            # next batch / the phase-3 jobs: deferring it only widens the
+            # replay window, never corrupts (at-least-once batches).
             summary = obs.get
-            lineage_row = spark.createDataFrame(
-                [
-                    (
-                        run_id,
-                        batch_id,
-                        shard_ids,
-                        "committed",
-                        int(summary["terms"] or 0),
-                        int(summary["postings"] or 0),
-                        int(summary["bytes"] or 0),
-                        int((time.time() - t0) * 1000),
-                    )
-                ],
-                "run_id string, batch_id int, shard_ids array<int>, status string, "
-                "terms long, postings long, bytes long, elapsed_ms long",
-            )
-            lineage_row.write.mode("append").parquet(p["lineage"])
+
+            def _append_lineage(batch_id=batch_id, shard_ids=shard_ids,
+                                summary=summary, t0=t0):
+                spark.createDataFrame(
+                    [
+                        (
+                            run_id,
+                            batch_id,
+                            shard_ids,
+                            "committed",
+                            int(summary["terms"] or 0),
+                            int(summary["postings"] or 0),
+                            int(summary["bytes"] or 0),
+                            int((time.time() - t0) * 1000),
+                        )
+                    ],
+                    "run_id string, batch_id int, shard_ids array<int>, "
+                    "status string, terms long, postings long, bytes long, "
+                    "elapsed_ms long",
+                ).write.mode("append").parquet(p["lineage"])
+
+            lineage_futs.append(pool.submit(_append_lineage))
             phase_t[f"batch{batch_id}_encode_write"] = round(t1 - t0, 2)
             phase_t[f"batch{batch_id}_summary_lineage"] = round(time.time() - t1, 2)
             n_committed += 1
 
         # Join the overlapped dictionary job; fail the build on a term-hash
-        # collision.
+        # collision. (Lineage appends keep running — they are joined at the
+        # end of the build, overlapped with the phase-3 stats jobs.)
         if fut_dict is not None:
             n_collisions = fut_dict.result()
             if n_collisions:
@@ -537,114 +548,135 @@ def build_index(
         # in driver threads cannot be interrupted from here).
         pool.shutdown(wait=False, cancel_futures=True)
         raise
-    pool.shutdown()
 
-    # Empty-corpus / all-empty-text edge: a write of zero rows can leave
-    # only _SUCCESS, which a later read cannot infer a schema from —
-    # materialize explicitly-typed empty tables so every query path works.
-    def _ensure_readable(path: str, schema: str) -> None:
-        try:
-            spark.read.parquet(path).schema
-        except Exception:
-            spark.createDataFrame([], schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(path)
+    # Everything past the batch loop runs with the lineage appends
+    # still in flight on the pool — any failure here must not leak
+    # those driver threads.
+    try:
+        # Empty-corpus / all-empty-text edge: a write of zero rows can leave
+        # only _SUCCESS, which a later read cannot infer a schema from —
+        # materialize explicitly-typed empty tables so every query path works.
+        def _ensure_readable(path: str, schema: str) -> None:
+            try:
+                spark.read.parquet(path).schema
+            except Exception:
+                spark.createDataFrame([], schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(path)
 
-    _ensure_readable(p["postings"], ENCODED_SCHEMA)
-    _ensure_readable(p["dict"], "th long, term string, _mx string")
+        _ensure_readable(p["postings"], ENCODED_SCHEMA)
+        _ensure_readable(p["dict"], "th long, term string, _mx string")
 
-    # Per-shard doc counts + docID-collision check from the doc-marker
-    # postings — a tiny read pruned to the sentinel th family (pushed
-    # In predicate + row-group skipping on the th-sorted files), NO
-    # corpus scan. df = distinct doc_ids per (shard, slice); cf = input
-    # rows: a 64-bit doc_id birthday collision (likely around ~4e9
-    # docs) or duplicate input ids makes cf exceed df.
-    t_s = time.time()
-    sent = (
-        spark.read.parquet(p["postings"])
-        .where(F.col("th").isin(list(SENTINEL_HASHES)))
-        .groupBy("shard_id")
-        .agg(F.sum("df").alias("n_docs"), F.sum("cf").alias("n_rows"))
-        .collect()
-    )
-    shard_counts = [(int(r["shard_id"]), int(r["n_docs"])) for r in sent]
-    n_docs = sum(c for _, c in shard_counts)
-    n_rows = sum(int(r["n_rows"]) for r in sent)
-    if n_rows != n_docs:
-        raise RuntimeError(
-            f"doc_id collision or duplicate input ids: {n_rows} rows but "
-            f"{n_docs} distinct doc_ids"
-        )
-    phase_t["sentinel_doc_stats"] = round(time.time() - t_s, 2)
-
-    t2 = time.time()
-    # ---- Phase 3: term stats + per-shard/corpus scalars from the postings
-    # (vocab-sized; parquet prunes the blob columns). Katta's
-    # DocumentFrequencyWritable sums per-shard dfs the same way
-    # (LuceneClient.java:271-281). avgdl ≡ total default-field tokens /
-    # n_docs — Σcf over non-field terms gives the numerator exactly.
-    stats_done = os.path.exists(os.path.join(p["stats"], "_SUCCESS"))
-    if not stats_done or n_committed:
-        tdict_r = spark.read.parquet(p["dict"]).select("th", "term")
-
-        def _write_stats():
-            (
+        # Per-shard doc counts + docID-collision check from the doc-marker
+        # postings — a tiny read pruned to the sentinel th family (pushed
+        # In predicate + row-group skipping on the th-sorted files), NO
+        # corpus scan. df = distinct doc_ids per (shard, slice); cf = input
+        # rows: a 64-bit doc_id birthday collision (likely around ~4e9
+        # docs) or duplicate input ids makes cf exceed df. Submitted from a
+        # driver thread so it overlaps the phase-3 stats jobs (the serial
+        # build tail is these three small read jobs back-to-back otherwise).
+        def _read_doc_counts() -> list:
+            t_s = time.time()
+            rows = (
                 spark.read.parquet(p["postings"])
-                .groupBy("th")
-                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-                .join(tdict_r, "th")
-                .select("term", "df", "cf", "th")
-                .write.mode("overwrite")
-                .parquet(p["stats"])
-            )
-
-        # stats write and the per-shard sums are independent vocab-sized
-        # jobs over the (blob-pruned) postings — overlap them too.
-        with ThreadPoolExecutor(max_workers=1) as p3pool:
-            fut_stats = p3pool.submit(_write_stats)
-            # per-shard token totals for shard-subset / multi-index stats
-            per_shard_dl = (
-                spark.read.parquet(p["postings"])
-                .join(tdict_r, "th")
-                .where(~F.col("term").contains(FIELD_SEP))
+                .where(F.col("th").isin(list(SENTINEL_HASHES)))
                 .groupBy("shard_id")
-                .agg(F.sum("cf").alias("sum_dl"))
+                .agg(F.sum("df").alias("n_docs"), F.sum("cf").alias("n_rows"))
                 .collect()
             )
-            fut_stats.result()
-        _ensure_readable(p["stats"], "term string, df long, cf long, th long")
-        dl_by_shard = {int(r["shard_id"]): int(r["sum_dl"]) for r in per_shard_dl}
-        shard_rows = [
-            (sid, cnt, dl_by_shard.get(sid, 0)) for sid, cnt in shard_counts
-        ]
-        spark.createDataFrame(
-            shard_rows, "shard_id int, n_docs long, sum_dl long"
-        ).write.mode("overwrite").parquet(p["shards"])
-        sum_dl = sum(dl_by_shard.values())
-        avgdl = (sum_dl / n_docs) if n_docs else 1.0
-        # Guard avgdl==0 (every doc's analyzed text empty but keyword fields
-        # present): tf_norm divides by avgdl — mirror the oracle's
-        # avgdl==0 → 1.0 so keyword-term scores stay finite (oracle.py).
-        if avgdl == 0.0:
-            avgdl = 1.0
-        sharding = "pmod_doc_id" if doc_id_col is None else "pmod_xxhash64"
-        spark.createDataFrame(
-            [(n_docs, avgdl, num_shards, list(keyword_cols), sharding)],
-            "n_docs long, avgdl double, n_shards int, "
-            "keyword_fields array<string>, sharding string",
-        ).write.mode("overwrite").parquet(p["corpus"])
-    else:
-        row = spark.read.parquet(p["corpus"]).collect()[0]
-        assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
-        stored_kw = tuple(row["keyword_fields"] or ())
-        if stored_kw != keyword_cols:
-            raise ValueError(
-                f"index at {index_dir!r} was built with keyword_cols="
-                f"{stored_kw!r}, resume requested {keyword_cols!r} — the "
-                "committed postings would be stale; rebuild into a fresh "
-                "directory instead"
-            )
-        avgdl = float(row["avgdl"])
+            phase_t["sentinel_doc_stats"] = round(time.time() - t_s, 2)
+            return rows
+
+        def _resolve_doc_counts(sent: list) -> tuple[list, int]:
+            counts = [(int(r["shard_id"]), int(r["n_docs"])) for r in sent]
+            nd = sum(c for _, c in counts)
+            nr = sum(int(r["n_rows"]) for r in sent)
+            if nr != nd:
+                raise RuntimeError(
+                    f"doc_id collision or duplicate input ids: {nr} rows but "
+                    f"{nd} distinct doc_ids"
+                )
+            return counts, nd
+
+        t2 = time.time()
+        # ---- Phase 3: term stats + per-shard/corpus scalars from the postings
+        # (vocab-sized; parquet prunes the blob columns). Katta's
+        # DocumentFrequencyWritable sums per-shard dfs the same way
+        # (LuceneClient.java:271-281). avgdl ≡ total default-field tokens /
+        # n_docs — Σcf over non-field terms gives the numerator exactly.
+        stats_done = os.path.exists(os.path.join(p["stats"], "_SUCCESS"))
+        if not stats_done or n_committed:
+            tdict_r = spark.read.parquet(p["dict"]).select("th", "term")
+
+            def _write_stats():
+                (
+                    spark.read.parquet(p["postings"])
+                    .groupBy("th")
+                    .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                    .join(tdict_r, "th")
+                    .select("term", "df", "cf", "th")
+                    .write.mode("overwrite")
+                    .parquet(p["stats"])
+                )
+
+            # stats write, the doc-count read-back, and the per-shard sums are
+            # independent small jobs over the (blob-pruned) postings — overlap
+            # all three.
+            with ThreadPoolExecutor(max_workers=2) as p3pool:
+                fut_stats = p3pool.submit(_write_stats)
+                fut_counts = p3pool.submit(_read_doc_counts)
+                # per-shard token totals for shard-subset / multi-index stats
+                per_shard_dl = (
+                    spark.read.parquet(p["postings"])
+                    .join(tdict_r, "th")
+                    .where(~F.col("term").contains(FIELD_SEP))
+                    .groupBy("shard_id")
+                    .agg(F.sum("cf").alias("sum_dl"))
+                    .collect()
+                )
+                fut_stats.result()
+                shard_counts, n_docs = _resolve_doc_counts(fut_counts.result())
+            _ensure_readable(p["stats"], "term string, df long, cf long, th long")
+            dl_by_shard = {int(r["shard_id"]): int(r["sum_dl"]) for r in per_shard_dl}
+            shard_rows = [
+                (sid, cnt, dl_by_shard.get(sid, 0)) for sid, cnt in shard_counts
+            ]
+            spark.createDataFrame(
+                shard_rows, "shard_id int, n_docs long, sum_dl long"
+            ).write.mode("overwrite").parquet(p["shards"])
+            sum_dl = sum(dl_by_shard.values())
+            avgdl = (sum_dl / n_docs) if n_docs else 1.0
+            # Guard avgdl==0 (every doc's analyzed text empty but keyword fields
+            # present): tf_norm divides by avgdl — mirror the oracle's
+            # avgdl==0 → 1.0 so keyword-term scores stay finite (oracle.py).
+            if avgdl == 0.0:
+                avgdl = 1.0
+            sharding = "pmod_doc_id" if doc_id_col is None else "pmod_xxhash64"
+            spark.createDataFrame(
+                [(n_docs, avgdl, num_shards, list(keyword_cols), sharding)],
+                "n_docs long, avgdl double, n_shards int, "
+                "keyword_fields array<string>, sharding string",
+            ).write.mode("overwrite").parquet(p["corpus"])
+        else:
+            shard_counts, n_docs = _resolve_doc_counts(_read_doc_counts())
+            row = spark.read.parquet(p["corpus"]).collect()[0]
+            assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
+            stored_kw = tuple(row["keyword_fields"] or ())
+            if stored_kw != keyword_cols:
+                raise ValueError(
+                    f"index at {index_dir!r} was built with keyword_cols="
+                    f"{stored_kw!r}, resume requested {keyword_cols!r} — the "
+                    "committed postings would be stale; rebuild into a fresh "
+                    "directory instead"
+                )
+            avgdl = float(row["avgdl"])
+
+        for fut in lineage_futs:
+            fut.result()
+    except BaseException:
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise
+    pool.shutdown()
 
     phase_t["phase3_stats"] = round(time.time() - t2, 2)
     return {
