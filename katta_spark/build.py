@@ -76,7 +76,7 @@ from katta_spark.xxhash import term_hash
 # Bump whenever the on-disk postings layout changes: a resumed build over a
 # directory with a different version wipes and rebuilds (the analog of
 # Katta refusing to serve a shard whose format it cannot read).
-FORMAT_VERSION = 6
+FORMAT_VERSION = 7
 
 # Doc-marker (sentinel) postings: ONE extra token row per document rides the
 # existing corpus shuffle, so per-shard doc counts and the docID-collision
@@ -205,13 +205,28 @@ def token_rows(
     the NOT_ANALYZED field postings (SampleIndexGenerator.java:75-78).
     """
     sd = F.shiftleft(F.col("shard_id").cast("long"), 32) + F.col("doclen")
+    # The doc-marker term rides the SAME explode as the real tokens (one
+    # scan, one tokenize): appended as one extra array element per doc, it
+    # hashes through the same xxhash64 and its sd carries the doc's
+    # analyzed doclen — so the marker posting's doclens blob doubles as a
+    # per-shard doc→dl (norms) sidecar. coalesce('') keeps null-text docs:
+    # they still emit their marker (doclen 0).
+    marker_term = F.concat(
+        F.lit("\x00docs:"),
+        F.pmod(F.col("doc_id"), F.lit(SENTINEL_SALT)).cast("string"),
+    )
     toks = docs_with_ids.select(
         "shard_id",
         "doc_id",
-        tokenize_col(F.col("text")).alias("tokens"),
+        tokenize_col(F.coalesce(F.col("text"), F.lit(""))).alias("tokens"),
     ).withColumn("doclen", F.size("tokens"))
     base = toks.select(
-        "shard_id", "doc_id", "doclen", F.explode("tokens").alias("term")
+        "shard_id",
+        "doc_id",
+        "doclen",
+        F.explode(
+            F.concat(F.col("tokens"), F.array(marker_term))
+        ).alias("term"),
     ).select(
         F.xxhash64(F.col("term")).alias("th"), "doc_id", sd.alias("sd")
     )
@@ -229,21 +244,7 @@ def token_rows(
             )
         )
         base = base.unionByName(kw)
-    # Doc-marker row (one per document, empty-text docs included): rides the
-    # same shuffle; the kernel turns each (shard, sentinel-slice) group into
-    # a posting row whose df = distinct docs and cf = input rows — per-shard
-    # doc counts and the docID-collision check with NO separate corpus scan.
-    marker = docs_with_ids.select(
-        F.xxhash64(
-            F.concat(
-                F.lit("\x00docs:"),
-                F.pmod(F.col("doc_id"), F.lit(SENTINEL_SALT)).cast("string"),
-            )
-        ).alias("th"),
-        "doc_id",
-        F.shiftleft(F.col("shard_id").cast("long"), 32).alias("sd"),
-    )
-    return base.unionByName(marker)
+    return base
 
 
 def term_dictionary(
@@ -481,9 +482,9 @@ def build_index(
             )
             # Batch metrics piggyback on the write itself (CollectMetrics
             # node): no blob-sized read-back job after the commit.
-            # min_dl == 0 ⟺ doc-marker row (every real token row carries
-            # dl ≥ 1), so the metrics exclude the sentinel family cheaply.
-            real = F.col("min_dl") > 0
+            # exclude the doc-marker family from the batch metrics (InSet
+            # over the 256 sentinel hashes — a codegen hash-set probe)
+            real = ~F.col("th").isin(list(SENTINEL_HASHES))
             obs = Observation(f"batch{batch_id}")
             postings = postings.observe(
                 obs,
@@ -567,30 +568,61 @@ def build_index(
         _ensure_readable(p["postings"], ENCODED_SCHEMA)
         _ensure_readable(p["dict"], "th long, term string, _mx string")
 
-        # Per-shard doc counts + docID-collision check from the doc-marker
-        # postings — a tiny read pruned to the sentinel th family (pushed
-        # In predicate + row-group skipping on the th-sorted files), NO
-        # corpus scan. df = distinct doc_ids per (shard, slice); cf = input
-        # rows: a 64-bit doc_id birthday collision (likely around ~4e9
-        # docs) or duplicate input ids makes cf exceed df. Submitted from a
-        # driver thread so it overlaps the phase-3 stats jobs (the serial
-        # build tail is these three small read jobs back-to-back otherwise).
-        def _read_doc_counts() -> list:
+        # Doc counts, docID-collision check AND per-shard token totals from
+        # the doc-marker postings in ONE job — a tiny read pruned to the
+        # sentinel th family (pushed In predicate + row-group skipping on
+        # the th-sorted files), NO corpus scan and NO dictionary join.
+        # Per (shard, slice) marker posting: df = distinct doc_ids, cf =
+        # input rows (a 64-bit doc_id birthday collision — likely around
+        # ~4e9 docs — or duplicate input ids makes cf exceed df), and the
+        # doclens blob is the per-doc analyzed token count, so its varbyte
+        # decode sums to the shard's total tokens (the avgdl numerator —
+        # what the dict-joined per-shard cf aggregation used to compute).
+        def _marker_stats() -> list:
             t_s = time.time()
+            from katta_spark.codec import vb_decode
+
+            def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "shard_id": pdf["shard_id"],
+                            "n_docs": pdf["df"],
+                            "n_rows": pdf["cf"],
+                            "sum_dl": [
+                                int(vb_decode(np.frombuffer(b, np.uint8)).sum())
+                                for b in pdf["doclens"]
+                            ],
+                        }
+                    )
+
             rows = (
                 spark.read.parquet(p["postings"])
                 .where(F.col("th").isin(list(SENTINEL_HASHES)))
+                .select("shard_id", "df", "cf", "doclens")
+                .mapInPandas(
+                    dec, "shard_id int, n_docs long, n_rows long, sum_dl long"
+                )
                 .groupBy("shard_id")
-                .agg(F.sum("df").alias("n_docs"), F.sum("cf").alias("n_rows"))
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("sum_dl").alias("sum_dl"),
+                )
                 .collect()
             )
-            phase_t["sentinel_doc_stats"] = round(time.time() - t_s, 2)
+            phase_t["marker_doc_stats"] = round(time.time() - t_s, 2)
             return rows
 
-        def _resolve_doc_counts(sent: list) -> tuple[list, int]:
-            counts = [(int(r["shard_id"]), int(r["n_docs"])) for r in sent]
-            nd = sum(c for _, c in counts)
-            nr = sum(int(r["n_rows"]) for r in sent)
+        def _resolve_marker(rows: list) -> tuple[list, int]:
+            counts = [
+                (int(r["shard_id"]), int(r["n_docs"]), int(r["sum_dl"]))
+                for r in rows
+            ]
+            nd = sum(c for _, c, _ in counts)
+            nr = sum(int(r["n_rows"]) for r in rows)
             if nr != nd:
                 raise RuntimeError(
                     f"doc_id collision or duplicate input ids: {nr} rows but "
@@ -619,32 +651,17 @@ def build_index(
                     .parquet(p["stats"])
                 )
 
-            # stats write, the doc-count read-back, and the per-shard sums are
-            # independent small jobs over the (blob-pruned) postings — overlap
-            # all three.
-            with ThreadPoolExecutor(max_workers=2) as p3pool:
+            # stats write and the marker-decode job are independent small
+            # jobs over the (blob-pruned) postings — overlap them.
+            with ThreadPoolExecutor(max_workers=1) as p3pool:
                 fut_stats = p3pool.submit(_write_stats)
-                fut_counts = p3pool.submit(_read_doc_counts)
-                # per-shard token totals for shard-subset / multi-index stats
-                per_shard_dl = (
-                    spark.read.parquet(p["postings"])
-                    .join(tdict_r, "th")
-                    .where(~F.col("term").contains(FIELD_SEP))
-                    .groupBy("shard_id")
-                    .agg(F.sum("cf").alias("sum_dl"))
-                    .collect()
-                )
+                shard_counts, n_docs = _resolve_marker(_marker_stats())
                 fut_stats.result()
-                shard_counts, n_docs = _resolve_doc_counts(fut_counts.result())
             _ensure_readable(p["stats"], "term string, df long, cf long, th long")
-            dl_by_shard = {int(r["shard_id"]): int(r["sum_dl"]) for r in per_shard_dl}
-            shard_rows = [
-                (sid, cnt, dl_by_shard.get(sid, 0)) for sid, cnt in shard_counts
-            ]
             spark.createDataFrame(
-                shard_rows, "shard_id int, n_docs long, sum_dl long"
+                shard_counts, "shard_id int, n_docs long, sum_dl long"
             ).write.mode("overwrite").parquet(p["shards"])
-            sum_dl = sum(dl_by_shard.values())
+            sum_dl = sum(dl for _, _, dl in shard_counts)
             avgdl = (sum_dl / n_docs) if n_docs else 1.0
             # Guard avgdl==0 (every doc's analyzed text empty but keyword fields
             # present): tf_norm divides by avgdl — mirror the oracle's
@@ -658,7 +675,7 @@ def build_index(
                 "keyword_fields array<string>, sharding string",
             ).write.mode("overwrite").parquet(p["corpus"])
         else:
-            shard_counts, n_docs = _resolve_doc_counts(_read_doc_counts())
+            shard_counts, n_docs = _resolve_marker(_marker_stats())
             row = spark.read.parquet(p["corpus"]).collect()[0]
             assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
             stored_kw = tuple(row["keyword_fields"] or ())

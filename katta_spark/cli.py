@@ -199,9 +199,13 @@ def main(argv: list[str] | None = None) -> int:
 
             from katta_spark.query import IndexHandle
 
+            from katta_spark.build import SENTINEL_HASHES
+
             ix = IndexHandle.open(spark, args.index_dir)
-            # min_dl > 0 excludes the doc-marker (sentinel) posting rows
-            post = ix.postings(spark).where(F.col("min_dl") > 0)
+            # exclude the doc-marker (sentinel) posting rows
+            post = ix.postings(spark).where(
+                ~F.col("th").isin(list(SENTINEL_HASHES))
+            )
             per_shard = (
                 post.groupBy("shard_id")
                 .agg(
