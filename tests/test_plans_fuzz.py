@@ -112,3 +112,29 @@ def test_rank_identity_fuzz(spark, idx, docs):
             np.array([r.score for r in want], np.float32),
             rtol=2e-6,
         )
+
+
+def test_broad_expansion_uses_broadcast_fetch(spark, idx, docs):
+    """Past _ISIN_MAX_TERMS the term fetch must switch from a pushed
+    In(th, ...) predicate to a broadcast-joined term table: a ~990-term
+    wildcard must not inline a thousand literals into the scan, and the
+    result must still rank-match the oracle."""
+    from katta_spark.plans import physical_plan
+    from katta_spark.query import IndexHandle, expand_wildcards
+
+    ix = IndexHandle.open(spark, idx)
+    expanded = expand_wildcards(spark, ix, "w00*")
+    assert len(expanded) > 64  # the broadcast path threshold
+    hits = search(spark, idx, "w00*", k=10)
+    plan = physical_plan(hits)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    # no giant inlined literal list on the scan
+    assert plan.count(",") < 2000, "term literals leaked into the plan"
+    got = search(spark, idx, "w00*", k=10, score_dtype="float64").collect()
+    want = bm25_topk(
+        docs, " ".join(sorted(expanded)), k=10, shard_col="shard_id",
+        score_dtype="double",
+    ).collect()
+    assert [(r.doc_id, round(r.score, 6)) for r in got] == [
+        (r.doc_id, round(r.score, 6)) for r in want
+    ]
