@@ -61,7 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     p_search = sub.add_parser("search")
     p_search.add_argument("index_dirs")
     p_search.add_argument("query")
-    p_search.add_argument("-k", type=int, default=10)
+    # Katta: `search <indexes> "<query>" [count]` — WITHOUT a count only
+    # the total hit count is printed (client.count); WITH a count the
+    # totalHits plus a table of the top hits (Katta.java:795-848).
+    p_search.add_argument("-k", type=int, default=None)
     p_search.add_argument("--mode", choices=["or", "and"], default="or")
     p_search.add_argument(
         "--root",
@@ -141,7 +144,9 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(list_indexes(args.root), indent=2))
         elif args.cmd == "search":
-            from katta_spark.query import search, search_multi
+            import time
+
+            from katta_spark.query import count_matches, search_with_total
 
             if args.root:
                 from katta_spark.registry import resolve
@@ -149,15 +154,33 @@ def main(argv: list[str] | None = None) -> int:
                 dirs = resolve(args.root, args.index_dirs)
             else:
                 dirs = args.index_dirs.split(",")
-            if len(dirs) == 1:
-                hits = search(spark, dirs[0], args.query, k=args.k, mode=args.mode)
+            t0 = time.time()
+            if args.k is None:
+                # count-only form (Katta.java:839-846: client.count);
+                # count_matches counts docs matching >=1 term (OR)
+                if args.mode != "or":
+                    raise SystemExit(
+                        "count-only search counts OR matches; pass -k for "
+                        "AND-mode results"
+                    )
+                n = count_matches(spark, dirs if len(dirs) > 1 else dirs[0],
+                                  args.query)
+                print(f"{n} Hits found in {time.time() - t0:.3f}sec.")
             else:
-                hits = search_multi(spark, dirs, args.query, k=args.k, mode=args.mode)
-            # Katta prints "Hits: <n>" then a hit table (Katta.java:830-838)
-            rows = hits.collect()
-            print(f"Hits: {len(rows)}")
-            for r in rows:
-                print(f"{r.score:12.6f}  doc={r.doc_id:>20d}  shard={r.shard_id}")
+                # totalHits + top-k hit table (Katta.java:823-838)
+                out = search_with_total(
+                    spark, dirs if len(dirs) > 1 else dirs[0], args.query,
+                    k=args.k, mode=args.mode,
+                )
+                rows = out.collect()
+                total = int(rows[0]["total_hits"]) if rows else 0
+                print(f"{total} hits found in {time.time() - t0:.3f}sec.")
+                print(f"{'Hit':>4}  {'Shard':>6}  {'DocId':>20}  Score")
+                for i, r in enumerate(rows):
+                    print(
+                        f"{i:>4}  {r.shard_id:>6}  {r.doc_id:>20d}  "
+                        f"{r.score:.6f}"
+                    )
         elif args.cmd == "count":
             from katta_spark.query import count_matches
 

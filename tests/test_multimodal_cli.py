@@ -58,9 +58,17 @@ def test_cli_end_to_end(spark, tiny_transcripts, tmp_path, capsys):
     out = capsys.readouterr().out
     assert json.loads(out.strip().splitlines()[-1])["n_docs"] == 2000
 
+    # with a count: totalHits + hit table (Katta.java:823-838)
     assert cli.main(["search", idx, "hotalpha w00011", "-k", "5"]) == 0
     out = capsys.readouterr().out
-    assert out.startswith("Hits: 5")
+    total = int(out.split()[0])
+    assert total > 5 and "hits found in" in out
+    assert len([ln for ln in out.splitlines() if ln.strip()[0:1].isdigit()]) >= 5
+
+    # without a count: count-only form (Katta.java:839-846)
+    assert cli.main(["search", idx, "hotalpha w00011"]) == 0
+    out = capsys.readouterr().out
+    assert int(out.split()[0]) == total and "Hits found in" in out
 
     assert cli.main(["count", idx, "hotalpha"]) == 0
     n = int(capsys.readouterr().out.strip().splitlines()[-1])
@@ -86,7 +94,8 @@ def test_cli_generate_index(spark, tmp_path, capsys):
     assert json.loads(out.strip().splitlines()[-1])["n_docs"] == 500
 
     assert cli.main(["search", idx, "hotalpha", "-k", "5"]) == 0
-    assert capsys.readouterr().out.startswith("Hits: 5")
+    out = capsys.readouterr().out
+    assert int(out.split()[0]) > 5 and "hits found in" in out
     # the keyword field is searchable (SampleIndexGenerator's NOT_ANALYZED key)
     assert cli.main(["count", idx, "role:user"]) == 0
     assert int(capsys.readouterr().out.strip().splitlines()[-1]) > 0
