@@ -350,6 +350,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_phrase"] = bm25_phrase
 
+    def bm25_phrase_slop(spark, sf):
+        """F2 proximity phrase '"join scan"~3': the tokens must appear IN
+        ORDER within the slop window (ordered-only simplification of
+        Lucene slop, documented); verified on candidates only via nested
+        EXISTS over JVM position arrays; 'merge' scores as SHOULD."""
+        hits = ksq.search(
+            spark, _index_dir(spark, sf), '"join scan"~3 merge', k=10,
+            score_dtype="float64",
+            source=_docs(spark, sf), source_doc_id_col="doc_id",
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_phrase_slop"] = bm25_phrase_slop
+
     def bm25_total_multi(spark, sf):
         """A4/§2.7: totalHits across a LIST of indexes (split corpus) —
         Katta's multi-index count sums per-node results over every index
@@ -667,6 +681,22 @@ scores AS (
 SELECT doc_id, round(s, 4) AS score_r FROM scores
 ORDER BY s DESC, doc_id ASC LIMIT 10
 """
+
+    # proximity phrase: ordered positions within the slop window — the
+    # oracle derives positions itself (parallel unnest zips token + index)
+    _POS = (
+        "(SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS p "
+        f"FROM (SELECT doc_id, {_TOK} AS t FROM documents))"
+    )
+    o["bm25_phrase_slop"] = _bm25_sql(
+        [("join", 1.0), ("scan", 1.0), ("merge", 1.0)], 10,
+        filter_clause=(
+            "WHERE doc_id IN ("
+            f"SELECT pa.doc_id FROM {_POS} pa JOIN {_POS} pb USING (doc_id) "
+            "WHERE pa.term = 'join' AND pb.term = 'scan' "
+            "AND pb.p > pa.p AND pb.p - pa.p - 1 <= 3)"
+        ),
+    )
 
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]

@@ -183,11 +183,17 @@ def parse_bool_query(
                    normal term. Phrases are MUST clauses here (a
                    documented simplification of Lucene's default-OR bare
                    phrase; negated phrases are rejected).
+    - ``"a b"~N``  proximity (sloppy) phrase: the tokens must appear IN
+                   ORDER with at most N extra positions between the first
+                   and last (an ordered-only simplification of Lucene's
+                   slop, which also admits reorderings at higher cost —
+                   documented divergence).
     - plain terms  SHOULD: score when present.
 
     Returns (qweights, must, must_not, phrases): qweights covers every
     SCORING term (should + must + phrase tokens), duplicated clauses
-    weight additively like parse_query.
+    weight additively like parse_query. Each phrases entry is
+    ``(tokens, slop)`` with slop 0 for exact phrases.
     """
     import re as _re
 
@@ -206,15 +212,16 @@ def parse_bool_query(
     def _phrase(m: "_re.Match") -> str:
         if m.group(1) == "-":
             raise ValueError("negated phrases are not supported")
+        slop = int(m.group(3)[1:]) if m.group(3) else 0
         toks = tokenize_str(m.group(2))
         if toks:
-            phrases.append(toks)
+            phrases.append((toks, slop))
             for t in toks:
                 qw[t] = qw.get(t, 0.0) + 1.0
                 must.add(t)
         return " "
 
-    rest = _re.sub(r'([+-]?)"([^"]*)"', _phrase, query)
+    rest = _re.sub(r'([+-]?)"([^"]*)"(~\d+)?', _phrase, query)
     for raw in rest.split():
         if raw.startswith("+") and len(raw) > 1:
             clause, boost = split_boost(raw[1:])
@@ -783,9 +790,20 @@ def search(
     must: set[str] = set()
     must_not: set[str] = set()
     phrases: list[list[str]] = []
-    if _RANGE_RE.search(query):
+    # Route on the UNQUOTED remainder: '~' inside '"a b"~3' is a phrase
+    # slop, not a fuzzy operator, and quoted spans must never reach the
+    # dictionary-expansion paths.
+    unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?', " ", query)
+    has_phrase = unquoted != query
+    if _RANGE_RE.search(unquoted):
+        if has_phrase:
+            raise ValueError("phrases cannot be combined with range clauses")
         qweights = expand_ranges(spark, index, query)
-    elif "*" in query or "~" in query:
+    elif "*" in unquoted or "~" in unquoted:
+        if has_phrase:
+            raise ValueError(
+                "phrases cannot be combined with wildcard/fuzzy clauses"
+            )
         qweights = expand_wildcards(spark, index, query)
     else:
         qweights, must, must_not, phrases = parse_bool_query(
@@ -943,11 +961,49 @@ def search(
             src.select("doc_id", F.col(source_text_col).alias("__text")),
             "doc_id",
         )
+        toks_col = tokenize_col(F.col("__text"))
         padded = F.concat(
-            F.lit(" "), F.array_join(tokenize_col(F.col("__text")), " "), F.lit(" ")
+            F.lit(" "), F.array_join(toks_col, " "), F.lit(" ")
         )
-        for p in phrases:
-            joined = joined.where(padded.contains(" " + " ".join(p) + " "))
+
+        def _positions(w: str):
+            # 0-based positions of w in the token array, JVM-side
+            return F.filter(
+                F.transform(
+                    toks_col,
+                    lambda t, i: F.when(t == F.lit(w), i),
+                ),
+                lambda x: x.isNotNull(),
+            )
+
+        def _slop_match(words: list[str], slop: int):
+            # exists p1<p2<...<pm with pm-p1-(m-1) <= slop (in-order
+            # window — see parse_bool_query's documented simplification);
+            # nested EXISTS over the per-token position arrays, all
+            # whole-stage-codegen higher-order functions.
+            arrs = [_positions(w) for w in words]
+            m = len(words)
+            if m == 1:
+                return F.size(arrs[0]) > 0
+
+            def level(i, prev, first):
+                if i == m - 1:
+                    return F.exists(
+                        arrs[i],
+                        lambda p: (p > prev)
+                        & ((p - first - F.lit(m - 1)) <= F.lit(slop)),
+                    )
+                return F.exists(
+                    arrs[i], lambda p: (p > prev) & level(i + 1, p, first)
+                )
+
+            return F.exists(arrs[0], lambda p0: level(1, p0, p0))
+
+        for p, slop in phrases:
+            if slop == 0:
+                joined = joined.where(padded.contains(" " + " ".join(p) + " "))
+            else:
+                joined = joined.where(_slop_match(p, slop))
         hits = joined.drop("__text")
     if not ordered:
         # Caller does its own ordering (e.g. field sort) — returning the

@@ -56,7 +56,10 @@ def test_parse_bool_query():
     assert qw == {"alpha": 1.0, "gam": 1.0, "ma": 1.0, "delta": 1.0}
     assert must == {"alpha", "gam", "ma"}
     assert must_not == {"beta"}
-    assert phrases == [["gam", "ma"]]
+    assert phrases == [(["gam", "ma"], 0)]
+    # proximity (sloppy) phrase: '"a b"~N' carries its window
+    _, _, _, ph = parse_bool_query('"gam ma"~3 delta')
+    assert ph == [(["gam", "ma"], 3)]
     with pytest.raises(ValueError, match="negated phrases"):
         parse_bool_query('-"a b"')
 
@@ -212,3 +215,72 @@ def test_fuzzy_query_rank_identity(spark, bidx, docs):
     assert [(r.doc_id, round(r.score, 4)) for r in got] == [
         (r.doc_id, round(r.score, 4)) for r in want
     ]
+
+
+# ---- proximity (sloppy) phrases: '"a b"~N' — ordered within window
+
+
+def _slop_docs(docs, words, slop):
+    """Brute-force matching doc_ids: ordered positions within the window."""
+    from katta_spark.tokenizer import tokenize_str
+
+    out = []
+    for r in docs.select("doc_id", "text").collect():
+        toks = tokenize_str(r.text or "")
+        poss = [[i for i, t in enumerate(toks) if t == w] for w in words]
+        m = len(words)
+
+        def rec(level, prev, first):
+            for p in poss[level]:
+                if p <= prev:
+                    continue
+                if level == m - 1:
+                    if p - first - (m - 1) <= slop:
+                        return True
+                elif rec(level + 1, p, first):
+                    return True
+            return False
+
+        if any(rec(1, p0, p0) for p0 in poss[0]):
+            out.append(r.doc_id)
+    return out
+
+
+def test_slop_phrase_rank_identity(spark, bidx, docs, tiny_transcripts):
+    words, slop = ["hotalpha", "hotbeta"], 8
+    got = search(
+        spark, bidx, f'"hotalpha hotbeta"~{slop}', k=15,
+        source=tiny_transcripts,
+    ).collect()
+    keep_ids = _slop_docs(docs, words, slop)
+    assert keep_ids, "fixture must contain in-window matches"
+    keep_df = docs.sparkSession.createDataFrame(
+        [(int(x),) for x in keep_ids], "doc_id long"
+    )
+    want = _oracle_filtered(docs, "hotalpha hotbeta", keep_df, 15)
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got], np.float32),
+        np.array([r.score for r in want], np.float32),
+        rtol=2e-6,
+    )
+
+
+def test_slop_supersets_exact(spark, bidx, tiny_transcripts):
+    """Every exact-phrase match must also match the sloppy phrase."""
+    exact = {
+        r.doc_id
+        for r in search(
+            spark, bidx, '"hotalpha hotbeta"', k=10**6,
+            source=tiny_transcripts,
+        ).collect()
+    }
+    sloppy = {
+        r.doc_id
+        for r in search(
+            spark, bidx, '"hotalpha hotbeta"~4', k=10**6,
+            source=tiny_transcripts,
+        ).collect()
+    }
+    assert exact <= sloppy
+    assert len(sloppy) > len(exact)  # the window admits non-adjacent pairs
