@@ -364,6 +364,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_phrase_slop"] = bm25_phrase_slop
 
+    def bm25_tree(spark, sf):
+        """F2 grouped boolean query '(join AND hash) OR merge NOT scan'
+        (Lucene QueryParser explicit grammar, occur-flag NOT): a doc
+        matches if (join∧hash)∨merge and not scan; a failed AND group
+        contributes NOTHING to the score even when one term is present
+        (BooleanQuery path-sum scoring)."""
+        hits = ksq.search(
+            spark, _index_dir(spark, sf),
+            "(join AND hash) OR merge NOT scan", k=10,
+            score_dtype="float64",
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_tree"] = bm25_tree
+
     def bm25_total_multi(spark, sf):
         """A4/§2.7: totalHits across a LIST of indexes (split corpus) —
         Katta's multi-index count sums per-node results over every index
@@ -697,6 +712,49 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
             "AND pb.p > pa.p AND pb.p - pa.p - 1 <= 3)"
         ),
     )
+
+    # grouped boolean: (join AND hash) OR merge NOT scan — per-doc term
+    # contributions pivoted, match + BooleanQuery path-sum in SQL
+    o["bm25_tree"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS w
+  FROM tf
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1) s USING (term)
+  JOIN dl USING (doc_id), corpus c
+  WHERE tf.term IN ('join', 'hash', 'merge', 'scan')
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'join' THEN w END) AS wj,
+         max(CASE WHEN term = 'hash' THEN w END) AS wh,
+         max(CASE WHEN term = 'merge' THEN w END) AS wm,
+         max(CASE WHEN term = 'scan' THEN w END) AS ws
+  FROM contrib GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         coalesce(CASE WHEN wj IS NOT NULL AND wh IS NOT NULL
+                       THEN wj + wh END, 0)
+           + coalesce(wm, 0) AS s,
+         ((wj IS NOT NULL AND wh IS NOT NULL) OR wm IS NOT NULL)
+           AND ws IS NULL AS m
+  FROM piv
+)
+SELECT doc_id, round(s, 4) AS score_r FROM scored WHERE m
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
 
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]

@@ -238,6 +238,128 @@ def parse_bool_query(
     return qw, must, must_not, phrases
 
 
+def parse_tree_query(
+    query: str, keyword_fields: tuple[str, ...] | None = None
+) -> tuple[tuple, dict[str, float]]:
+    """Grouped boolean queries — Lucene QueryParser's explicit operator
+    grammar (Katta.java:825-826): ``(a AND b) OR c``, ``NOT d``, with
+    parentheses. Returns ``(tree, qweights)`` where tree nodes are
+    ``("term", t)`` / ``("and", [children])`` / ``("or", [children])`` /
+    ``("not", child)``.
+
+    Grammar (precedence low→high): OR (also implicit juxtaposition —
+    Lucene's default-OR), AND, unary NOT, parens. Uppercase AND/OR/NOT
+    only, like Lucene. NOT children follow Lucene's occur-flag model: a
+    NOT clause is a MUST_NOT of its ENCLOSING boolean, so ``a NOT b`` ≡
+    ``a OR NOT b`` ≡ (a) AND NOT (b), and a level with only NOT clauses
+    matches nothing. Scoring follows BooleanQuery: a doc's score sums
+    the contributions of the sub-clauses that MATCH on its matching path
+    (a non-matching AND group contributes nothing even if one of its
+    terms is present). Duplicate leaves of the same term share one
+    additive weight (the flat-parse precedent)."""
+    import re as _re
+
+    toks = _re.findall(r"\(|\)|[^\s()]+", query)
+    fields = set(keyword_fields or ())
+    qw: dict[str, float] = {}
+    pos = 0
+
+    def _leaf(raw: str):
+        base, boost = split_boost(raw)
+        fld, sep, val = base.partition(":")
+        if sep and val and fld in fields:
+            terms = [base]
+        else:
+            terms = tokenize_str(base)
+        if not terms:
+            return None
+        for t in terms:
+            qw[t] = qw.get(t, 0.0) + boost
+        if len(terms) == 1:
+            return ("term", terms[0])
+        # a raw token that analyzes into several tokens (e.g. 'foo-bar')
+        # becomes a conjunctive group — the conservative reading
+        return ("and", [("term", t) for t in terms])
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        children = [parse_and()]
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                take()
+            children.append(parse_and())
+        children = [c for c in children if c is not None]
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else ("or", children)
+
+    def parse_and():
+        children = [parse_not()]
+        while peek() == "AND":
+            take()
+            children.append(parse_not())
+        children = [c for c in children if c is not None]
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else ("and", children)
+
+    def parse_not():
+        if peek() == "NOT":
+            take()
+            child = parse_not()
+            if child is None:
+                raise ValueError("NOT requires an operand")
+            return ("not", child)
+        return parse_primary()
+
+    def parse_primary():
+        t = peek()
+        if t is None or t in (")", "AND", "OR"):
+            raise ValueError(f"unexpected token {t!r} in boolean query")
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError("unbalanced parentheses in boolean query")
+            take()
+            return node
+        return _leaf(take())
+
+    tree = parse_or()
+    if pos != len(toks):
+        raise ValueError("unbalanced parentheses in boolean query")
+    if tree is None:
+        raise ValueError("empty boolean query")
+    return tree, qw
+
+
+def tree_terms(tree: tuple, positive: bool = True) -> tuple[set, set]:
+    """(positive_terms, negated_terms) of a parse_tree_query tree."""
+    pos_s: set = set()
+    neg_s: set = set()
+
+    def walk(node, sign):
+        kind = node[0]
+        if kind == "term":
+            (pos_s if sign else neg_s).add(node[1])
+        elif kind == "not":
+            walk(node[1], not sign)
+        else:
+            for ch in node[1]:
+                walk(ch, sign)
+
+    walk(tree, positive)
+    return pos_s, neg_s
+
+
 # Lucene guards wildcard rewrites with BooleanQuery.maxClauseCount (default
 # 1024): a broad prefix over a web-scale vocabulary must error, not build a
 # million-clause query. Same analog here.
@@ -325,6 +447,10 @@ _RANGE_RE = _re_mod.compile(
     r"(?:([A-Za-z_][A-Za-z0-9_]*):)?([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])"
 )
 
+# Explicit-grammar boolean queries: uppercase AND/OR/NOT keywords (Lucene
+# QueryParser convention — lowercase 'and' is just a term) or parentheses.
+_TREE_RE = _re_mod.compile(r"(?:^|\s)(?:AND|OR|NOT)(?:\s|$)|[()]")
+
 
 def expand_ranges(
     spark: SparkSession,
@@ -398,6 +524,119 @@ def _empty_hits(score_dtype: str, with_total: bool = False) -> pd.DataFrame:
     if with_total:
         cols["shard_total"] = pd.array([], dtype="int64")
     return pd.DataFrame(cols)
+
+
+def _make_tree_kernel(
+    tree: tuple,
+    qweights: dict[str, float],
+    n_docs: float,
+    avgdl: float,
+    k: int,
+    score_dtype: str = "float32",
+    with_total: bool = False,
+):
+    """Per-shard kernel for grouped boolean queries (parse_tree_query).
+
+    Decodes each query term's postings once, aligns membership + BM25
+    contribution vectors over the shard's candidate universe (union of
+    positive-leaf postings — a doc outside it can never match: pure-
+    negative trees match nothing, Lucene semantics), then evaluates the
+    tree bottom-up with numpy boolean algebra. Scoring is BooleanQuery's:
+    a node's score sums the scores of its MATCHING children only — a
+    failed AND group contributes nothing even when one of its terms is
+    present. No block pruning (bounds don't compose through NOT)."""
+
+    def kernel(
+        pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
+    ) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty_hits(score_dtype, with_total)
+        shard_id = int(pdf["shard_id"].iloc[0])
+        idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
+        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for row, idf in zip(pdf.itertuples(index=False), idf_col):
+            d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
+            if filter_docs is not None:
+                keep = np.isin(d, filter_docs)
+                d, t, l = d[keep], t[keep], l[keep]
+            contrib = (
+                qweights.get(row.term, 0.0)
+                * idf
+                * scoring.tf_norm_np(t, l, avgdl)
+            )
+            per_term[row.term] = (d, contrib)
+
+        pos_terms, _ = tree_terms(tree)
+        pos_arrays = [
+            per_term[t][0] for t in sorted(pos_terms) if t in per_term
+        ]
+        if not pos_arrays:
+            return _empty_hits(score_dtype, with_total)
+        universe = np.unique(np.concatenate(pos_arrays))
+        n = universe.size
+
+        def leaf(t: str) -> tuple[np.ndarray, np.ndarray]:
+            m = np.zeros(n, dtype=bool)
+            s = np.zeros(n, dtype=np.float64)
+            if t in per_term:
+                d, c = per_term[t]
+                ix = np.searchsorted(universe, d)
+                ok = (ix < n) & (universe[np.minimum(ix, n - 1)] == d)
+                m[ix[ok]] = True
+                s[ix[ok]] = c[ok]
+            return m, s
+
+        def ev(node) -> tuple[np.ndarray, np.ndarray]:
+            # Lucene occur-flag semantics: a NOT child is a MUST_NOT
+            # clause of its ENCLOSING boolean — 'a NOT b' and 'a OR NOT b'
+            # both mean (a) AND NOT (b); a level with only NOT children
+            # matches nothing (pure-negative query).
+            kind = node[0]
+            if kind == "term":
+                return leaf(node[1])
+            if kind == "not":
+                # bare top-level NOT (or nested not-of-not): pure negative
+                return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
+            pos_parts, neg_ms = [], []
+            for ch in node[1]:
+                if ch[0] == "not":
+                    neg_ms.append(ev(ch[1])[0])
+                else:
+                    pos_parts.append(ev(ch))
+            if not pos_parts:
+                return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
+            ms = [p[0] for p in pos_parts]
+            s = np.zeros(n, dtype=np.float64)
+            for mi, si in pos_parts:
+                s += np.where(mi, si, 0.0)
+            m = (
+                np.logical_and.reduce(ms)
+                if kind == "and"
+                else np.logical_or.reduce(ms)
+            )
+            for nm in neg_ms:
+                m = m & ~nm
+            return m, s
+
+        m, s = ev(tree)
+        docs = universe[m]
+        sc = s[m].astype(score_dtype)
+        total = int(m.sum())
+        if docs.size > k:
+            order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
+            docs, sc = docs[order], sc[order]
+        out = pd.DataFrame(
+            {
+                "shard_id": np.full(docs.size, shard_id, dtype=np.int32),
+                "doc_id": docs,
+                "score": pd.array(sc, dtype=score_dtype),
+            }
+        )
+        if with_total:
+            out["shard_total"] = np.full(docs.size, total, dtype=np.int64)
+        return out
+
+    return kernel
 
 
 def _make_score_kernel(
@@ -795,7 +1034,25 @@ def search(
     # dictionary-expansion paths.
     unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?', " ", query)
     has_phrase = unquoted != query
-    if _RANGE_RE.search(unquoted):
+    tree = None
+    if _TREE_RE.search(unquoted):
+        if has_phrase:
+            raise ValueError(
+                "phrases cannot be combined with AND/OR/NOT grouping"
+            )
+        if "*" in unquoted or "~" in unquoted:
+            raise ValueError(
+                "wildcard/fuzzy/range clauses cannot be combined with "
+                "AND/OR/NOT grouping"
+            )
+        if mode != "or":
+            raise ValueError(
+                "AND/OR/NOT grouping defines its own clause semantics; "
+                f"mode={mode!r} is not combinable with it"
+            )
+        tree, qweights = parse_tree_query(query, index.keyword_fields)
+        _, must_not = tree_terms(tree)
+    elif _RANGE_RE.search(unquoted):
         if has_phrase:
             raise ValueError("phrases cannot be combined with range clauses")
         qweights = expand_ranges(spark, index, query)
@@ -891,7 +1148,11 @@ def search(
             F.broadcast(df_sub), "th"
         )
 
-    if boolean:
+    if tree is not None:
+        kernel = _make_tree_kernel(
+            tree, qweights, n_docs, avgdl, k, score_dtype, _with_total
+        )
+    elif boolean:
         # phrase verify drops docs AFTER scoring, so with phrases present
         # the kernel must emit every (must-constrained) candidate — the
         # must-set already bounds candidates to docs containing all phrase

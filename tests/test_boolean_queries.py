@@ -284,3 +284,123 @@ def test_slop_supersets_exact(spark, bidx, tiny_transcripts):
     }
     assert exact <= sloppy
     assert len(sloppy) > len(exact)  # the window admits non-adjacent pairs
+
+
+# ---- grouped boolean queries: (a AND b) OR c, NOT — explicit grammar
+
+
+def _tree_oracle(docs, qweights, match_fn, score_terms_fn, k):
+    """Brute-force: per-doc term contributions -> match + BooleanQuery
+    path-sum scoring via the python callbacks."""
+    from katta_spark.tokenizer import tokenize_str
+
+    rows = docs.select("doc_id", "shard_id", "text").collect()
+    n_docs = len(rows)
+    tf = {}
+    dl = {}
+    for r in rows:
+        toks = tokenize_str(r.text or "")
+        dl[r.doc_id] = len(toks)
+        for t in toks:
+            tf.setdefault(t, {}).setdefault(r.doc_id, 0)
+            tf[t][r.doc_id] += 1
+    import math
+
+    avgdl = sum(dl.values()) / n_docs
+    out = []
+    for r in rows:
+        present = {t for t in qweights if r.doc_id in tf.get(t, {})}
+        if not match_fn(present):
+            continue
+
+        def contrib(t):
+            if r.doc_id not in tf.get(t, {}):
+                return 0.0
+            df = len(tf[t])
+            idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            f = tf[t][r.doc_id]
+            return qweights[t] * idf * (f * 2.2) / (
+                f + 1.2 * (0.25 + 0.75 * dl[r.doc_id] / avgdl)
+            )
+
+        s = sum(contrib(t) for t in score_terms_fn(present))
+        out.append((r.doc_id, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_tree_and_or(spark, bidx, docs):
+    """(hotalpha AND hotbeta) OR w00011 — a failed AND group contributes
+    nothing even when one of its terms is present."""
+    got = search(
+        spark, bidx, "(hotalpha AND hotbeta) OR w00011", k=12,
+        score_dtype="float64",
+    ).collect()
+
+    def match(present):
+        return {"hotalpha", "hotbeta"} <= present or "w00011" in present
+
+    def score_terms(present):
+        ts = []
+        if {"hotalpha", "hotbeta"} <= present:
+            ts += ["hotalpha", "hotbeta"]
+        if "w00011" in present:
+            ts.append("w00011")
+        return ts
+
+    want = _tree_oracle(
+        docs, {"hotalpha": 1.0, "hotbeta": 1.0, "w00011": 1.0},
+        match, score_terms, 12,
+    )
+    assert [(r.doc_id, round(r.score, 6)) for r in got] == [
+        (d, round(s, 6)) for d, s in want
+    ]
+
+
+def test_tree_not_semantics(spark, bidx, docs):
+    """'hotalpha NOT hotbeta' ≡ '(hotalpha) AND NOT (hotbeta)' (Lucene
+    occur flags) — identical to the flat '-hotbeta' form."""
+    a = search(spark, bidx, "hotalpha NOT hotbeta", k=20).collect()
+    b = search(spark, bidx, "hotalpha -hotbeta", k=20).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+    # OR NOT spells the same thing
+    c = search(spark, bidx, "hotalpha OR NOT hotbeta", k=20).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in c]
+
+
+def test_tree_pure_negative_and_guards(spark, bidx):
+    assert search(spark, bidx, "NOT hotalpha", k=5).collect() == []
+    with pytest.raises(ValueError, match="not combinable"):
+        search(spark, bidx, "(hotalpha OR hotbeta)", k=5, mode="and")
+    with pytest.raises(ValueError, match="unbalanced"):
+        search(spark, bidx, "(hotalpha OR hotbeta", k=5)
+
+
+def test_tree_nested(spark, bidx, docs):
+    """Nested groups: ((w00011 OR w00012) AND hotalpha) NOT hotgamma."""
+    got = search(
+        spark, bidx, "((w00011 OR w00012) AND hotalpha) NOT hotgamma",
+        k=10, score_dtype="float64",
+    ).collect()
+
+    def match(p):
+        return (
+            ({"w00011"} <= p or {"w00012"} <= p)
+            and "hotalpha" in p
+            and "hotgamma" not in p
+        )
+
+    def score_terms(p):
+        ts = [t for t in ("w00011", "w00012") if t in p]
+        if ts and "hotalpha" in p:
+            return ts + ["hotalpha"]
+        return []
+
+    want = _tree_oracle(
+        docs,
+        {"w00011": 1.0, "w00012": 1.0, "hotalpha": 1.0, "hotgamma": 1.0},
+        match, score_terms, 10,
+    )
+    assert [(r.doc_id, round(r.score, 6)) for r in got] == [
+        (d, round(s, 6)) for d, s in want
+    ]
