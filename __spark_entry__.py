@@ -510,6 +510,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, sf), k=16, w=8
     )
 
+    def stratified(spark, sf):
+        """Deterministic per-stratum downsampling (domain quotas): md5-rule
+        survival is a pure function of (doc_id, seed), so samples are
+        reproducible and nested across rates."""
+        return tx.stratified_sample(
+            _docs(spark, sf),
+            rates={"src3": 0.5, "src7": 1.0, "src12": 0.25},
+            strata_col="source",
+        ).select("doc_id", "source")
+
+    q["stratified_sample"] = stratified
+
+    def packing(spark, sf):
+        """Sequence packing for training: docs greedily packed into
+        ~128-token bins within hash-bucketed independent streams (window
+        cumsum per bucket — parallel, deterministic)."""
+        return tx.pack_sequences(_docs(spark, sf), max_tokens=128, buckets=4)
+
+    q["pack_sequences"] = packing
+
+    def windowed_events(spark, sf):
+        """Tumbling-window event aggregation (the same F.window expression
+        runs under Structured Streaming with a watermark —
+        streaming.stream_windowed_counts; tested in test_streaming_filter)."""
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return tx.windowed_event_counts(ev, "1 hour")
+
+    q["windowed_events"] = windowed_events
+
     def media_frames(spark, sf):
         """Multimodal plumbing gate: the exploding frame-sampling kernel
         (one media row → k frame rows, mapInPandas) over documents-as-media
@@ -823,6 +852,34 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         + _bm25_sql([("merge", 1.0), ("batch", 1.0)], 5)
         + ") t LEFT JOIN documents d USING (doc_id)"
     )
+
+    # stratified sampling: identical md5 survival rule derived in SQL
+    o["stratified_sample"] = """
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
+              < CAST((CASE source WHEN 'src3' THEN 0.5 WHEN 'src7' THEN 1.0
+                      WHEN 'src12' THEN 0.25 ELSE 0.0 END) * 4294967296.0
+                     AS BIGINT)
+    """
+
+    # sequence packing: same bucketed greedy cumsum as a SQL window
+    o["pack_sequences"] = f"""
+        SELECT doc_id, CAST(doc_id % 4 AS INT) AS bucket,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY doc_id % 4 ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 128.0) AS BIGINT) AS pack_id,
+               n_tokens
+        FROM (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents)
+    """
+
+    # tumbling-window aggregation: time_bucket is the SQL twin of F.window
+    o["windowed_events"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
 
     o["dedup_exact"] = """
         SELECT d.doc_id, c.canonical_id, d.doc_id <> c.canonical_id AS is_dup

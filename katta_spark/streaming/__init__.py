@@ -154,3 +154,48 @@ def stream_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Tumbling-window event aggregation under Structured Streaming.
+
+    The SAME windowed expression as the batch operator
+    (textops.windowed_event_counts) over readStream, plus a watermark:
+    events later than ``watermark`` behind the max seen event time are
+    dropped by state eviction; everything else lands in its event-time
+    bucket regardless of arrival order. Append output mode — a window's
+    row is emitted exactly once, when the watermark passes its end.
+    """
+    from pyspark.sql import functions as F
+
+    from katta_spark.textops import windowed_event_counts
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = windowed_event_counts(events, window_len)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()

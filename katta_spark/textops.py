@@ -433,3 +433,107 @@ def winnow_fingerprints(
         .select("doc_id", F.explode(minima).alias("fingerprint"))
         .distinct()
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    default_rate: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-quota /
+    source-mixing step of a training-data pipeline.
+
+    A row survives iff the first 8 hex digits of md5(id|seed), read as an
+    integer, fall below rate(stratum) · 16⁸ — a pure function of the row,
+    so the sample is reproducible across runs, engines (md5 is
+    cross-engine, unlike xxhash64) and cluster sizes, and any two rates
+    r₁ < r₂ give NESTED samples (the r₁ sample is a subset of the r₂
+    one — growing a quota only adds rows). No shuffle at all: the filter
+    is a codegen expression on the scan.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                                      F.lit(str(seed)))), 1, 8),
+        16, 10,
+    ).cast("long")
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    return docs.where(u < (rate * F.lit(float(16 ** 8))).cast("long"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, pack_id, n_tokens): deterministic sequence packing
+    — group documents into ~``max_tokens``-token training bins.
+
+    Docs are hash-assigned to ``buckets`` independent packing streams
+    (pmod(id, buckets)); within a stream they pack greedily in id order:
+    pack_id = floor((running token total exclusive of the doc) /
+    max_tokens). Each stream's cumsum is one window over its OWN
+    partition — the buckets bound the window's partition size, so packing
+    parallelizes bucket-wise instead of forcing a global sort (at 100 TB,
+    set buckets ≈ cores · a few; determinism is unaffected because the
+    stream assignment and in-stream order are pure functions of the id).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(buckets)).cast("int").alias("bucket"),
+        F.size(tokenize_col(F.col(text_col))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "bucket",
+        F.floor(cum_before / F.lit(max_tokens)).cast("long").alias("pack_id"),
+        "n_tokens",
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value): tumbling-window
+    aggregation over the events stream/table.
+
+    Built on F.window so THE SAME expression runs in batch (this gate)
+    and under Structured Streaming with a watermark
+    (streaming.stream_windowed_counts) — late events beyond the watermark
+    are dropped by Spark's state eviction, everything else lands in its
+    event-time bucket regardless of arrival order.
+    """
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_len).alias("w"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -183,3 +183,60 @@ def test_point_lookup_and_reader(spark, tiny_transcripts, tmp_path):
     # predicate reaches the scan
     plan = point_lookup(tx, "conv_id", row.conv_id)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "IsNotNull" in plan
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path):
+    """Tumbling-window agg under Structured Streaming == the batch twin
+    for in-watermark data; an event arriving LATER than the watermark
+    behind max event time is dropped by state eviction."""
+    import datetime as dt
+
+    from katta_spark.streaming import stream_windowed_counts
+    from katta_spark.textops import windowed_event_counts
+
+    ind = str(tmp_path / "ev_in")
+    outd = str(tmp_path / "ev_out")
+    ck = str(tmp_path / "ev_ck")
+    os.makedirs(ind)
+
+    def ev(i, h, m, typ, v):
+        return (i, dt.datetime(2024, 1, 1, h, m), 1, typ, float(v), "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = [ev(1, 0, 5, "click", 1.0), ev(2, 0, 40, "click", 2.0),
+              ev(3, 1, 10, "view", 3.0), ev(4, 5, 1, "click", 4.0)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ind)
+    # watermark = 2h behind max(ts)=05:01 → cutoff 03:01: an hour-0 event
+    # arriving now is LATE and must be dropped; an hour-4 event is fine.
+    batch2 = [ev(5, 0, 50, "click", 8.0), ev(6, 4, 30, "view", 5.0)]
+
+    stream_windowed_counts(spark, ind, outd, ck, "1 hour", "2 hours")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ind)
+    stream_windowed_counts(spark, ind, outd, ck, "1 hour", "2 hours")
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(outd).collect()
+    }
+    # append mode emits a window once its end < watermark; with cutoff
+    # 03:01 after batch1 the hour-0 and hour-1 windows are final.
+    h0 = (dt.datetime(2024, 1, 1, 0, 0), "click")
+    h1 = (dt.datetime(2024, 1, 1, 1, 0), "view")
+    assert got[h0] == (2, 3.0), got  # event 5 (late hour-0) DROPPED
+    assert got[h1] == (1, 3.0), got
+
+    # batch twin on the SAME expression over the in-watermark rows agrees
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(
+            spark.createDataFrame(batch1, schema), "1 hour"
+        ).collect()
+    }
+    assert batch[h0] == got[h0] and batch[h1] == got[h1]

@@ -203,3 +203,42 @@ def test_bucket_col_matches_driver_fold(emb):
     rows = sim.lsh_signatures(emb, dim=64).limit(50).collect()
     for r in rows:
         assert r.bucket == sim._bucket_of(list(r.embedding), H)
+
+
+def test_stratified_sample_nested_and_deterministic(spark, docs):
+    from katta_spark.textops import stratified_sample
+
+    lo = stratified_sample(docs, {"src3": 0.2, "src7": 0.2}, "source")
+    hi = stratified_sample(docs, {"src3": 0.7, "src7": 0.7}, "source")
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids < hi_ids  # nested samples: raising a quota only adds rows
+    again = {
+        r.doc_id
+        for r in stratified_sample(
+            docs, {"src3": 0.2, "src7": 0.2}, "source"
+        ).select("doc_id").collect()
+    }
+    assert again == lo_ids  # reproducible
+    # default_rate=0: other strata contribute nothing
+    srcs = {r.source for r in lo.select("source").distinct().collect()}
+    assert srcs <= {"src3", "src7"}
+
+
+def test_pack_sequences_greedy_per_bucket(spark, docs):
+    from katta_spark.textops import pack_sequences
+
+    packed = pack_sequences(docs, max_tokens=200, buckets=4).collect()
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // 200, (b, r)
+            cum += r.n_tokens
+        # pack ids are dense and nondecreasing in id order
+        ids = [r.pack_id for r in rows]
+        assert ids == sorted(ids)
