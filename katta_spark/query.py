@@ -1374,7 +1374,10 @@ def search_multi(
     ALL searched indexes (DocumentFrequencyWritable summing,
     LuceneClient.java:271-281), so scores are identical to a single merged
     index; phase 2 is a bag union of per-index shard streams through the
-    same final top-k merge (SURVEY.md §2.7).
+    same final top-k merge (SURVEY.md §2.7). Boolean syntax carries over:
+    ``+MUST`` / ``-MUST_NOT`` clauses and AND/OR/NOT grouping evaluate
+    against the combined stats exactly as in :func:`search`; phrases are
+    single-index only (their verify needs the index's own source).
 
     This is also the INCREMENTAL-UPDATE story: new documents build a small
     delta index and queries span [base, delta] with combined stats — the
@@ -1388,10 +1391,35 @@ def search_multi(
     if _with_total:
         empty_schema += ", shard_total long"
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
-    qweights = parse_query(query, all_kw)
+    # Boolean clause surface over the combined corpus: +MUST / -MUST_NOT
+    # and AND/OR/NOT grouping parse exactly as in search(); phrase verify
+    # would need per-index sources — unsupported here.
+    tree = None
+    must: set[str] = set()
+    must_not: set[str] = set()
+    if _TREE_RE.search(query):
+        if mode != "or":
+            raise ValueError(
+                "AND/OR/NOT grouping defines its own clause semantics; "
+                f"mode={mode!r} is not combinable with it"
+            )
+        tree, qweights = parse_tree_query(query, all_kw)
+        _, must_not = tree_terms(tree)
+    else:
+        qweights, must, must_not, phrases = parse_bool_query(query, all_kw)
+        if phrases:
+            raise ValueError(
+                "phrase queries are single-index only (verify needs the "
+                "index's own source) — search each index separately"
+            )
+        if (must or must_not) and mode != "or":
+            raise ValueError(
+                "boolean operators (+/-) define their own clause "
+                f"semantics; mode={mode!r} is not combinable with them"
+            )
     if not qweights or k <= 0:
         return spark.createDataFrame([], empty_schema)
-    terms = sorted(qweights)
+    terms = sorted(set(qweights) | must_not)
 
     # phase 1: combined stats over all indexes
     n_docs = float(sum(h.n_docs for h in handles))
@@ -1407,8 +1435,13 @@ def search_multi(
             if d:
                 df_tot[t] = df_tot.get(t, 0) + d
     live_terms = sorted(df_tot)
-    if not live_terms or (mode == "and" and len(live_terms) < len(terms)):
+    live_scoring = [t for t in live_terms if t in qweights]
+    if not live_scoring or (
+        mode == "and" and len(live_scoring) < len(set(qweights))
+    ):
         return spark.createDataFrame([], empty_schema)
+    if must and not must <= set(live_terms):
+        return spark.createDataFrame([], empty_schema)  # a MUST term is absent
     live_hashes = [term_hash(t) for t in live_terms]
 
     # phase 2: bag union of per-index postings; shard ids are offset so the
@@ -1432,15 +1465,21 @@ def search_multi(
     )
     postings = postings.join(F.broadcast(df_g), "th")
 
-    if mode == "and":
+    if tree is not None:
+        kernel = _make_tree_kernel(
+            tree, qweights, n_docs, avgdl, k, score_dtype, _with_total
+        )
+    elif mode == "and":
         kernel = _make_and_kernel(
             qweights, n_docs, avgdl, k, score_dtype, _with_total
         )
     else:
-        # with totals the count must be exact → no block pruning
+        # with totals the count must be exact → no block pruning; boolean
+        # clauses (must/not) also disable pruning inside the kernel
         kernel = _make_score_kernel(
-            qweights, n_docs, avgdl, k, not _with_total, score_dtype,
-            _with_total,
+            qweights, n_docs, avgdl, k,
+            not _with_total and not must and not must_not, score_dtype,
+            _with_total, frozenset(must), frozenset(must_not),
         )
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
     if _with_total:
@@ -1543,13 +1582,24 @@ def count_matches(
     A LIST of indexes counts across all of them (Katta's count() sums
     per-node results over every searched index, LuceneClient.java:225-251):
     match counting needs no stats, so the postings streams simply bag-union
-    with offset shard ids."""
+    with offset shard ids.
+
+    Queries with boolean clauses (``+``/``-``, AND/OR/NOT grouping)
+    delegate to the search kernels' exact shard totals — Katta's count()
+    likewise counts the PARSED query's matches, not term-OR matches."""
     handles = (
         [IndexHandle.open(spark, ix) if isinstance(ix, str) else ix for ix in index]
         if isinstance(index, (list, tuple))
         else [IndexHandle.open(spark, index) if isinstance(index, str) else index]
     )
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
+    if (
+        _TREE_RE.search(query)
+        or any(tok[0] in "+-" and len(tok) > 1 for tok in query.split())
+    ):
+        multi = handles if len(handles) > 1 else handles[0]
+        rows = search_with_total(spark, multi, query, k=1).collect()
+        return int(rows[0]["total_hits"]) if rows else 0
     terms = sorted(parse_query(query, all_kw))
     if not terms:
         return 0

@@ -191,3 +191,29 @@ def test_multi_index_total_hits(spark, split_indexes):
     )
     # coverage: 2+2 shards searched across the two half indexes
     assert got[0].shards_total == 4
+
+
+def test_multi_index_boolean_and_tree(spark, split_indexes):
+    """+/- clauses and AND/OR/NOT grouping over a LIST of indexes must
+    equal the whole-corpus single-index answer (combined stats)."""
+    whole_idx, a, b = split_indexes
+    for q in ("hotalpha -hotbeta", "+hotalpha w00011",
+              "(hotalpha AND hotbeta) OR w00011",
+              "hotalpha NOT (hotbeta OR hotgamma)"):
+        got = search_multi(spark, [a, b], q, k=10, score_dtype="float64").collect()
+        want = search(spark, whole_idx, q, k=10, score_dtype="float64").collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], q
+        assert [round(r.score, 9) for r in got] == [
+            round(r.score, 9) for r in want
+        ], q
+
+    # count delegates to the parsed query's exact totals, split == whole
+    for q in ("hotalpha -hotbeta", "(hotalpha AND hotbeta) OR w00011"):
+        assert count_matches(spark, [a, b], q) == count_matches(
+            spark, whole_idx, q
+        ), q
+
+    # phrase over a list refuses with a clear error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="single-index only"):
+        search_multi(spark, [a, b], '"hotalpha hotbeta"', k=5)
