@@ -132,3 +132,28 @@ def test_sentinel_invisible_to_queries_and_stats(spark, tiny_transcripts, tmp_pa
     assert [(r.shard_id, r.n_docs) for r in got] == [
         (r.shard_id, r["count"]) for r in want
     ]
+
+
+def test_crash_between_data_and_lineage_replays_idempotently(
+    spark, tiny_transcripts, tmp_path_factory
+):
+    """The lineage append is deferred to a driver thread: a crash after the
+    postings commit but before the lineage row lands must replay the batch
+    idempotently (dynamic partition overwrite) with identical results."""
+    import os
+    import shutil
+
+    from katta_spark.build import build_index
+    from katta_spark.query import search
+
+    d = str(tmp_path_factory.mktemp("crash_idx"))
+    build_index(spark, tiny_transcripts, d, num_shards=4)
+    before = search(spark, d, "hotalpha w00011", k=10).collect()
+    # simulate the crash window: data committed, lineage lost
+    shutil.rmtree(os.path.join(d, "lineage.parquet"))
+    summary = build_index(spark, tiny_transcripts, d, num_shards=4)
+    assert summary["batches_committed"] == 1 and summary["batches_skipped"] == 0
+    after = search(spark, d, "hotalpha w00011", k=10).collect()
+    assert [(r.doc_id, r.score) for r in before] == [
+        (r.doc_id, r.score) for r in after
+    ]
