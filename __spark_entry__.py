@@ -379,6 +379,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_tree"] = bm25_tree
 
+    def bm25_batch(spark, sf):
+        """Batch query execution: MANY queries in ONE Spark job (the
+        LuceneSearchPerformanceTest throughput shape) — one postings scan
+        pruned to the union of terms, per-shard kernel scores every query,
+        one tiny per-query window merge."""
+        out = ksq.search_batch(
+            spark, _index_dir(spark, sf),
+            ["join hash", "merge batch", "customer order"], k=5,
+            score_dtype="float64",
+        )
+        return out.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score_r")
+        )
+
+    q["bm25_batch"] = bm25_batch
+
     def bm25_total_multi(spark, sf):
         """A4/§2.7: totalHits across a LIST of indexes (split corpus) —
         Katta's multi-index count sums per-node results over every index
@@ -784,6 +800,18 @@ scored AS (
 SELECT doc_id, round(s, 4) AS score_r FROM scored WHERE m
 ORDER BY s DESC, doc_id ASC LIMIT 10
 """
+
+    # batch execution: per-query SQL answers stitched with their query_id
+    o["bm25_batch"] = " UNION ALL ".join(
+        f"SELECT {qi} AS query_id, * FROM ({_bm25_sql(terms, 5)})"
+        for qi, terms in enumerate(
+            [
+                [("join", 1.0), ("hash", 1.0)],
+                [("merge", 1.0), ("batch", 1.0)],
+                [("customer", 1.0), ("order", 1.0)],
+            ]
+        )
+    )
 
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]

@@ -92,6 +92,22 @@ def main() -> None:
             lambda: ksq.search_with_total(spark, ih, "join hash", 10).collect(),
         )
         timed("count_matches", lambda: ksq.count_matches(spark, ih, "join hash"))
+        # batch execution: 16 queries in ONE job — the aggregate-QPS shape
+        # of LuceneSearchPerformanceTest; effective per-query cost is this
+        # timing / 16 (vs one full job per query above)
+        batch_queries = [
+            "join hash", "merge batch", "customer order", "scan filter",
+            "data join", "hash merge scan", "order data", "batch join",
+            "filter hash", "customer merge", "scan order data", "join",
+            "merge", "customer", "hash scan", "data filter batch",
+        ]
+        timed(
+            "bm25_batch16",
+            lambda: ksq.search_batch(spark, ih, batch_queries, k=10).collect(),
+        )
+        extra["batch_queries_per_sec"] = round(
+            len(batch_queries) / timings["bm25_batch16"], 1
+        )
 
         # training-data ops
         timed("dedup_exact", lambda: tx.exact_dedup(docs).count())

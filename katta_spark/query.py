@@ -1571,6 +1571,134 @@ def search_sorted(
     return out
 
 
+def search_batch(
+    spark: SparkSession,
+    index: "IndexHandle | str",
+    queries: list[str],
+    k: int = 10,
+    score_dtype: str = "float32",
+) -> DataFrame:
+    """Execute MANY queries in ONE Spark job — the throughput shape of the
+    reference's query benchmark (LuceneSearchPerformanceTest.java:20-45
+    fires a whole query batch and measures aggregate QPS; Katta amortizes
+    per-query cost across its node fleet, Spark amortizes the per-job
+    fixed cost across the batch).
+
+    Returns DataFrame(query_id, doc_id, shard_id, score) with ≤ k rows per
+    query, ordered by (query_id, score DESC, doc_id ASC, shard_id DESC).
+
+    Plan: ONE postings scan pruned to the UNION of all queries' terms →
+    per-shard kernel decodes each distinct term once and scores every
+    query against it → ≤ |queries|·k rows per shard → one tiny window
+    per query_id for the global merge. Flat term queries only (the
+    boolean/phrase/rewrite surfaces stay per-query in search())."""
+    from pyspark.sql import Window
+
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
+    index._record_query()
+    sql_t = "float" if score_dtype == "float32" else "double"
+    out_schema = f"query_id int, shard_id int, doc_id long, score {sql_t}"
+    parsed = [parse_query(q, index.keyword_fields) for q in queries]
+    all_terms = sorted({t for qw in parsed for t in qw})
+    if not all_terms or k <= 0:
+        return spark.createDataFrame([], out_schema)
+    hashes = sorted(term_hash(t) for t in all_terms)
+    n_docs, avgdl = float(index.n_docs), index.avgdl
+
+    postings = index.postings(spark)
+    if len(hashes) <= _ISIN_MAX_TERMS:
+        postings = postings.where(F.col("th").isin(hashes))
+        stats_small = (
+            index.stats(spark)
+            .where(F.col("th").isin(hashes) & F.col("term").isin(all_terms))
+            .select("th", "term", F.col("df").alias("df_g"))
+        )
+    else:
+        q_df = spark.createDataFrame(
+            [(term_hash(t), t) for t in all_terms], "th long, term string"
+        )
+        stats_small = (
+            index.stats(spark)
+            .join(F.broadcast(q_df), ["th", "term"], "left_semi")
+            .select("th", "term", F.col("df").alias("df_g"))
+        )
+    postings = postings.join(F.broadcast(stats_small), "th")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.array([], dtype="int32"),
+                    "shard_id": pd.array([], dtype="int32"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "score": pd.array([], dtype=score_dtype),
+                }
+            )
+        shard_id = int(pdf["shard_id"].iloc[0])
+        idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for row, idf in zip(pdf.itertuples(index=False), idf_col):
+            d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
+            decoded[row.term] = (
+                d,
+                idf * scoring.tf_norm_np(t, l, avgdl),
+            )
+        out_q, out_d, out_s = [], [], []
+        for qi, qw in enumerate(parsed):
+            present = [t for t in qw if t in decoded]
+            if not present:
+                continue
+            docs_cat = np.concatenate([decoded[t][0] for t in present])
+            contribs = np.concatenate(
+                [qw[t] * decoded[t][1] for t in present]
+            )
+            docs_u, inv = np.unique(docs_cat, return_inverse=True)
+            scores = np.zeros(docs_u.size, dtype=np.float64)
+            np.add.at(scores, inv, contribs)
+            sc = scores.astype(score_dtype)
+            if docs_u.size > k:
+                order = np.lexsort((docs_u, -sc.astype(np.float64)))[:k]
+                docs_u, sc = docs_u[order], sc[order]
+            out_q.append(np.full(docs_u.size, qi, dtype=np.int32))
+            out_d.append(docs_u)
+            out_s.append(sc)
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.array([], dtype="int32"),
+                    "shard_id": pd.array([], dtype="int32"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "score": pd.array([], dtype=score_dtype),
+                }
+            )
+        qs = np.concatenate(out_q)
+        return pd.DataFrame(
+            {
+                "query_id": qs,
+                "shard_id": np.full(qs.size, shard_id, dtype=np.int32),
+                "doc_id": np.concatenate(out_d),
+                "score": pd.array(np.concatenate(out_s), dtype=score_dtype),
+            }
+        )
+
+    hits = postings.groupBy("shard_id").applyInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy(
+            "query_id",
+            F.col("score").desc(),
+            F.col("doc_id").asc(),
+            F.col("shard_id").desc(),
+        )
+    )
+
+
 def count_matches(
     spark: SparkSession,
     index: "IndexHandle | str | list[IndexHandle | str]",

@@ -217,3 +217,27 @@ def test_multi_index_boolean_and_tree(spark, split_indexes):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="single-index only"):
         search_multi(spark, [a, b], '"hotalpha hotbeta"', k=5)
+
+
+def test_search_batch_matches_per_query(spark, split_indexes, tiny_transcripts):
+    """Batch execution (one job, many queries) must reproduce per-query
+    search results for every query in the batch."""
+    from katta_spark.query import search, search_batch
+
+    whole_idx, _, _ = split_indexes
+    queries = ["hotalpha", "hotalpha hotbeta", "w00011 w00013", "zzzqqq",
+               "hotalpha hotalpha w00015"]
+    batch = search_batch(spark, whole_idx, queries, k=7,
+                         score_dtype="float64").collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qi, q in enumerate(queries):
+        got = by_q.get(qi, [])
+        want = search(spark, whole_idx, q, k=7, score_dtype="float64").collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], q
+        np.testing.assert_allclose(
+            np.array([r.score for r in got]),
+            np.array([r.score for r in want]),
+            rtol=1e-9,
+        )
