@@ -1549,16 +1549,32 @@ def search_sorted(
     FieldSortComparator/MergeSort performed per node.
     ``track_scores=False`` omits the BM25 score column (Katta's default —
     scores are only computed when requested).
+
+    A LIST of indexes sorts across all of them (Katta sorted search spans
+    the searched indices, LuceneClientTest.java:330) via search_multi's
+    combined-stats bag union; ``source`` must cover the union corpus.
     """
-    if isinstance(index, str):
-        index = IndexHandle.open(spark, index)
     # candidate docs = union of posting lists (huge k caps nothing away);
     # when scores aren't tracked, the match-only kernel skips BM25 entirely
-    matches = search(
-        spark, index, query, k=2**31 - 1, prune=False, score_dtype="float64",
-        ordered=False, mode="or" if track_scores else "match",
-        filter_df=filter_df, filter_doc_col=filter_doc_col,
-    )
+    if isinstance(index, (list, tuple)):
+        if not track_scores:
+            raise ValueError(
+                "multi-index sorted search always tracks scores (the "
+                "match-only kernel is single-index)"
+            )
+        matches = search_multi(
+            spark, list(index), query, k=2**31 - 1, score_dtype="float64",
+            ordered=False, filter_df=filter_df, filter_doc_col=filter_doc_col,
+        )
+    else:
+        if isinstance(index, str):
+            index = IndexHandle.open(spark, index)
+        matches = search(
+            spark, index, query, k=2**31 - 1, prune=False,
+            score_dtype="float64",
+            ordered=False, mode="or" if track_scores else "match",
+            filter_df=filter_df, filter_doc_col=filter_doc_col,
+        )
     if doc_id_col is None:
         src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
     else:

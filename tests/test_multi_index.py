@@ -241,3 +241,22 @@ def test_search_batch_matches_per_query(spark, split_indexes, tiny_transcripts):
             np.array([r.score for r in want]),
             rtol=1e-9,
         )
+
+
+def test_multi_index_sorted_search(spark, split_indexes, tiny_transcripts):
+    """T2/T4 over a LIST of indexes: field-sorted matches across the split
+    corpus == the whole-corpus sorted answer, scores identical."""
+    from katta_spark.query import search_sorted
+
+    whole_idx, a, b = split_indexes
+    kwargs = dict(
+        source=tiny_transcripts,
+        sort_cols=[F.length("text").desc()],
+        k=9,
+    )
+    got = search_sorted(spark, [a, b], "merge hotbeta", **kwargs).collect()
+    want = search_sorted(spark, whole_idx, "merge hotbeta", **kwargs).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert [round(r.score, 9) for r in got] == [
+        round(r.score, 9) for r in want
+    ]
