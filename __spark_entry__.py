@@ -447,6 +447,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_range"] = bm25_range
 
+    def bm25_wildcard_pattern(spark, sf):
+        """P5 general WildcardQuery patterns (mid-pattern * and ?):
+        expanded against the dictionary with an anchored regex under the
+        startswith pushdown prefix, then scored as a normal OR rewrite."""
+        return _bm25(spark, sf, "me?ge fil*er", 10)
+
+    q["bm25_wildcard_pattern"] = bm25_wildcard_pattern
+
     def split_index(spark, sf):
         """Compliance (LuceneComplianceTest.java:107-190): two half-corpus
         indexes searched together == the whole corpus — same SQL oracle as
@@ -681,6 +689,40 @@ corpus AS (
 ),
 q AS (
   SELECT DISTINCT term, 1.0 AS qw FROM tok WHERE levenshtein(term, 'merg') <= 1
+),
+idf AS (
+  SELECT s.term, ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+  FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1) s, corpus c
+  WHERE s.term IN (SELECT term FROM q)
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qw * idf.idf * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS s
+  FROM tf JOIN q USING (term) JOIN idf USING (term)
+       JOIN dl USING (doc_id), corpus c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+    # pattern wildcards: q = dictionary terms matching the anchored regexes
+    o["bm25_wildcard_pattern"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (
+  SELECT DISTINCT term, 1.0 AS qw FROM tok
+  WHERE regexp_matches(term, '^me[a-z0-9]ge$')
+     OR regexp_matches(term, '^fil[a-z0-9]*er$')
 ),
 idf AS (
   SELECT s.term, ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf

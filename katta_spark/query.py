@@ -418,6 +418,24 @@ def expand_wildcards(
                 .where(~F.col("term").contains(":")),
                 raw,
             )
+        elif _re.fullmatch(r"[a-z0-9*?]+", low) and ("*" in low or "?" in low):
+            # general pattern wildcards (te*t, t?st — WildcardQuery);
+            # leading wildcards are refused like Lucene's QueryParser
+            # default (allowLeadingWildcard=false: an unanchored scan of
+            # the whole vocabulary per shard)
+            if low[0] in "*?":
+                raise ValueError(
+                    f"leading wildcard in {raw!r} is not allowed (Lucene "
+                    "QueryParser default) — anchor the pattern"
+                )
+            rx = "^" + low.replace("*", "[a-z0-9]*").replace("?", "[a-z0-9]") + "$"
+            prefix = _re.match(r"[a-z0-9]*", low).group(0)
+            _collect_capped(
+                index.stats(spark)
+                .where(F.col("term").startswith(prefix))
+                .where(F.col("term").rlike(rx)),
+                raw,
+            )
         elif fz:
             word, dist = fz.group(1), int(fz.group(2) or 2)
             _collect_capped(
@@ -1056,7 +1074,7 @@ def search(
         if has_phrase:
             raise ValueError("phrases cannot be combined with range clauses")
         qweights = expand_ranges(spark, index, query)
-    elif "*" in unquoted or "~" in unquoted:
+    elif "*" in unquoted or "~" in unquoted or "?" in unquoted:
         if has_phrase:
             raise ValueError(
                 "phrases cannot be combined with wildcard/fuzzy clauses"

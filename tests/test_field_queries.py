@@ -198,3 +198,30 @@ def test_range_guards(spark, fidx):
         expand_ranges(spark, ix, "lang:[a TO z]")
     with pytest.raises(ValueError, match="more than 1 terms"):
         expand_ranges(spark, ix, "role:[a TO z]", max_expansions=1)
+
+
+def test_pattern_wildcards(spark, fidx):
+    """General WildcardQuery patterns: mid-pattern * and single-char ?;
+    leading wildcards refused like Lucene's QueryParser default."""
+    import re
+
+    from katta_spark.query import IndexHandle, expand_wildcards
+
+    ix = IndexHandle.open(spark, fidx)
+    vocab = [
+        r["term"]
+        for r in ix.stats(spark).select("term").collect()
+        if ":" not in r["term"]
+    ]
+    for pat in ("w00*1", "w0001?", "h?talpha", "w*9*"):
+        rx = re.compile(
+            "^" + pat.replace("*", "[a-z0-9]*").replace("?", "[a-z0-9]") + "$"
+        )
+        got = set(expand_wildcards(spark, ix, pat))
+        want = {t for t in vocab if rx.fullmatch(t)}
+        assert got == want, (pat, got ^ want)
+        assert want, pat  # each pattern matches something in the fixture
+    with pytest.raises(ValueError, match="leading wildcard"):
+        expand_wildcards(spark, ix, "*alpha")
+    with pytest.raises(ValueError, match="leading wildcard"):
+        expand_wildcards(spark, ix, "?otalpha")
