@@ -546,6 +546,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = stratified
 
+    def quota(spark, sf):
+        """Exact per-stratum quotas: at most N rows per domain, ranked by a
+        deterministic md5 order (reproducible unbiased hard caps)."""
+        return tx.stratum_quota(
+            _docs(spark, sf), {"src1": 7, "src4": 3}, "source"
+        ).select("doc_id", "source")
+
+    q["stratum_quota"] = quota
+
+    def redact(spark, sf):
+        """PII-hygiene scrub: emails/URLs/IPv4 replaced by typed tokens via
+        chained JVM regexp_replace (patterns kept RE2-compatible so the
+        oracle runs them verbatim); synthetic PII is appended per row so
+        the gate actually exercises every pattern."""
+        docs = _docs(spark, sf).withColumn(
+            "text",
+            F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" mail bob@example.com site https://x.io/p?q=1 "
+                      "host 10.0.0.1 done"),
+            ),
+        )
+        return tx.redact_text(docs).select("doc_id", "redacted")
+
+    q["redact_text"] = redact
+
     def packing(spark, sf):
         """Sequence packing for training: docs greedily packed into
         ~128-token bins within hash-bucketed independent streams (window
@@ -930,6 +956,31 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
               < CAST((CASE source WHEN 'src3' THEN 0.5 WHEN 'src7' THEN 1.0
                       WHEN 'src12' THEN 0.25 ELSE 0.0 END) * 4294967296.0
                      AS BIGINT)
+    """
+
+    # exact quotas: same md5 ranking derived as a SQL window
+    o["stratum_quota"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR || '|42'), doc_id
+                 ) AS rk,
+                 CASE source WHEN 'src1' THEN 7 WHEN 'src4' THEN 3 END AS q
+          FROM documents
+        ) WHERE q IS NOT NULL AND rk <= q
+    """
+
+    # redaction: the same RE2-compatible patterns, global replace
+    o["redact_text"] = """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 substring(text, 1, 40) ||
+                 ' mail bob@example.com site https://x.io/p?q=1 host 10.0.0.1 done',
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g'),
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted
+        FROM documents
     """
 
     # sequence packing: same bucketed greedy cumsum as a SQL window

@@ -537,3 +537,58 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def stratum_quota(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quotas (keep at most N rows per domain) —
+    the hard-cap companion of :func:`stratified_sample`'s rates.
+
+    Rows within a stratum are ranked by md5(id|seed) (a deterministic
+    uniform order, so the kept set is an unbiased, reproducible sample)
+    and the first ``quota`` survive. One shuffle by stratum; the rank
+    window is per-stratum so no global sort exists. Strata without a
+    quota are dropped. Quota monotonicity: raising a stratum's quota
+    only ADDS rows (the ranking is fixed).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    quota = F.lit(None).cast("int")
+    for s, n in sorted(quotas.items()):
+        quota = F.when(F.col(strata_col) == s, F.lit(int(n))).otherwise(quota)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("_q", quota)
+        .where(F.col("_q").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_q"))
+        .drop("_q", "_rk")
+    )
+
+
+# Kept RE2-and-Java-compatible (no backreferences, no lookaround) so the
+# exact patterns run identically in Spark and the DuckDB oracle.
+REDACT_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_text(
+    docs: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails / URLs / IPv4 literals from text (the PII-hygiene pass
+    of a training pipeline) — chained JVM regexp_replace, no Python."""
+    col = F.col(text_col)
+    for pat, token in REDACT_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return docs.withColumn(out_col, col)

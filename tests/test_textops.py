@@ -242,3 +242,33 @@ def test_pack_sequences_greedy_per_bucket(spark, docs):
         # pack ids are dense and nondecreasing in id order
         ids = [r.pack_id for r in rows]
         assert ids == sorted(ids)
+
+
+def test_stratum_quota_exact_and_monotone(spark, docs):
+    from katta_spark.textops import stratum_quota
+
+    small = stratum_quota(docs, {"src3": 4, "src7": 2}, "source")
+    counts = {
+        r.source: r["count"]
+        for r in small.groupBy("source").count().collect()
+    }
+    assert counts == {"src3": 4, "src7": 2}
+    big = stratum_quota(docs, {"src3": 9, "src7": 2}, "source")
+    small_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    big_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert small_ids < big_ids  # raising a quota only adds rows
+
+
+def test_redact_text(spark):
+    from katta_spark.textops import redact_text
+
+    df = spark.createDataFrame(
+        [(1, "write to a.b@x-mail.org or visit http://ex.io/a?b=1 at 192.168.0.1 ok"),
+         (2, "nothing here"),
+         (3, "two mails p@q.io r@s.co and 999.1.2.3 is not clamped but matches")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.redacted for r in redact_text(df).collect()}
+    assert out[1] == "write to <EMAIL> or visit <URL> at <IP> ok"
+    assert out[2] == "nothing here"
+    assert out[3] == "two mails <EMAIL> <EMAIL> and <IP> is not clamped but matches"
