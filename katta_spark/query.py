@@ -1755,6 +1755,11 @@ def count_matches(
         else [IndexHandle.open(spark, index) if isinstance(index, str) else index]
     )
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
+    if '"' in query:
+        raise ValueError(
+            "phrase queries need their verify source — use "
+            "search(..., source=...) and count its rows"
+        )
     if (
         _TREE_RE.search(query)
         or any(tok[0] in "+-" and len(tok) > 1 for tok in query.split())

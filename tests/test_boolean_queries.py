@@ -404,3 +404,10 @@ def test_tree_nested(spark, bidx, docs):
     assert [(r.doc_id, round(r.score, 6)) for r in got] == [
         (d, round(s, 6)) for d, s in want
     ]
+
+
+def test_count_refuses_phrases(spark, bidx):
+    from katta_spark.query import count_matches
+
+    with pytest.raises(ValueError, match="verify source"):
+        count_matches(spark, bidx, '"hotalpha hotbeta"')
