@@ -171,7 +171,7 @@ def split_boost(raw: str) -> tuple[str, float]:
 
 def parse_bool_query(
     query: str, keyword_fields: tuple[str, ...] | None = None
-) -> tuple[dict[str, float], set[str], set[str], list[list[str]]]:
+) -> tuple[dict[str, float], set[str], set[str], list[tuple[list[str], int]]]:
     """Lucene-QueryParser-style boolean clauses (F2 — the syntax Katta
     exposes verbatim through Lucene's QueryParser, Katta.java:825-826):
 
@@ -213,15 +213,19 @@ def parse_bool_query(
         if m.group(1) == "-":
             raise ValueError("negated phrases are not supported")
         slop = int(m.group(3)[1:]) if m.group(3) else 0
+        # '"a b"^2' boosts every phrase token (Lucene boosts the clause)
+        boost = float(m.group(4)[1:]) if m.group(4) else 1.0
         toks = tokenize_str(m.group(2))
         if toks:
             phrases.append((toks, slop))
             for t in toks:
-                qw[t] = qw.get(t, 0.0) + 1.0
+                qw[t] = qw.get(t, 0.0) + boost
                 must.add(t)
         return " "
 
-    rest = _re.sub(r'([+-]?)"([^"]*)"(~\d+)?', _phrase, query)
+    rest = _re.sub(
+        r'([+-]?)"([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?', _phrase, query
+    )
     for raw in rest.split():
         if raw.startswith("+") and len(raw) > 1:
             clause, boost = split_boost(raw[1:])
@@ -255,8 +259,11 @@ def parse_tree_query(
     matches nothing. Scoring follows BooleanQuery: a doc's score sums
     the contributions of the sub-clauses that MATCH on its matching path
     (a non-matching AND group contributes nothing even if one of its
-    terms is present). Duplicate leaves of the same term share one
-    additive weight (the flat-parse precedent)."""
+    terms is present). Leaf nodes carry their own boost —
+    ``("term", t, boost)`` — and duplicate leaves each contribute once,
+    so ``a OR a`` scores 2x like the flat parse of ``a a`` (qweights in
+    the returned dict are informational sums; the kernel scores per
+    leaf)."""
     import re as _re
 
     toks = _re.findall(r"\(|\)|[^\s()]+", query)
@@ -275,11 +282,15 @@ def parse_tree_query(
             return None
         for t in terms:
             qw[t] = qw.get(t, 0.0) + boost
+        # the boost lives ON THE LEAF: the kernel's per-term contribution
+        # is unweighted and each leaf occurrence multiplies by its own
+        # boost, so 'a OR a' scores 2x (the flat-parse precedent) instead
+        # of the 4x a global additive weight would square into
         if len(terms) == 1:
-            return ("term", terms[0])
+            return ("term", terms[0], boost)
         # a raw token that analyzes into several tokens (e.g. 'foo-bar')
         # becomes a conjunctive group — the conservative reading
-        return ("and", [("term", t) for t in terms])
+        return ("and", [("term", t, boost) for t in terms])
 
     def peek():
         return toks[pos] if pos < len(toks) else None
@@ -397,7 +408,7 @@ def expand_wildcards(
 
     qw: dict[str, float] = {}
 
-    def _collect_capped(base, clause: str) -> None:
+    def _collect_capped(base, clause: str, boost: float = 1.0) -> None:
         rows = base.select("term").limit(max_expansions + 1).collect()
         if len(rows) > max_expansions:
             raise ValueError(
@@ -406,10 +417,13 @@ def expand_wildcards(
                 "max_expansions"
             )
         for r in rows:
-            qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
+            qw[r["term"]] = qw.get(r["term"], 0.0) + boost
 
     for raw in query.split():
-        low = raw.lower()
+        # strip a '^boost' suffix FIRST so 'ab*^2' boosts the expansion
+        # instead of silently falling through to the plain-term parser
+        raw_clause, boost = split_boost(raw)
+        low = raw_clause.lower()
         fz = _re.fullmatch(r"([a-z0-9]+)~([0-2]?)", low)
         if _re.fullmatch(r"[a-z0-9]+\*", low):
             _collect_capped(
@@ -417,6 +431,7 @@ def expand_wildcards(
                 .where(F.col("term").startswith(low[:-1]))
                 .where(~F.col("term").contains(":")),
                 raw,
+                boost,
             )
         elif _re.fullmatch(r"[a-z0-9*?]+", low) and ("*" in low or "?" in low):
             # general pattern wildcards (te*t, t?st — WildcardQuery);
@@ -435,6 +450,7 @@ def expand_wildcards(
                 .where(F.col("term").startswith(prefix))
                 .where(F.col("term").rlike(rx)),
                 raw,
+                boost,
             )
         elif fz:
             word, dist = fz.group(1), int(fz.group(2) or 2)
@@ -448,6 +464,7 @@ def expand_wildcards(
                 )
                 .where(F.levenshtein(F.col("term"), F.lit(word), dist) >= 0),
                 raw,
+                boost,
             )
         else:
             for t, w in parse_query(raw, index.keyword_fields).items():
@@ -463,6 +480,7 @@ import re as _re_mod
 # compares term text lexicographically).
 _RANGE_RE = _re_mod.compile(
     r"(?:([A-Za-z_][A-Za-z0-9_]*):)?([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])"
+    r"(\^\d+(?:\.\d+)?)?"
 )
 
 # Explicit-grammar boolean queries: uppercase AND/OR/NOT keywords (Lucene
@@ -493,14 +511,19 @@ def expand_ranges(
     fields = set(index.keyword_fields or ())
 
     def _expand(m: "_re_mod.Match") -> str:
-        fld, lbr, lo, hi, rbr = m.groups()
+        fld, lbr, lo, hi, rbr, boost_s = m.groups()
+        boost = float(boost_s[1:]) if boost_s else 1.0
         if fld is not None and fld not in fields:
             raise ValueError(
                 f"range on unknown keyword field {fld!r}; index declares "
                 f"{sorted(fields)!r}"
             )
         if fld is None:
-            # analyzed default field: term text is the value itself
+            # analyzed default field: term text is the value itself —
+            # bounds are lowercased like the analyzer lowercases terms
+            # (Lucene's lowercaseExpandedTerms default; keyword-field
+            # bounds stay verbatim, KeywordAnalyzer semantics)
+            lo, hi = lo.lower(), hi.lower()
             value = F.col("term")
             base = index.stats(spark).where(~F.col("term").contains(":"))
         else:
@@ -524,7 +547,7 @@ def expand_ranges(
                 "narrow the bounds or raise max_expansions"
             )
         for r in rows:
-            qw[r["term"]] = qw.get(r["term"], 0.0) + 1.0
+            qw[r["term"]] = qw.get(r["term"], 0.0) + boost
         return " "
 
     rest = _RANGE_RE.sub(_expand, query)
@@ -577,11 +600,10 @@ def _make_tree_kernel(
             if filter_docs is not None:
                 keep = np.isin(d, filter_docs)
                 d, t, l = d[keep], t[keep], l[keep]
-            contrib = (
-                qweights.get(row.term, 0.0)
-                * idf
-                * scoring.tf_norm_np(t, l, avgdl)
-            )
+            # UNWEIGHTED base contribution: each leaf multiplies by its
+            # own boost, so duplicate leaves sum to boost x occurrences
+            # (not (Σboost)² as a global additive weight would)
+            contrib = idf * scoring.tf_norm_np(t, l, avgdl)
             per_term[row.term] = (d, contrib)
 
         pos_terms, _ = tree_terms(tree)
@@ -593,7 +615,7 @@ def _make_tree_kernel(
         universe = np.unique(np.concatenate(pos_arrays))
         n = universe.size
 
-        def leaf(t: str) -> tuple[np.ndarray, np.ndarray]:
+        def leaf(t: str, boost: float) -> tuple[np.ndarray, np.ndarray]:
             m = np.zeros(n, dtype=bool)
             s = np.zeros(n, dtype=np.float64)
             if t in per_term:
@@ -601,7 +623,7 @@ def _make_tree_kernel(
                 ix = np.searchsorted(universe, d)
                 ok = (ix < n) & (universe[np.minimum(ix, n - 1)] == d)
                 m[ix[ok]] = True
-                s[ix[ok]] = c[ok]
+                s[ix[ok]] = boost * c[ok]
             return m, s
 
         def ev(node) -> tuple[np.ndarray, np.ndarray]:
@@ -611,7 +633,7 @@ def _make_tree_kernel(
             # matches nothing (pure-negative query).
             kind = node[0]
             if kind == "term":
-                return leaf(node[1])
+                return leaf(node[1], node[2])
             if kind == "not":
                 # bare top-level NOT (or nested not-of-not): pure negative
                 return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
@@ -1046,11 +1068,11 @@ def search(
         empty_schema += ", shard_total long"
     must: set[str] = set()
     must_not: set[str] = set()
-    phrases: list[list[str]] = []
+    phrases: list[tuple[list[str], int]] = []
     # Route on the UNQUOTED remainder: '~' inside '"a b"~3' is a phrase
     # slop, not a fuzzy operator, and quoted spans must never reach the
     # dictionary-expansion paths.
-    unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?', " ", query)
+    unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
     has_phrase = unquoted != query
     tree = None
     if _TREE_RE.search(unquoted):
@@ -1058,7 +1080,12 @@ def search(
             raise ValueError(
                 "phrases cannot be combined with AND/OR/NOT grouping"
             )
-        if "*" in unquoted or "~" in unquoted:
+        if (
+            "*" in unquoted
+            or "~" in unquoted
+            or "?" in unquoted
+            or _RANGE_RE.search(unquoted)
+        ):
             raise ValueError(
                 "wildcard/fuzzy/range clauses cannot be combined with "
                 "AND/OR/NOT grouping"
@@ -1411,7 +1438,25 @@ def search_multi(
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
     # Boolean clause surface over the combined corpus: +MUST / -MUST_NOT
     # and AND/OR/NOT grouping parse exactly as in search(); phrase verify
-    # would need per-index sources — unsupported here.
+    # would need per-index sources, and the dictionary rewrites
+    # (wildcard/fuzzy/range) would need a combined dictionary — both are
+    # refused explicitly rather than silently mis-tokenized.
+    if '"' in query:
+        raise ValueError(
+            "phrase queries are single-index only (verify needs the "
+            "index's own source) — search each index separately"
+        )
+    if (
+        "*" in query
+        or "~" in query
+        or "?" in query
+        or _RANGE_RE.search(query)
+    ):
+        raise ValueError(
+            "wildcard/fuzzy/range rewrites are single-index only (they "
+            "expand against one index's dictionary) — search each index "
+            "separately"
+        )
     tree = None
     must: set[str] = set()
     must_not: set[str] = set()
@@ -1425,11 +1470,6 @@ def search_multi(
         _, must_not = tree_terms(tree)
     else:
         qweights, must, must_not, phrases = parse_bool_query(query, all_kw)
-        if phrases:
-            raise ValueError(
-                "phrase queries are single-index only (verify needs the "
-                "index's own source) — search each index separately"
-            )
         if (must or must_not) and mode != "or":
             raise ValueError(
                 "boolean operators (+/-) define their own clause "
@@ -1640,6 +1680,9 @@ def search_batch(
     hashes = sorted(term_hash(t) for t in all_terms)
     n_docs, avgdl = float(index.n_docs), index.avgdl
 
+    # NOTE: mirrors search()'s _stats_for_query fetch contract (pushed
+    # In(th) under the threshold, broadcast semi-join above it, th+term
+    # double predicate as the hash-collision guard) — keep the two in step.
     postings = index.postings(spark)
     if len(hashes) <= _ISIN_MAX_TERMS:
         postings = postings.where(F.col("th").isin(hashes))
@@ -1659,16 +1702,19 @@ def search_batch(
         )
     postings = postings.join(F.broadcast(stats_small), "th")
 
+    def _empty_batch() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": pd.array([], dtype="int32"),
+                "shard_id": pd.array([], dtype="int32"),
+                "doc_id": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype=score_dtype),
+            }
+        )
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
-            return pd.DataFrame(
-                {
-                    "query_id": pd.array([], dtype="int32"),
-                    "shard_id": pd.array([], dtype="int32"),
-                    "doc_id": pd.array([], dtype="int64"),
-                    "score": pd.array([], dtype=score_dtype),
-                }
-            )
+            return _empty_batch()
         shard_id = int(pdf["shard_id"].iloc[0])
         idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -1698,14 +1744,7 @@ def search_batch(
             out_d.append(docs_u)
             out_s.append(sc)
         if not out_q:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.array([], dtype="int32"),
-                    "shard_id": pd.array([], dtype="int32"),
-                    "doc_id": pd.array([], dtype="int64"),
-                    "score": pd.array([], dtype=score_dtype),
-                }
-            )
+            return _empty_batch()
         qs = np.concatenate(out_q)
         return pd.DataFrame(
             {
@@ -1762,8 +1801,15 @@ def count_matches(
         )
     if (
         _TREE_RE.search(query)
+        or "*" in query
+        or "~" in query
+        or "?" in query
+        or _RANGE_RE.search(query)
         or any(tok[0] in "+-" and len(tok) > 1 for tok in query.split())
     ):
+        # non-flat query: the search kernels' exact totals ARE the count
+        # (rewrites expand against the dictionary there; multi-index
+        # rewrites surface search_multi's single-index-only error)
         multi = handles if len(handles) > 1 else handles[0]
         rows = search_with_total(spark, multi, query, k=1).collect()
         return int(rows[0]["total_hits"]) if rows else 0

@@ -411,3 +411,71 @@ def test_count_refuses_phrases(spark, bidx):
 
     with pytest.raises(ValueError, match="verify source"):
         count_matches(spark, bidx, '"hotalpha hotbeta"')
+
+
+# ---- review fixes: guards, leaf boosts, phrase/rewrite boosts
+
+
+def test_tree_duplicate_leaf_scores_like_flat_duplicate(spark, bidx, docs):
+    """'a OR a' must score 2x like the flat 'a a' — the leaf-boost model
+    (a global additive weight would square duplicates to 4x)."""
+    got = search(spark, bidx, "hotalpha OR hotalpha", k=8,
+                 score_dtype="float64").collect()
+    want = search(spark, bidx, "hotalpha hotalpha", k=8,
+                  score_dtype="float64").collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+        (r.doc_id, round(r.score, 9)) for r in want
+    ]
+
+
+def test_tree_leaf_boost(spark, bidx):
+    """(a^2 OR b): the boosted leaf contributes 2x inside the tree."""
+    got = search(spark, bidx, "(hotalpha^2 OR zzzqqq)", k=5,
+                 score_dtype="float64").collect()
+    want = search(spark, bidx, "hotalpha^2", k=5,
+                  score_dtype="float64").collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+        (r.doc_id, round(r.score, 9)) for r in want
+    ]
+
+
+def test_tree_refuses_rewrite_clauses(spark, bidx):
+    for q in ("(hotalpha AND hot*)", "(merg~1 OR hotbeta)",
+              "(hotalpha OR w00?11)", "([a TO b] AND hotbeta)"):
+        with pytest.raises(ValueError, match="cannot be combined"):
+            search(spark, bidx, q, k=5)
+
+
+def test_phrase_boost_no_orphan_token(spark, bidx, docs, tiny_transcripts):
+    """'"a b"^2 c' boosts the phrase tokens and must NOT leak a literal
+    '2' scoring term."""
+    qw, must, _, ph = parse_bool_query('"join scan"^2 merge')
+    assert qw == {"join": 2.0, "scan": 2.0, "merge": 1.0}
+    assert ph == [(["join", "scan"], 0)] and "2" not in qw
+    # end-to-end it still runs the phrase path
+    hits = search(
+        spark, bidx, '"hotalpha hotbeta"^2 w00011', k=5,
+        source=tiny_transcripts,
+    )
+    assert hits.count() >= 0
+
+
+def test_boosted_wildcard_and_fuzzy_and_range(spark, fidx_free, docs):
+    """'ab*^2' / 'merg~1^2' / range^2 keep BOTH the rewrite and the boost."""
+    from katta_spark.query import IndexHandle, expand_ranges, expand_wildcards
+
+    ix = IndexHandle.open(spark, fidx_free)
+    w = expand_wildcards(spark, ix, "w0001*^2")
+    assert w and all(v == 2.0 for v in w.values())
+    assert all(t.startswith("w0001") for t in w)
+    f = expand_wildcards(spark, ix, "w00010~1^3")
+    assert f and all(v == 3.0 for v in f.values())
+    # bare-range bounds are lowercased (analyzer semantics)
+    r = expand_ranges(spark, ix, "[W00010 TO W00012]^2")
+    assert set(r) == {"w00010", "w00011", "w00012"}
+    assert all(v == 2.0 for v in r.values())
+
+
+@pytest.fixture(scope="module")
+def fidx_free(bidx):
+    return bidx

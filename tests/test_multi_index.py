@@ -260,3 +260,29 @@ def test_multi_index_sorted_search(spark, split_indexes, tiny_transcripts):
     assert [round(r.score, 9) for r in got] == [
         round(r.score, 9) for r in want
     ]
+
+
+def test_multi_index_refuses_rewrites_and_quoted_trees(spark, split_indexes):
+    from katta_spark.query import count_matches, search_multi
+
+    _, a, b = split_indexes
+    with pytest.raises(ValueError, match="single-index only"):
+        search_multi(spark, [a, b], '"foo AND bar"', k=5)
+    for q in ("hot*", "merg~1", "w00?11", "[a TO b]"):
+        with pytest.raises(ValueError, match="single-index only"):
+            search_multi(spark, [a, b], q, k=5)
+
+
+def test_count_delegates_rewrites(spark, split_indexes):
+    """count of a fuzzy/wildcard query must count the EXPANSION's matches,
+    not the mis-tokenized literal."""
+    from katta_spark.query import IndexHandle, count_matches, expand_wildcards
+
+    whole, _, _ = split_indexes
+    ix = IndexHandle.open(spark, whole)
+    expanded = expand_wildcards(spark, ix, "w0001*")
+    want = count_matches(spark, whole, " ".join(sorted(expanded)))
+    assert count_matches(spark, whole, "w0001*") == want
+    assert count_matches(spark, whole, "w00010~1") == count_matches(
+        spark, whole, " ".join(sorted(expand_wildcards(spark, ix, "w00010~1")))
+    )
