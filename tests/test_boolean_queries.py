@@ -479,3 +479,109 @@ def test_boosted_wildcard_and_fuzzy_and_range(spark, fidx_free, docs):
 @pytest.fixture(scope="module")
 def fidx_free(bidx):
     return bidx
+
+
+def test_tree_query_fuzz(spark, bidx, docs):
+    """20 random boolean trees vs an independent brute-force evaluator of
+    the documented semantics (occur-flag NOT, path-sum scoring, per-leaf
+    boosts). Trees are generated as STRUCTURES first and rendered to query
+    strings, so the oracle never goes through the engine's parser."""
+    import math
+    import random
+
+    from katta_spark.tokenizer import tokenize_str
+
+    rng = random.Random(20260817)
+    TERMS = ["hotalpha", "hotbeta", "hotgamma", "w00011", "w00012", "w00015"]
+
+    def gen(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            t = rng.choice(TERMS)
+            boost = rng.choice([1.0, 1.0, 2.0, 0.5])
+            return ("term", t, boost)
+        kind = rng.choice(["and", "or"])
+        n = rng.randint(2, 3)
+        kids = [gen(depth + 1) for _ in range(n)]
+        if rng.random() < 0.4:
+            kids[rng.randrange(len(kids))] = ("not", gen(depth + 1))
+        return (kind, kids)
+
+    def render(node, top=False):
+        k = node[0]
+        if k == "term":
+            t, b = node[1], node[2]
+            return t if b == 1.0 else f"{t}^{b:g}"
+        if k == "not":
+            return "NOT " + render(node[1])
+        joiner = " AND " if k == "and" else " OR "
+        s = joiner.join(render(c) for c in node[1])
+        return s if top else f"({s})"
+
+    # per-doc contributions (exact BM25 over the fixture corpus)
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    tf, dl = {}, {}
+    for r in rows:
+        toks = tokenize_str(r.text or "")
+        dl[r.doc_id] = len(toks)
+        for t in toks:
+            tf.setdefault(t, {}).setdefault(r.doc_id, 0)
+            tf[t][r.doc_id] += 1
+    avgdl = sum(dl.values()) / n_docs
+
+    def contrib(t, d):
+        if d not in tf.get(t, {}):
+            return None
+        df = len(tf[t])
+        idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        f = tf[t][d]
+        return idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+
+    def ev(node, d):
+        k = node[0]
+        if k == "term":
+            c = contrib(node[1], d)
+            return (c is not None), (node[2] * c if c is not None else 0.0)
+        if k == "not":
+            return False, 0.0  # bare NOT level: pure negative
+        pos, negs = [], []
+        for ch in node[1]:
+            if ch[0] == "not":
+                negs.append(ch[1])
+            else:
+                pos.append(ch)
+        if not pos:
+            return False, 0.0
+        parts = [ev(p, d) for p in pos]
+        m = (
+            all(p[0] for p in parts)
+            if k == "and"
+            else any(p[0] for p in parts)
+        )
+        for ng in negs:
+            # the negated child's own match (not its score) is the mask
+            nm, _ = ev(ng, d)
+            m = m and not nm
+        s = sum(sc for mi, sc in parts if mi)
+        return m, s
+
+    n_nonempty = 0
+    for _ in range(20):
+        tree = gen(0)
+        if tree[0] == "term":
+            continue
+        q = render(tree, top=True)
+        got = search(spark, bidx, q, k=25, score_dtype="float64").collect()
+        brute = []
+        for r in rows:
+            m, s = ev(tree, r.doc_id)
+            if m:
+                brute.append((r.doc_id, s))
+        brute.sort(key=lambda x: (-x[1], x[0]))
+        brute = brute[:25]
+        assert [(r.doc_id, round(r.score, 6)) for r in got] == [
+            (d, round(s, 6)) for d, s in brute
+        ], q
+        n_nonempty += 1 if brute else 0
+    assert n_nonempty >= 5  # the fuzz actually exercised matching trees
