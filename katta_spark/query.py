@@ -342,7 +342,16 @@ def parse_tree_query(
                 raise ValueError("unbalanced parentheses in boolean query")
             take()
             return node
-        return _leaf(take())
+        leaf_tok = take()
+        # Lucene field-grouping syntax 'role:(user admin)': the tokenizer
+        # splits it into 'role:' '(' …, and analyzing 'role:' as a default-
+        # field term would silently score the WORD 'role' — refuse instead.
+        if leaf_tok.endswith(":") and peek() == "(":
+            raise ValueError(
+                f"field grouping {leaf_tok}(...) is not supported — write "
+                f"({leaf_tok}a OR {leaf_tok}b) instead"
+            )
+        return _leaf(leaf_tok)
 
     tree = parse_or()
     if pos != len(toks):
@@ -467,6 +476,17 @@ def expand_wildcards(
                 boost,
             )
         else:
+            # A clause that CONTAINS rewrite syntax but matched none of the
+            # valid forms must error, not silently tokenize: 'term~3' would
+            # otherwise score the literal token '3' (Lucene rejects
+            # maxEdits > 2), and a malformed pattern would score its
+            # fragments.
+            if "~" in low or "*" in low or "?" in low:
+                raise ValueError(
+                    f"invalid wildcard/fuzzy clause {raw!r}: fuzzy distance "
+                    "must be 0-2 (term~N), wildcards must be [a-z0-9*?]+ "
+                    "with no leading wildcard"
+                )
             for t, w in parse_query(raw, index.keyword_fields).items():
                 qw[t] = qw.get(t, 0.0) + w
     return qw
@@ -551,7 +571,9 @@ def expand_ranges(
         return " "
 
     rest = _RANGE_RE.sub(_expand, query)
-    for t, w in expand_wildcards(spark, index, rest).items():
+    for t, w in expand_wildcards(
+        spark, index, rest, max_expansions=max_expansions
+    ).items():
         qw[t] = qw.get(t, 0.0) + w
     return qw
 

@@ -225,3 +225,38 @@ def test_pattern_wildcards(spark, fidx):
         expand_wildcards(spark, ix, "*alpha")
     with pytest.raises(ValueError, match="leading wildcard"):
         expand_wildcards(spark, ix, "?otalpha")
+
+
+def test_invalid_fuzzy_distance_refused(spark, fidx):
+    """ADVICE r3: 'term~3' / malformed rewrite clauses must error, never
+    silently tokenize ('term~3' would otherwise score the literal token
+    '3' — Lucene rejects maxEdits > 2)."""
+    from katta_spark.query import IndexHandle, expand_wildcards
+
+    ix = IndexHandle.open(spark, fidx)
+    for bad in ("hotalpha~3", "hotalpha~12", "hot~alpha", "a~b*c"):
+        with pytest.raises(ValueError, match="invalid wildcard/fuzzy"):
+            expand_wildcards(spark, ix, bad)
+    # valid forms still parse: explicit distance and default-2 shorthand
+    assert expand_wildcards(spark, ix, "hotalpha~0") == {"hotalpha": 1.0}
+    assert "hotalpha" in expand_wildcards(spark, ix, "hotalpha~")
+
+
+def test_range_remainder_inherits_cap(spark, fidx):
+    """ADVICE r3: the non-range remainder of a range query must honor the
+    caller's max_expansions (it used to fall back to the default cap)."""
+    from katta_spark.query import IndexHandle, expand_ranges
+
+    ix = IndexHandle.open(spark, fidx)
+    with pytest.raises(ValueError, match="more than 1 terms"):
+        # 'w*' expands to many terms; the cap must reach the wildcard
+        expand_ranges(spark, ix, "role:[user TO user] w*", max_expansions=1)
+
+
+def test_field_grouping_refused(spark, fidx):
+    """ADVICE r3: Lucene field-grouping 'role:(user admin)' is unsupported
+    and must raise — not score the WORD 'role' as a term."""
+    from katta_spark.query import search
+
+    with pytest.raises(ValueError, match="field grouping"):
+        search(spark, fidx, "role:(user admin)")
