@@ -215,12 +215,16 @@ def _bm25_sql(
     conjunctive: bool = False,
     filter_clause: str = "",
     total: bool = False,
+    having: str | None = None,
 ) -> str:
     qvalues = ", ".join(f"('{t}', {w:.1f})" for t, w in terms)
     n_distinct = len({t for t, _ in terms})
-    having = (
-        f"HAVING count(DISTINCT tf.term) = {n_distinct}" if conjunctive else ""
-    )
+    if having is None:
+        having = (
+            f"HAVING count(DISTINCT tf.term) = {n_distinct}"
+            if conjunctive
+            else ""
+        )
     total_col = ", (SELECT count(*) FROM scores) AS total_hits" if total else ""
     return _BM25_CTE.format(
         qvalues=qvalues, k=k, having=having, extra_agg="",
@@ -338,31 +342,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_phrase(spark, sf):
         """F2 phrase clause: '"join hash"' must appear as consecutive
-        tokens (verified against stored text on candidates only — the
-        kernel's must-set already restricts to docs containing both
-        tokens); 'merge' is an extra SHOULD scoring term."""
+        tokens, executed ENTIRELY against the index's positional postings
+        (no source= — Lucene runs PhraseQuery per shard with no
+        stored-text access, LuceneServer.java:682); 'merge' is an extra
+        SHOULD scoring term."""
         hits = ksq.search(
             spark, _index_dir(spark, sf), '"join hash" merge', k=10,
             score_dtype="float64",
-            source=_docs(spark, sf), source_doc_id_col="doc_id",
         )
         return hits.select("doc_id", F.round("score", 4).alias("score_r"))
 
     q["bm25_phrase"] = bm25_phrase
 
     def bm25_phrase_slop(spark, sf):
-        """F2 proximity phrase '"join scan"~3': the tokens must appear IN
-        ORDER within the slop window (ordered-only simplification of
-        Lucene slop, documented); verified on candidates only via nested
-        EXISTS over JVM position arrays; 'merge' scores as SHOULD."""
+        """F2 proximity phrase '"join scan"~3' — Lucene SloppyPhraseMatcher
+        semantics over the positional postings: token positions adjusted
+        by phrase offset, match iff span(adj) <= slop (reorderings cost
+        their displacement); 'merge' scores as SHOULD."""
         hits = ksq.search(
             spark, _index_dir(spark, sf), '"join scan"~3 merge', k=10,
             score_dtype="float64",
-            source=_docs(spark, sf), source_doc_id_col="doc_id",
         )
         return hits.select("doc_id", F.round("score", 4).alias("score_r"))
 
     q["bm25_phrase_slop"] = bm25_phrase_slop
+
+    def bm25_phrase_multi(spark, sf):
+        """Phrases over a LIST of indexes (the r3 refusal lifted by
+        positional postings): split-corpus phrase search must equal the
+        whole-corpus answer — in-kernel positional verify + cross-index
+        stats."""
+        a, b = _split_index_dirs(spark, sf)
+        hits = ksq.search_multi(
+            spark, [a, b], '"join hash" merge', k=10, score_dtype="float64"
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_phrase_multi"] = bm25_phrase_multi
+
+    def bm25_phrase_total(spark, sf):
+        """Top-k + exact totalHits for a PHRASE query in one job (the r3
+        'no totalHits for phrases' refusal lifted: shard totals are
+        counted after the in-kernel positional verify)."""
+        out = ksq.search_with_total(
+            spark, _index_dir(spark, sf), '"join hash" merge', k=10,
+            score_dtype="float64",
+        )
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score_r"), "total_hits"
+        )
+
+    q["bm25_phrase_total"] = bm25_phrase_total
 
     def bm25_tree(spark, sf):
         """F2 grouped boolean query '(join AND hash) OR merge NOT scan'
@@ -810,8 +840,11 @@ SELECT doc_id, round(s, 4) AS score_r FROM scores
 ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
-    # proximity phrase: ordered positions within the slop window — the
-    # oracle derives positions itself (parallel unnest zips token + index)
+    # proximity phrase, Lucene SloppyPhraseMatcher semantics: positions
+    # adjusted by phrase offset (join@0, scan@1), match iff the adjusted
+    # span <= slop — |pb - 1 - pa| <= 3 admits reorderings at their
+    # displacement cost. The oracle derives positions itself (parallel
+    # unnest zips token + index).
     _POS = (
         "(SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS p "
         f"FROM (SELECT doc_id, {_TOK} AS t FROM documents))"
@@ -822,8 +855,25 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
             "WHERE doc_id IN ("
             f"SELECT pa.doc_id FROM {_POS} pa JOIN {_POS} pb USING (doc_id) "
             "WHERE pa.term = 'join' AND pb.term = 'scan' "
-            "AND pb.p > pa.p AND pb.p - pa.p - 1 <= 3)"
+            "AND abs(pb.p - 1 - pa.p) <= 3)"
         ),
+    )
+
+    # multi-index phrase == whole-corpus phrase (cross-index stats +
+    # in-kernel positional verify)
+    o["bm25_phrase_multi"] = o["bm25_phrase"]
+
+    # phrase + exact totalHits: the phrase constraint moves INSIDE the
+    # scores CTE (HAVING on the grouping key) so the total counts phrase
+    # matches, not term-OR matches
+    o["bm25_phrase_total"] = _bm25_sql(
+        [("join", 1.0), ("hash", 1.0), ("merge", 1.0)], 10,
+        having=(
+            "HAVING tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+            f"contains(' ' || array_to_string({_TOK}, ' ') || ' ', "
+            "' join hash '))"
+        ),
+        total=True,
     )
 
     # grouped boolean: (join AND hash) OR merge NOT scan — per-doc term

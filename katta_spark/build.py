@@ -28,10 +28,11 @@ second hash exchange it saved):
             file per shard (parquet min/max row-group skipping on th)
     dictionary (vocab-sized): (th → term) map + hash-collision check;
             postings store only the 8-byte th, never strings
-    phase 3 (vocab-sized):  term stats (df, cf) and per-shard/corpus
-            scalars aggregated FROM the postings rows (blob columns
-            pruned by parquet) — avgdl ≡ total default-field tokens /
-            n_docs, derived from Σcf
+    phase 3 (vocab-sized):  ONE job — term stats (df, cf) aggregated FROM
+            the postings rows (blob columns pruned by parquet), with the
+            per-shard doc counts / token totals (doc-marker rows' df and
+            sum_dl) riding the same scan as Observation metrics; avgdl ≡
+            total default-field tokens / n_docs
 
 Scale notes (designed for ~100 TB / 1000 executors, tested on local[32]):
 - shard_id = pmod(xxhash64(doc id), num_shards): uniform by construction —
@@ -68,7 +69,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from katta_spark.codec import encode_posting_lists_batch
+from katta_spark.codec import encode_positions_batch, encode_posting_lists_batch
 from katta_spark.oracle import with_doc_ids
 from katta_spark.tokenizer import tokenize_col
 from katta_spark.xxhash import term_hash
@@ -76,7 +77,19 @@ from katta_spark.xxhash import term_hash
 # Bump whenever the on-disk postings layout changes: a resumed build over a
 # directory with a different version wipes and rebuilds (the analog of
 # Katta refusing to serve a shard whose format it cannot read).
-FORMAT_VERSION = 7
+# v8: positional postings (positions blob per list) + per-row sum_dl.
+FORMAT_VERSION = 8
+
+# sd packs (shard_id, doclen, token position) into ONE long — a 4th
+# UnsafeRow slot would add 8 bytes to every row of the corpus-sized
+# shuffle (Tungsten aligns fields to 8 bytes), so the position rides the
+# existing slot instead: sd = shard << 42 | doclen << 21 | pos.
+# doclen (and hence pos < doclen) is capped at 2^21-1 analyzed tokens per
+# document — enforced with a per-DOC raise_error guard at tokenize time
+# (a transcript turn nowhere near it; shard ids get 22 bits = 4M shards).
+_DL_BITS = 21
+_DL_MASK = (1 << _DL_BITS) - 1
+MAX_DOCLEN = _DL_MASK
 
 # Doc-marker (sentinel) postings: ONE extra token row per document rides the
 # existing corpus shuffle, so per-shard doc counts and the docID-collision
@@ -100,13 +113,13 @@ SENTINEL_HASHES = tuple(
 # live in the vocab-sized dictionary table, so the corpus-sized shuffle and
 # the postings blobs never carry strings.
 ENCODED_SCHEMA = (
-    "shard_id int, th long, df long, cf long, doc_ids binary, tfs binary, "
-    "doclens binary, skips binary, max_tf int, min_dl int, "
-    "block_max_tf binary, block_min_dl binary"
+    "shard_id int, th long, df long, cf long, sum_dl long, doc_ids binary, "
+    "tfs binary, doclens binary, positions binary, skips binary, "
+    "max_tf int, min_dl int, block_max_tf binary, block_min_dl binary"
 )
 _COLS = [
-    "shard_id", "th", "df", "cf", "doc_ids", "tfs", "doclens", "skips",
-    "max_tf", "min_dl", "block_max_tf", "block_min_dl",
+    "shard_id", "th", "df", "cf", "sum_dl", "doc_ids", "tfs", "doclens",
+    "positions", "skips", "max_tf", "min_dl", "block_max_tf", "block_min_dl",
 ]
 
 # Keyword-field terms are stored as "<field>:<value>"; ':' cannot occur in
@@ -127,14 +140,16 @@ def _paths(index_dir: str) -> dict[str, str]:
 
 def _encode_arrays(
     shard: np.ndarray, th: np.ndarray, doc: np.ndarray, dl: np.ndarray,
-    block: int,
+    pos: np.ndarray, block: int,
 ) -> pd.DataFrame:
-    """Encode one partition's token rows, already sorted by (shard, th, doc).
+    """Encode one partition's token rows, already sorted by
+    (shard, th, doc, pos).
 
     Rows with repeated (shard, th, doc) are occurrences — tf is their run
-    length. All inputs are fixed-width ints; run detection is pure C-speed
-    numpy and the heavy lifting is one vectorized multi-list encode
-    (codec.encode_posting_lists_batch).
+    length and ``pos`` their ascending token positions. All inputs are
+    fixed-width ints; run detection is pure C-speed numpy and the heavy
+    lifting is one vectorized multi-list encode
+    (codec.encode_posting_lists_batch + encode_positions_batch).
     """
     n = shard.size
     # level 1: (shard, th, doc) runs → tf
@@ -154,7 +169,14 @@ def _encode_arrays(
     chg_t[1:] = (th_r[1:] != th_r[:-1]) | (shard_r[1:] != shard_r[:-1])
     starts = np.flatnonzero(chg_t)
     encoded = encode_posting_lists_batch(doc_r, tf, dl_r, starts, block=block)
-    out = pd.DataFrame(encoded, columns=_COLS[2:])
+    cols = [c for c in _COLS[2:] if c != "positions"]
+    out = pd.DataFrame(encoded, columns=cols)
+    # positions blob per run, occurrence-level (delta chain restarts per doc)
+    out.insert(
+        cols.index("doclens") + 1,
+        "positions",
+        encode_positions_batch(pos, s_doc, s_doc[starts]),
+    )
     out.insert(0, "th", th_r[starts])
     out.insert(0, "shard_id", shard_r[starts].astype(np.int32))
     return out
@@ -183,10 +205,15 @@ def _make_encode_kernel(block: int):
         th = np.concatenate(ths)
         doc = np.concatenate(docs)
         sd = np.concatenate(sds)
-        shard = sd >> 32
-        dl = sd & 0xFFFFFFFF
-        order = np.lexsort((doc, th, shard))
-        yield _encode_arrays(shard[order], th[order], doc[order], dl[order], block)
+        shard = sd >> (2 * _DL_BITS)
+        dl = (sd >> _DL_BITS) & _DL_MASK
+        pos = sd & _DL_MASK
+        # within equal (shard, th, doc) the dl bits are constant, so sd
+        # ordering == pos ordering — sd doubles as the innermost sort key
+        order = np.lexsort((sd, doc, th, shard))
+        yield _encode_arrays(
+            shard[order], th[order], doc[order], dl[order], pos[order], block
+        )
 
     return kernel
 
@@ -196,21 +223,29 @@ def token_rows(
 ) -> DataFrame:
     """(th, doc_id, sd) — one fixed-width row per token, 3 columns.
 
-    Tokenize + explode entirely JVM-side (whole-stage codegen); the term
-    string is immediately replaced by th = xxhash64(term) so the shuffle
-    and Arrow pipe move small int rows, never strings. shard_id and doclen
-    are PACKED into one long (sd = shard<<32 | doclen): one fewer UnsafeRow
-    slot is ~20% less shuffle volume on the fabric-bound hot path. Keyword
-    fields add one row per (doc, field): term "field:value", tf=1, dl=1 —
-    the NOT_ANALYZED field postings (SampleIndexGenerator.java:75-78).
+    Tokenize + posexplode entirely JVM-side (whole-stage codegen); the
+    term string is immediately replaced by th = xxhash64(term) so the
+    shuffle and Arrow pipe move small int rows, never strings. shard_id,
+    doclen AND the token position are PACKED into one long
+    (sd = shard<<42 | doclen<<21 | pos): a 4th UnsafeRow slot would add
+    8 aligned bytes per row of the fabric-bound corpus shuffle, so the
+    position rides the existing slot (doclen capped at 2^21-1 with a
+    per-doc raise_error guard). Keyword fields add one row per
+    (doc, field): term "field:value", tf=1, dl=1, pos=0 — the NOT_ANALYZED
+    field postings (SampleIndexGenerator.java:75-78).
     """
-    sd = F.shiftleft(F.col("shard_id").cast("long"), 32) + F.col("doclen")
+    sd = (
+        F.shiftleft(F.col("shard_id").cast("long"), 2 * _DL_BITS)
+        + F.shiftleft(F.col("doclen").cast("long"), _DL_BITS)
+        + F.col("pos")
+    )
     # The doc-marker term rides the SAME explode as the real tokens (one
     # scan, one tokenize): appended as one extra array element per doc, it
     # hashes through the same xxhash64 and its sd carries the doc's
     # analyzed doclen — so the marker posting's doclens blob doubles as a
-    # per-shard doc→dl (norms) sidecar. coalesce('') keeps null-text docs:
-    # they still emit their marker (doclen 0).
+    # per-shard doc→dl (norms) sidecar (its pos slot holds doclen — never
+    # queried). coalesce('') keeps null-text docs: they still emit their
+    # marker (doclen 0).
     marker_term = F.concat(
         F.lit("\x00docs:"),
         F.pmod(F.col("doc_id"), F.lit(SENTINEL_SALT)).cast("string"),
@@ -219,14 +254,27 @@ def token_rows(
         "shard_id",
         "doc_id",
         tokenize_col(F.coalesce(F.col("text"), F.lit(""))).alias("tokens"),
-    ).withColumn("doclen", F.size("tokens"))
+    ).withColumn(
+        "doclen",
+        F.when(F.size("tokens") <= F.lit(MAX_DOCLEN), F.size("tokens")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"document exceeds MAX_DOCLEN={MAX_DOCLEN} analyzed "
+                        "tokens (sd packing cap); doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        ),
+    )
     base = toks.select(
         "shard_id",
         "doc_id",
         "doclen",
-        F.explode(
+        F.posexplode(
             F.concat(F.col("tokens"), F.array(marker_term))
-        ).alias("term"),
+        ).alias("pos", "term"),
     ).select(
         F.xxhash64(F.col("term")).alias("th"), "doc_id", sd.alias("sd")
     )
@@ -238,9 +286,10 @@ def token_rows(
                     F.concat(F.lit(fld + FIELD_SEP), F.col(fld).cast("string"))
                 ).alias("th"),
                 "doc_id",
-                (F.shiftleft(F.col("shard_id").cast("long"), 32) + F.lit(1)).alias(
-                    "sd"
-                ),
+                (
+                    F.shiftleft(F.col("shard_id").cast("long"), 2 * _DL_BITS)
+                    + F.lit(1 << _DL_BITS).cast("long")
+                ).alias("sd"),
             )
         )
         base = base.unionByName(kw)
@@ -466,7 +515,7 @@ def build_index(
             postings = (
                 tokens.repartition(
                     n_encode_parts,
-                    F.shiftright(F.col("sd"), 32),
+                    F.shiftright(F.col("sd"), 2 * _DL_BITS),
                     F.pmod(F.col("th"), F.lit(salt)),
                 )
                 .mapInPandas(kernel, ENCODED_SCHEMA)
@@ -493,7 +542,8 @@ def build_index(
                 F.sum(
                     F.when(
                         real,
-                        F.length("doc_ids") + F.length("tfs") + F.length("doclens"),
+                        F.length("doc_ids") + F.length("tfs")
+                        + F.length("doclens") + F.length("positions"),
                     )
                 ).alias("bytes"),
             )
@@ -568,95 +618,94 @@ def build_index(
         _ensure_readable(p["postings"], ENCODED_SCHEMA)
         _ensure_readable(p["dict"], "th long, term string, _mx string")
 
-        # Doc counts, docID-collision check AND per-shard token totals from
-        # the doc-marker postings in ONE job — a tiny read pruned to the
-        # sentinel th family (pushed In predicate + row-group skipping on
-        # the th-sorted files), NO corpus scan and NO dictionary join.
-        # Per (shard, slice) marker posting: df = distinct doc_ids, cf =
-        # input rows (a 64-bit doc_id birthday collision — likely around
-        # ~4e9 docs — or duplicate input ids makes cf exceed df), and the
-        # doclens blob is the per-doc analyzed token count, so its varbyte
-        # decode sums to the shard's total tokens (the avgdl numerator —
-        # what the dict-joined per-shard cf aggregation used to compute).
-        def _marker_stats() -> list:
-            t_s = time.time()
-            from katta_spark.codec import vb_decode
-
-            def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    yield pd.DataFrame(
-                        {
-                            "shard_id": pdf["shard_id"],
-                            "n_docs": pdf["df"],
-                            "n_rows": pdf["cf"],
-                            "sum_dl": [
-                                int(vb_decode(np.frombuffer(b, np.uint8)).sum())
-                                for b in pdf["doclens"]
-                            ],
-                        }
-                    )
-
-            rows = (
-                spark.read.parquet(p["postings"])
-                .where(F.col("th").isin(list(SENTINEL_HASHES)))
-                .select("shard_id", "df", "cf", "doclens")
-                .mapInPandas(
-                    dec, "shard_id int, n_docs long, n_rows long, sum_dl long"
-                )
-                .groupBy("shard_id")
-                .agg(
-                    F.sum("n_docs").alias("n_docs"),
-                    F.sum("n_rows").alias("n_rows"),
-                    F.sum("sum_dl").alias("sum_dl"),
-                )
-                .collect()
-            )
-            phase_t["marker_doc_stats"] = round(time.time() - t_s, 2)
-            return rows
-
-        def _resolve_marker(rows: list) -> tuple[list, int]:
-            counts = [
-                (int(r["shard_id"]), int(r["n_docs"]), int(r["sum_dl"]))
-                for r in rows
-            ]
-            nd = sum(c for _, c, _ in counts)
-            nr = sum(int(r["n_rows"]) for r in rows)
-            if nr != nd:
-                raise RuntimeError(
-                    f"doc_id collision or duplicate input ids: {nr} rows but "
-                    f"{nd} distinct doc_ids"
-                )
-            return counts, nd
-
         t2 = time.time()
-        # ---- Phase 3: term stats + per-shard/corpus scalars from the postings
-        # (vocab-sized; parquet prunes the blob columns). Katta's
+        # ---- Phase 3: term stats AND marker-derived doc/avgdl scalars in
+        # ONE job (vocab-sized; parquet prunes the blob columns). Katta's
         # DocumentFrequencyWritable sums per-shard dfs the same way
         # (LuceneClient.java:271-281). avgdl ≡ total default-field tokens /
-        # n_docs — Σcf over non-field terms gives the numerator exactly.
-        stats_done = os.path.exists(os.path.join(p["stats"], "_SUCCESS"))
+        # n_docs. Per (shard, slice) marker posting: df = distinct doc_ids,
+        # cf = input rows (a 64-bit doc_id birthday collision — likely
+        # around ~4e9 docs — or duplicate input ids makes cf exceed df),
+        # and the per-row sum_dl column (written by the encode kernel) is
+        # the run's Σ doclens, so the shard's total tokens is a plain SUM —
+        # no blob decode, no Python, no second job: the marker aggregates
+        # ride the stats write as Observation metrics (the r3 tail of two
+        # 2-5 s fixed-overhead jobs is gone; markers themselves drop out of
+        # the stats output via the inner dictionary join).
+        stats_done = all(
+            os.path.exists(os.path.join(p[t], "_SUCCESS"))
+            for t in ("stats", "shards", "corpus")
+        )
         if not stats_done or n_committed:
             tdict_r = spark.read.parquet(p["dict"]).select("th", "term")
-
-            def _write_stats():
-                (
+            marker = F.col("th").isin(list(SENTINEL_HASHES))
+            stats_src = spark.read.parquet(p["postings"]).select(
+                "shard_id", "th", "df", "cf", "sum_dl"
+            )
+            # Per-shard marker sums as Observation metrics on the stats
+            # write (zero extra jobs) — 3 conditional aggregates per shard.
+            # Past 256 shards that codegen footprint isn't worth it: fall
+            # back to one tiny separate JVM agg over the marker rows only
+            # (pushed In(th) predicate + row-group skipping, still no
+            # Python and no blob decode).
+            obs3 = Observation("phase3_markers") if num_shards <= 256 else None
+            if obs3 is not None:
+                aggs = []
+                for s in range(num_shards):
+                    cond = marker & (F.col("shard_id") == s)
+                    aggs += [
+                        F.sum(F.when(cond, F.col("df"))).alias(f"nd{s}"),
+                        F.sum(F.when(cond, F.col("cf"))).alias(f"nr{s}"),
+                        F.sum(F.when(cond, F.col("sum_dl"))).alias(f"dl{s}"),
+                    ]
+                stats_src = stats_src.observe(obs3, *aggs)
+            (
+                stats_src.groupBy("th")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .join(tdict_r, "th")
+                .select("term", "df", "cf", "th")
+                .write.mode("overwrite")
+                .parquet(p["stats"])
+            )
+            m = None
+            if obs3 is not None:
+                try:
+                    m = obs3.get
+                except Exception:
+                    # an empty postings relation lets Catalyst's
+                    # PropagateEmptyRelation drop the CollectMetrics node —
+                    # fall back to the explicit marker aggregation
+                    m = None
+            if m is not None:
+                shard_counts = [
+                    (s, int(m[f"nd{s}"] or 0), int(m[f"dl{s}"] or 0))
+                    for s in range(num_shards)
+                    if m[f"nd{s}"]
+                ]
+                n_rows = sum(int(m[f"nr{s}"] or 0) for s in range(num_shards))
+            else:
+                mrows = (
                     spark.read.parquet(p["postings"])
-                    .groupBy("th")
-                    .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-                    .join(tdict_r, "th")
-                    .select("term", "df", "cf", "th")
-                    .write.mode("overwrite")
-                    .parquet(p["stats"])
+                    .where(marker)
+                    .groupBy("shard_id")
+                    .agg(
+                        F.sum("df").alias("nd"),
+                        F.sum("cf").alias("nr"),
+                        F.sum("sum_dl").alias("dl"),
+                    )
+                    .collect()
                 )
-
-            # stats write and the marker-decode job are independent small
-            # jobs over the (blob-pruned) postings — overlap them.
-            with ThreadPoolExecutor(max_workers=1) as p3pool:
-                fut_stats = p3pool.submit(_write_stats)
-                shard_counts, n_docs = _resolve_marker(_marker_stats())
-                fut_stats.result()
+                shard_counts = [
+                    (int(r["shard_id"]), int(r["nd"]), int(r["dl"]))
+                    for r in mrows
+                ]
+                n_rows = sum(int(r["nr"]) for r in mrows)
+            n_docs = sum(c for _, c, _ in shard_counts)
+            if n_rows != n_docs:
+                raise RuntimeError(
+                    f"doc_id collision or duplicate input ids: {n_rows} rows "
+                    f"but {n_docs} distinct doc_ids"
+                )
             _ensure_readable(p["stats"], "term string, df long, cf long, th long")
             spark.createDataFrame(
                 shard_counts, "shard_id int, n_docs long, sum_dl long"
@@ -675,7 +724,8 @@ def build_index(
                 "keyword_fields array<string>, sharding string",
             ).write.mode("overwrite").parquet(p["corpus"])
         else:
-            shard_counts, n_docs = _resolve_marker(_marker_stats())
+            # Fully-resumed build (no new batches, stats committed): the
+            # scalars are already on disk — nothing to recompute.
             row = spark.read.parquet(p["corpus"]).collect()[0]
             assert int(row["n_shards"]) == num_shards, "num_shards mismatch on resume"
             stored_kw = tuple(row["keyword_fields"] or ())
@@ -686,6 +736,7 @@ def build_index(
                     "committed postings would be stale; rebuild into a fresh "
                     "directory instead"
                 )
+            n_docs = int(row["n_docs"])
             avgdl = float(row["avgdl"])
 
         for fut in lineage_futs:

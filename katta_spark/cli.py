@@ -235,7 +235,8 @@ def main(argv: list[str] | None = None) -> int:
                     F.count(F.lit(1)).alias("terms"),
                     F.sum("df").alias("postings"),
                     F.sum(
-                        F.length("doc_ids") + F.length("tfs") + F.length("doclens")
+                        F.length("doc_ids") + F.length("tfs")
+                        + F.length("doclens") + F.length("positions")
                     ).alias("bytes"),
                 )
                 .orderBy("shard_id")

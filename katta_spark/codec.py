@@ -14,6 +14,12 @@ Layout per posting list (one row of the postings table):
 - ``doclens``  : varbyte(document lengths), parallel to doc_ids. Storing
                  dl inline makes the scoring kernel single-pass (the
                  analog of Lucene's per-doc norms file).
+- ``positions``: varbyte(within-doc position deltas), doc-major — tf[i]
+                 ascending token positions per doc, the delta chain
+                 restarting at each doc (Lucene's .prx file analog).
+                 Phrase/slop queries execute against these alone — no
+                 stored-text access (LuceneServer.java:682 runs
+                 PhraseQuery per shard against the index only).
 - ``skips``    : one record per block of BLOCK docs:
                  (first_doc_u64, byte offsets into the three buffers) —
                  enables decode starting at any block (skip pointers).
@@ -203,6 +209,51 @@ def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     return mat[mask].tobytes(), nb
 
 
+def encode_positions_batch(
+    positions: np.ndarray,
+    doc_starts: np.ndarray,
+    run_starts_occ: np.ndarray,
+) -> list[bytes]:
+    """Vectorized positions encode for ALL posting lists of a batch.
+
+    ``positions``: occurrence-level token positions, sorted doc-major
+    (ascending within each (shard, term, doc) run).
+    ``doc_starts``: occurrence indices where a new (shard, term, doc) run
+    begins — the delta chain restarts there (first delta = absolute pos).
+    ``run_starts_occ``: occurrence index of each (shard, term) run start.
+    Returns one varbyte blob per run.
+    """
+    n = positions.size
+    if n == 0:
+        return []
+    pos = np.asarray(positions, dtype=np.int64)
+    pdelta = np.empty(n, dtype=np.int64)
+    pdelta[0] = pos[0]
+    pdelta[1:] = pos[1:] - pos[:-1]
+    pdelta[doc_starts] = pos[doc_starts]
+    buf, nb = vb_encode_with_sizes(pdelta.astype(np.uint64))
+    cum = np.concatenate([[0], np.cumsum(nb)])
+    starts = np.asarray(run_starts_occ, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    return [buf[cum[s] : cum[e]] for s, e in zip(starts, ends)]
+
+
+def decode_positions(pos_buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a positions blob to the flat doc-major positions array.
+
+    ``tfs``: per-doc term frequencies in decode order (sum == number of
+    encoded positions). Each doc's positions come back ascending.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas = vb_decode(pos_buf).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    doc_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    cs = np.cumsum(deltas)
+    base = cs[doc_starts] - deltas[doc_starts]
+    return cs - np.repeat(base, tfs)
+
+
 def encode_posting_lists_batch(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -217,8 +268,10 @@ def encode_posting_lists_batch(
 
     ``run_starts``: sorted start indices of each (shard, term) run.
     Returns one tuple per run:
-      (df, cf, doc_ids_buf, tfs_buf, doclens_buf, skips_buf,
+      (df, cf, sum_dl, doc_ids_buf, tfs_buf, doclens_buf, skips_buf,
        max_tf, min_dl, block_max_tf_buf, block_min_dl_buf)
+    sum_dl (Σ doclens of the run) makes the doc-marker rows' per-shard
+    token totals a pure JVM aggregation at stats time — no blob decode job.
     """
     n = doc_ids.size
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
@@ -258,6 +311,7 @@ def encode_posting_lists_batch(
     run_max_tf = np.maximum.reduceat(tfs, run_starts) if n else np.empty(0, np.int64)
     run_min_dl = np.minimum.reduceat(doclens, run_starts) if n else np.empty(0, np.int64)
     run_cf = np.add.reduceat(tfs, run_starts) if n else np.empty(0, np.int64)
+    run_sum_dl = np.add.reduceat(doclens, run_starts) if n else np.empty(0, np.int64)
 
     # per-block byte offsets, relative to the run's buffer start
     run_of_block = np.repeat(np.arange(run_starts.size), nblocks)
@@ -282,6 +336,7 @@ def encode_posting_lists_batch(
             (
                 int(run_lens[r]),
                 int(run_cf[r]),
+                int(run_sum_dl[r]),
                 dbuf[dcum[s] : dcum[e]],
                 tbuf[tcum[s] : tcum[e]],
                 lbuf[lcum[s] : lcum[e]],

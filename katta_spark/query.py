@@ -34,12 +34,13 @@ from pyspark.sql import functions as F
 from katta_spark import scoring
 from katta_spark.codec import (
     decode_blocks,
+    decode_positions,
     decode_posting_list,
     i64_to_u64_order,
     read_skips,
     vb_decode,
 )
-from katta_spark.tokenizer import tokenize_col, tokenize_str
+from katta_spark.tokenizer import tokenize_str
 from katta_spark.xxhash import term_hash
 
 
@@ -178,16 +179,19 @@ def parse_bool_query(
     - ``+term``    MUST: the doc must contain the term (it also scores)
     - ``-term``    MUST_NOT: the doc must not contain the term (never scores)
     - ``"a b c"``  phrase: the doc must contain the exact consecutive token
-                   sequence (verified against stored text — our postings
-                   carry no positions); each phrase token scores as a
-                   normal term. Phrases are MUST clauses here (a
-                   documented simplification of Lucene's default-OR bare
-                   phrase; negated phrases are rejected).
-    - ``"a b"~N``  proximity (sloppy) phrase: the tokens must appear IN
-                   ORDER with at most N extra positions between the first
-                   and last (an ordered-only simplification of Lucene's
-                   slop, which also admits reorderings at higher cost —
-                   documented divergence).
+                   sequence, executed against the index's positional
+                   postings alone (LuceneServer.java:682 runs PhraseQuery
+                   per shard with no stored-text access); each phrase
+                   token scores as a normal term. Phrases are MUST clauses
+                   here (a documented simplification of Lucene's
+                   default-OR bare phrase; negated phrases are rejected).
+    - ``"a b"~N``  proximity (sloppy) phrase, Lucene SloppyPhraseMatcher
+                   semantics: token i's positions are adjusted by its
+                   phrase offset and the doc matches iff max(adj) -
+                   min(adj) <= N over distinct chosen positions —
+                   reorderings are admitted at their displacement cost
+                   ('"b a"~2' matches an adjacent "a b"; the r3
+                   ordered-only divergence is closed).
     - plain terms  SHOULD: score when present.
 
     Returns (qweights, must, must_not, phrases): qweights covers every
@@ -578,6 +582,128 @@ def expand_ranges(
     return qw
 
 
+# Columns the scoring kernels actually read — selected explicitly before
+# applyInPandas so the parquet scan PRUNES everything else (most
+# importantly the positions blobs, which only phrase queries fetch, and
+# cf/sum_dl, which only the build-time stats job reads).
+_KERNEL_COLS = [
+    "shard_id", "th", "df", "doc_ids", "tfs", "doclens", "skips",
+    "max_tf", "min_dl", "block_max_tf", "block_min_dl",
+]
+
+# Positions arithmetic packs (candidate doc index, adjusted position) into
+# one int64 key; adjusted positions are < 2^22 (MAX_DOCLEN 2^21 + phrase
+# length), so 2^24 per-doc key space is safe and slop is clamped to it.
+_POS_KEY_SPACE = np.int64(1 << 24)
+_MAX_SLOP = (1 << 22) - 1
+
+# Repeated-token sloppy phrases are verified per candidate doc with a
+# distinct-occurrence assignment search; the configuration space is capped.
+_MAX_REPEAT_CONFIGS = 100_000
+
+
+def _phrase_match_mask(
+    cand: np.ndarray,
+    tokens: list[str],
+    slop: int,
+    pdata: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> np.ndarray:
+    """Which candidate docs match the phrase — Lucene SloppyPhraseMatcher
+    semantics (SloppyPhraseScorer in the Lucene 3.5 the reference embeds):
+    token i's positions are adjusted by its phrase offset (adj = pos - i),
+    and the doc matches iff tokens can be chosen at DISTINCT absolute
+    positions with max(adj) - min(adj) <= slop. slop=0 degenerates to the
+    exact consecutive phrase; reorderings cost their displacement, so
+    '"b a"~2' matches an adjacent "a b" (the r3 ordered-only divergence is
+    closed). Distinct tokens can never share an absolute position (one
+    term per position), so the distinctness constraint only binds for
+    phrases with REPEATED tokens, which take the per-doc assignment path.
+
+    ``cand``: sorted candidate docIDs, every one already known to contain
+    every phrase token (the kernel's must-set). ``pdata``: per token the
+    FULL (doc_ids, tfs, flat positions) of its posting list in this shard.
+    """
+    m = len(tokens)
+    nc = cand.size
+    ok = np.zeros(nc, dtype=bool)
+    if nc == 0:
+        return ok
+    slop = min(int(slop), _MAX_SLOP)
+    # per-slot occurrence arrays restricted to candidate docs:
+    # (doc index into cand, absolute pos, adjusted pos), plus a sorted
+    # (doc_idx, adj) key array for O(log) window probes
+    per_slot = []
+    slot_keys = []
+    for i, t in enumerate(tokens):
+        d, tf, pos = pdata[t]
+        occ_doc = np.repeat(d, tf)
+        keep = np.isin(occ_doc, cand)
+        di = np.searchsorted(cand, occ_doc[keep]).astype(np.int64)
+        p_abs = pos[keep]
+        adj = p_abs - i + m  # +m keeps adj strictly positive
+        per_slot.append((di, p_abs, adj))
+        slot_keys.append(np.sort(di * _POS_KEY_SPACE + adj))
+    if len(set(tokens)) < m:
+        return _phrase_match_repeats(nc, per_slot, slop)
+    # A config with span <= slop exists iff SOME slot j occurrence is its
+    # minimum adjusted position and every other slot has an adjusted
+    # position within [anchor, anchor + slop] in the same doc.
+    for j in range(m):
+        dj, _, aj = per_slot[j]
+        good = np.ones(dj.size, dtype=bool)
+        lo = dj * _POS_KEY_SPACE + aj
+        for i in range(m):
+            if i == j:
+                continue
+            keys = slot_keys[i]
+            if keys.size == 0:
+                good[:] = False
+                break
+            li = np.searchsorted(keys, lo, side="left")
+            good &= (li < keys.size) & (
+                keys[np.minimum(li, keys.size - 1)] <= lo + slop
+            )
+        ok[dj[good]] = True
+    return ok
+
+
+def _phrase_match_repeats(
+    nc: int, per_slot: list, slop: int
+) -> np.ndarray:
+    """Distinct-occurrence phrase check for phrases with repeated tokens
+    ('"a b a"'): per candidate doc, search assignments of occurrences to
+    slots requiring pairwise-distinct absolute positions and adjusted span
+    <= slop. Candidate docs and per-doc occurrence counts are small (the
+    must-set already restricts to docs containing every token), but the
+    configuration space is capped defensively."""
+    from itertools import product
+
+    ok = np.zeros(nc, dtype=bool)
+    for c in range(nc):
+        options = []
+        n_cfg = 1
+        for di, p_abs, adj in per_slot:
+            sel = di == c
+            opts = list(zip(p_abs[sel].tolist(), adj[sel].tolist()))
+            options.append(opts)
+            n_cfg *= max(1, len(opts))
+        if n_cfg > _MAX_REPEAT_CONFIGS:
+            raise ValueError(
+                "repeated-token phrase has too many position combinations "
+                f"({n_cfg} > {_MAX_REPEAT_CONFIGS}) in one document — "
+                "reduce phrase ambiguity"
+            )
+        for cfg in product(*options):
+            ps = [p for p, _ in cfg]
+            if len(set(ps)) < len(ps):
+                continue
+            adjs = [a for _, a in cfg]
+            if max(adjs) - min(adjs) <= slop:
+                ok[c] = True
+                break
+    return ok
+
+
 def _empty_hits(score_dtype: str, with_total: bool = False) -> pd.DataFrame:
     cols = {
         "shard_id": pd.array([], dtype="int32"),
@@ -711,6 +837,7 @@ def _make_score_kernel(
     with_total: bool = False,
     must_terms: frozenset[str] = frozenset(),
     not_terms: frozenset[str] = frozenset(),
+    phrases: tuple = (),
 ):
     """Per-shard scoring kernel (applyInPandas over shard_id groups).
 
@@ -726,8 +853,16 @@ def _make_score_kernel(
     every listed term (they score too — Lucene MUST clauses score);
     ``not_terms`` docs are excluded and never score. Docs live wholly in
     one shard, so both masks are exact per shard. Block pruning is forced
-    off with clauses present (the θ bound is over UNMASKED scores)."""
-    prune = prune and not must_terms and not not_terms
+    off with clauses present (the θ bound is over UNMASKED scores).
+
+    ``phrases`` — list of (tokens, slop) — are verified ENTIRELY in-index
+    against the positions blobs (Lucene executes PhraseQuery per shard
+    with no stored-text access, LuceneServer.java:682): candidates are
+    the must-intersection (every phrase token is a MUST), then
+    _phrase_match_mask applies Lucene's sloppy-span semantics. Surviving
+    docs keep their BM25 scores unchanged."""
+    prune = prune and not must_terms and not not_terms and not phrases
+    phrase_terms = {t for toks, _ in phrases for t in toks}
 
     def kernel(
         pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
@@ -746,6 +881,7 @@ def _make_score_kernel(
             if not len(pdf):
                 return _empty_hits(score_dtype, with_total)
         must_seen: dict[str, np.ndarray] = {}
+        phrase_data: dict[str, tuple] = {}
         # idf from the per-row GLOBAL df (broadcast-joined from the stats
         # table inside the same job — phase 1 without a driver round-trip);
         # then row-level impact bound from raw (max_tf, min_dl), and terms
@@ -816,6 +952,10 @@ def _make_score_kernel(
             else:
                 d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
 
+            if row.term in phrase_terms:
+                # FULL per-doc positions (decoded before any filtering —
+                # phrase matching runs over final candidates only anyway)
+                phrase_data[row.term] = (d, t, decode_positions(row.positions, t))
             if filter_docs is not None:
                 keep = np.isin(d, filter_docs)
                 d, t, l = d[keep], t[keep], l[keep]
@@ -869,6 +1009,13 @@ def _make_score_kernel(
             excl = np.concatenate(excl_parts)
             keep = ~np.isin(acc_docs, excl)
             acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+        for toks, slop in phrases:
+            if acc_docs.size == 0:
+                break
+            if any(t not in phrase_data for t in toks):
+                return _empty_hits(score_dtype, with_total)
+            pm = _phrase_match_mask(acc_docs, toks, slop, phrase_data)
+            acc_docs, acc_scores = acc_docs[pm], acc_scores[pm]
         if acc_docs.size == 0:
             return _empty_hits(score_dtype, with_total)
         scores32 = acc_scores.astype(score_dtype)
@@ -1059,13 +1206,14 @@ def search(
 
     Boolean syntax (parse_bool_query — Lucene QueryParser's operators,
     which Katta exposes verbatim, Katta.java:825-826): ``+term`` MUST,
-    ``-term`` MUST_NOT, ``"a b"`` phrase. MUST/MUST_NOT are enforced
-    inside the shard kernels (one job, no extra shuffles). Phrases are
-    verified against stored text: pass ``source`` (the corpus DataFrame;
-    ``source_doc_id_col`` or ``source_id_cols`` must reproduce the
-    index's docIDs) — candidates are already restricted to docs
-    containing every phrase token, so the verify join touches candidates
-    only. ``mode`` must be 'or' when boolean operators are present.
+    ``-term`` MUST_NOT, ``"a b"`` phrase and ``"a b"~N`` sloppy phrase.
+    MUST/MUST_NOT/phrase are all enforced inside the shard kernels (one
+    job, no extra shuffles): phrases execute against the index's
+    positional postings alone — like Lucene running PhraseQuery per shard
+    (LuceneServer.java:682) — over the must-intersection candidates only.
+    ``source``/``source_*`` are accepted for backward compatibility but
+    no longer consulted (v8 indexes store positions). ``mode`` must be
+    'or' when boolean operators are present.
 
     Plan at scale: parquet scan of postings pruned to the query's shards
     (partition column) and terms (pushed predicate + row-group skipping via
@@ -1139,13 +1287,6 @@ def search(
             "boolean operators (+/-/phrase) define their own clause "
             f"semantics; mode={mode!r} is not combinable with them"
         )
-    if phrases and source is None:
-        raise ValueError(
-            "phrase queries verify adjacency against stored text — pass "
-            "source= (the corpus DataFrame)"
-        )
-    if phrases and _with_total:
-        raise ValueError("phrase queries do not support totalHits yet")
     if not qweights or k <= 0:
         return spark.createDataFrame([], empty_schema)
 
@@ -1173,6 +1314,10 @@ def search(
         q_df = spark.createDataFrame(q_pairs, "th long, term string")
         return stats_df.join(F.broadcast(q_df), ["th", "term"], "left_semi")
 
+    # phrase queries additionally fetch the positions blobs; everything
+    # else prunes them at the parquet scan (explicit column selection —
+    # applyInPandas would otherwise drag every column through Arrow)
+    kcols = _KERNEL_COLS + (["positions"] if phrases else [])
     if shard_ids is None:
         # Phase 1 (global df per term — Katta's getDocFrequencies,
         # LuceneClient.java:264-286) is a broadcast join of the tiny stats
@@ -1184,6 +1329,7 @@ def search(
         if use_isin:
             # th is the pushed predicate (int64 min/max row-group skipping)
             postings = postings.where(F.col("th").isin(hashes))
+        postings = postings.select(*kcols)
         stats_small = _stats_for_query(index.stats(spark)).select(
             "th", "term", F.col("df").alias("df_g")
         )
@@ -1205,9 +1351,12 @@ def search(
         postings = index.postings(spark).where(F.col("shard_id").isin(shard_ids))
         if use_isin:
             postings = postings.where(F.col("th").isin(hashes))
+            postings = postings.select(*kcols)
         else:
             th_df = spark.createDataFrame([(h,) for h in hashes], "th long")
-            postings = postings.join(F.broadcast(th_df), "th", "left_semi")
+            postings = postings.select(*kcols).join(
+                F.broadcast(th_df), "th", "left_semi"
+            )
         term_map = _stats_for_query(index.stats(spark)).select("th", "term")
         # subset-global df joined per row (same shape as the global path)
         df_sub = postings.groupBy("th").agg(F.sum("df").alias("df_g"))
@@ -1220,14 +1369,10 @@ def search(
             tree, qweights, n_docs, avgdl, k, score_dtype, _with_total
         )
     elif boolean:
-        # phrase verify drops docs AFTER scoring, so with phrases present
-        # the kernel must emit every (must-constrained) candidate — the
-        # must-set already bounds candidates to docs containing all phrase
-        # tokens, so this is candidate-sized, not corpus-sized.
-        k_kernel = (2**31 - 1) if phrases else k
         kernel = _make_score_kernel(
-            qweights, n_docs, avgdl, k_kernel, False, score_dtype,
+            qweights, n_docs, avgdl, k, False, score_dtype,
             _with_total, frozenset(must), frozenset(must_not),
+            tuple(phrases),
         )
     else:
         if mode not in KERNEL_MODES:
@@ -1271,68 +1416,6 @@ def search(
         )
     sel = ["doc_id", "shard_id", "score"] + (["shard_total"] if _with_total else [])
     hits = hits.select(*sel)
-    if phrases:
-        # Adjacency verify on stored text, CANDIDATES ONLY: the kernel's
-        # must-set already restricted hits to docs containing every phrase
-        # token, so this join touches |candidates| rows, never the corpus.
-        # Surviving docs keep their BM25 scores unchanged (filter
-        # semantics, like Katta's Filter).
-        if source_doc_id_col is None:
-            src = source.withColumn(
-                "doc_id", F.xxhash64(*[F.col(c) for c in source_id_cols])
-            )
-        else:
-            src = source.withColumn(
-                "doc_id", F.col(source_doc_id_col).cast("long")
-            )
-        joined = hits.join(
-            src.select("doc_id", F.col(source_text_col).alias("__text")),
-            "doc_id",
-        )
-        toks_col = tokenize_col(F.col("__text"))
-        padded = F.concat(
-            F.lit(" "), F.array_join(toks_col, " "), F.lit(" ")
-        )
-
-        def _positions(w: str):
-            # 0-based positions of w in the token array, JVM-side
-            return F.filter(
-                F.transform(
-                    toks_col,
-                    lambda t, i: F.when(t == F.lit(w), i),
-                ),
-                lambda x: x.isNotNull(),
-            )
-
-        def _slop_match(words: list[str], slop: int):
-            # exists p1<p2<...<pm with pm-p1-(m-1) <= slop (in-order
-            # window — see parse_bool_query's documented simplification);
-            # nested EXISTS over the per-token position arrays, all
-            # whole-stage-codegen higher-order functions.
-            arrs = [_positions(w) for w in words]
-            m = len(words)
-            if m == 1:
-                return F.size(arrs[0]) > 0
-
-            def level(i, prev, first):
-                if i == m - 1:
-                    return F.exists(
-                        arrs[i],
-                        lambda p: (p > prev)
-                        & ((p - first - F.lit(m - 1)) <= F.lit(slop)),
-                    )
-                return F.exists(
-                    arrs[i], lambda p: (p > prev) & level(i + 1, p, first)
-                )
-
-            return F.exists(arrs[0], lambda p0: level(1, p0, p0))
-
-        for p, slop in phrases:
-            if slop == 0:
-                joined = joined.where(padded.contains(" " + " ".join(p) + " "))
-            else:
-                joined = joined.where(_slop_match(p, slop))
-        hits = joined.drop("__text")
     if not ordered:
         # Caller does its own ordering (e.g. field sort) — returning the
         # per-shard union unsorted avoids a global score sort that would
@@ -1442,9 +1525,9 @@ def search_multi(
     LuceneClient.java:271-281), so scores are identical to a single merged
     index; phase 2 is a bag union of per-index shard streams through the
     same final top-k merge (SURVEY.md §2.7). Boolean syntax carries over:
-    ``+MUST`` / ``-MUST_NOT`` clauses and AND/OR/NOT grouping evaluate
-    against the combined stats exactly as in :func:`search`; phrases are
-    single-index only (their verify needs the index's own source).
+    ``+MUST`` / ``-MUST_NOT`` clauses, phrases (index-only positional
+    verify) and AND/OR/NOT grouping evaluate against the combined stats
+    exactly as in :func:`search`.
 
     This is also the INCREMENTAL-UPDATE story: new documents build a small
     delta index and queries span [base, delta] with combined stats — the
@@ -1458,21 +1541,18 @@ def search_multi(
     if _with_total:
         empty_schema += ", shard_total long"
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
-    # Boolean clause surface over the combined corpus: +MUST / -MUST_NOT
-    # and AND/OR/NOT grouping parse exactly as in search(); phrase verify
-    # would need per-index sources, and the dictionary rewrites
-    # (wildcard/fuzzy/range) would need a combined dictionary — both are
-    # refused explicitly rather than silently mis-tokenized.
-    if '"' in query:
-        raise ValueError(
-            "phrase queries are single-index only (verify needs the "
-            "index's own source) — search each index separately"
-        )
+    # Boolean clause surface over the combined corpus: +MUST / -MUST_NOT,
+    # phrases (in-index positional verify — no per-index source needed)
+    # and AND/OR/NOT grouping parse exactly as in search(); the dictionary
+    # rewrites (wildcard/fuzzy/range) would need a combined dictionary and
+    # are refused explicitly rather than silently mis-tokenized.
+    unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
+    has_phrase = unquoted != query
     if (
-        "*" in query
-        or "~" in query
-        or "?" in query
-        or _RANGE_RE.search(query)
+        "*" in unquoted
+        or "~" in unquoted
+        or "?" in unquoted
+        or _RANGE_RE.search(unquoted)
     ):
         raise ValueError(
             "wildcard/fuzzy/range rewrites are single-index only (they "
@@ -1482,7 +1562,12 @@ def search_multi(
     tree = None
     must: set[str] = set()
     must_not: set[str] = set()
-    if _TREE_RE.search(query):
+    phrases: list[tuple[list[str], int]] = []
+    if _TREE_RE.search(unquoted):
+        if has_phrase:
+            raise ValueError(
+                "phrases cannot be combined with AND/OR/NOT grouping"
+            )
         if mode != "or":
             raise ValueError(
                 "AND/OR/NOT grouping defines its own clause semantics; "
@@ -1528,11 +1613,17 @@ def search_multi(
     # per-shard kernel groups never collide across indexes. The cross-index
     # global df (and the term string — postings store only th) is
     # broadcast-joined per row, as in search().
+    kcols = _KERNEL_COLS + (["positions"] if phrases else [])
     parts = []
     offset = 0
     for h in handles:
-        p = h.postings(spark).where(F.col("th").isin(live_hashes)).withColumn(
-            "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
+        p = (
+            h.postings(spark)
+            .where(F.col("th").isin(live_hashes))
+            .select(*kcols)
+            .withColumn(
+                "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
+            )
         )
         parts.append(p)
         offset += h.num_shards
@@ -1555,11 +1646,13 @@ def search_multi(
         )
     else:
         # with totals the count must be exact → no block pruning; boolean
-        # clauses (must/not) also disable pruning inside the kernel
+        # clauses (must/not/phrase) also disable pruning inside the kernel
         kernel = _make_score_kernel(
             qweights, n_docs, avgdl, k,
-            not _with_total and not must and not must_not, score_dtype,
+            not _with_total and not must and not must_not and not phrases,
+            score_dtype,
             _with_total, frozenset(must), frozenset(must_not),
+            tuple(phrases),
         )
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
     if _with_total:
@@ -1707,7 +1800,7 @@ def search_batch(
     # double predicate as the hash-collision guard) — keep the two in step.
     postings = index.postings(spark)
     if len(hashes) <= _ISIN_MAX_TERMS:
-        postings = postings.where(F.col("th").isin(hashes))
+        postings = postings.where(F.col("th").isin(hashes)).select(*_KERNEL_COLS)
         stats_small = (
             index.stats(spark)
             .where(F.col("th").isin(hashes) & F.col("term").isin(all_terms))
@@ -1722,6 +1815,7 @@ def search_batch(
             .join(F.broadcast(q_df), ["th", "term"], "left_semi")
             .select("th", "term", F.col("df").alias("df_g"))
         )
+        postings = postings.select(*_KERNEL_COLS)
     postings = postings.join(F.broadcast(stats_small), "th")
 
     def _empty_batch() -> pd.DataFrame:
@@ -1807,22 +1901,19 @@ def count_matches(
     match counting needs no stats, so the postings streams simply bag-union
     with offset shard ids.
 
-    Queries with boolean clauses (``+``/``-``, AND/OR/NOT grouping)
-    delegate to the search kernels' exact shard totals — Katta's count()
-    likewise counts the PARSED query's matches, not term-OR matches."""
+    Queries with boolean clauses (``+``/``-``, phrases, AND/OR/NOT
+    grouping) delegate to the search kernels' exact shard totals — Katta's
+    count() likewise counts the PARSED query's matches, not term-OR
+    matches (phrases verify in-index against the positional postings)."""
     handles = (
         [IndexHandle.open(spark, ix) if isinstance(ix, str) else ix for ix in index]
         if isinstance(index, (list, tuple))
         else [IndexHandle.open(spark, index) if isinstance(index, str) else index]
     )
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
-    if '"' in query:
-        raise ValueError(
-            "phrase queries need their verify source — use "
-            "search(..., source=...) and count its rows"
-        )
     if (
-        _TREE_RE.search(query)
+        '"' in query
+        or _TREE_RE.search(query)
         or "*" in query
         or "~" in query
         or "?" in query
@@ -1845,6 +1936,7 @@ def count_matches(
         parts.append(
             h.postings(spark)
             .where(F.col("th").isin(hashes))
+            .select("shard_id", "doc_ids", "tfs", "doclens")
             .withColumn(
                 "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
             )

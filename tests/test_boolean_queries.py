@@ -98,10 +98,8 @@ def test_must_not_clause(spark, bidx, docs):
 
 
 def test_phrase_clause(spark, bidx, docs, tiny_transcripts):
-    got = search(
-        spark, bidx, '"hotalpha hotbeta"', k=10,
-        source=tiny_transcripts,
-    ).collect()
+    # no source= — phrases execute against the positional postings alone
+    got = search(spark, bidx, '"hotalpha hotbeta"', k=10).collect()
     padded = F.concat(
         F.lit(" "), F.array_join(tokenize_col(F.col("text")), " "), F.lit(" ")
     )
@@ -119,10 +117,7 @@ def test_phrase_clause(spark, bidx, docs, tiny_transcripts):
 def test_phrase_with_should_term(spark, bidx, docs, tiny_transcripts):
     """Phrase + extra SHOULD term: constraint from the phrase, scoring from
     all three terms."""
-    got = search(
-        spark, bidx, '"hotalpha hotbeta" w00011', k=10,
-        source=tiny_transcripts,
-    ).collect()
+    got = search(spark, bidx, '"hotalpha hotbeta" w00011', k=10).collect()
     padded = F.concat(
         F.lit(" "), F.array_join(tokenize_col(F.col("text")), " "), F.lit(" ")
     )
@@ -132,10 +127,17 @@ def test_phrase_with_should_term(spark, bidx, docs, tiny_transcripts):
 
 
 def test_boolean_guard_rails(spark, bidx, tiny_transcripts):
-    with pytest.raises(ValueError, match="phrase queries verify"):
-        search(spark, bidx, '"hotalpha hotbeta"', k=5)  # no source
     with pytest.raises(ValueError, match="not combinable"):
         search(spark, bidx, "+hotalpha hotbeta", k=5, mode="and")
+    # a legacy source= is accepted (and ignored): results identical to the
+    # index-only positional path
+    got = search(
+        spark, bidx, '"hotalpha hotbeta"', k=10, source=tiny_transcripts
+    ).collect()
+    want = search(spark, bidx, '"hotalpha hotbeta"', k=10).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
 
 
 def test_must_term_absent_everywhere(spark, bidx):
@@ -217,41 +219,37 @@ def test_fuzzy_query_rank_identity(spark, bidx, docs):
     ]
 
 
-# ---- proximity (sloppy) phrases: '"a b"~N' — ordered within window
+# ---- proximity (sloppy) phrases: '"a b"~N' — Lucene SloppyPhraseMatcher
+# semantics: adjusted-position span <= slop over distinct positions
+# (reorderings admitted at their displacement cost)
 
 
 def _slop_docs(docs, words, slop):
-    """Brute-force matching doc_ids: ordered positions within the window."""
+    """Brute-force matching doc_ids under the sloppy-span semantics."""
+    from itertools import product
+
     from katta_spark.tokenizer import tokenize_str
 
     out = []
+    m = len(words)
     for r in docs.select("doc_id", "text").collect():
         toks = tokenize_str(r.text or "")
         poss = [[i for i, t in enumerate(toks) if t == w] for w in words]
-        m = len(words)
-
-        def rec(level, prev, first):
-            for p in poss[level]:
-                if p <= prev:
-                    continue
-                if level == m - 1:
-                    if p - first - (m - 1) <= slop:
-                        return True
-                elif rec(level + 1, p, first):
-                    return True
-            return False
-
-        if any(rec(1, p0, p0) for p0 in poss[0]):
-            out.append(r.doc_id)
+        if any(not p for p in poss):
+            continue
+        for cfg in product(*poss):
+            if len(set(cfg)) < m:
+                continue
+            adj = [p - i for i, p in enumerate(cfg)]
+            if max(adj) - min(adj) <= slop:
+                out.append(r.doc_id)
+                break
     return out
 
 
 def test_slop_phrase_rank_identity(spark, bidx, docs, tiny_transcripts):
     words, slop = ["hotalpha", "hotbeta"], 8
-    got = search(
-        spark, bidx, f'"hotalpha hotbeta"~{slop}', k=15,
-        source=tiny_transcripts,
-    ).collect()
+    got = search(spark, bidx, f'"hotalpha hotbeta"~{slop}', k=15).collect()
     keep_ids = _slop_docs(docs, words, slop)
     assert keep_ids, "fixture must contain in-window matches"
     keep_df = docs.sparkSession.createDataFrame(
@@ -270,20 +268,54 @@ def test_slop_supersets_exact(spark, bidx, tiny_transcripts):
     """Every exact-phrase match must also match the sloppy phrase."""
     exact = {
         r.doc_id
-        for r in search(
-            spark, bidx, '"hotalpha hotbeta"', k=10**6,
-            source=tiny_transcripts,
-        ).collect()
+        for r in search(spark, bidx, '"hotalpha hotbeta"', k=10**6).collect()
     }
     sloppy = {
         r.doc_id
         for r in search(
-            spark, bidx, '"hotalpha hotbeta"~4', k=10**6,
-            source=tiny_transcripts,
+            spark, bidx, '"hotalpha hotbeta"~4', k=10**6
         ).collect()
     }
     assert exact <= sloppy
     assert len(sloppy) > len(exact)  # the window admits non-adjacent pairs
+
+
+def test_slop_reordering_lucene_semantics(spark, bidx, docs):
+    """'"b a"~2' matches an adjacent "a b" (reordering costs its
+    displacement — the r3 ordered-only divergence is closed), and the
+    full reversed-slop match set equals the brute-force span oracle."""
+    exact_fwd = set(_slop_docs(docs, ["hotalpha", "hotbeta"], 0))
+    got_rev = {
+        r.doc_id
+        for r in search(
+            spark, bidx, '"hotbeta hotalpha"~2', k=10**6
+        ).collect()
+    }
+    want_rev = set(_slop_docs(docs, ["hotbeta", "hotalpha"], 2))
+    assert got_rev == want_rev
+    assert exact_fwd and exact_fwd <= want_rev
+    # ...but NOT within ~1 (a transposition costs 2 moves, like Lucene)
+    got_rev1 = {
+        r.doc_id
+        for r in search(
+            spark, bidx, '"hotbeta hotalpha"~1', k=10**6
+        ).collect()
+    }
+    assert got_rev1 == set(_slop_docs(docs, ["hotbeta", "hotalpha"], 1))
+
+
+def test_repeated_token_phrase(spark, bidx, docs):
+    """Phrases with REPEATED tokens require distinct occurrences ('"a a"'
+    needs two different positions of a within the window)."""
+    got = {
+        r.doc_id
+        for r in search(
+            spark, bidx, '"hotalpha hotalpha"~6', k=10**6
+        ).collect()
+    }
+    want = set(_slop_docs(docs, ["hotalpha", "hotalpha"], 6))
+    assert got == want
+    assert want, "fixture must contain a doc with two close hotalpha"
 
 
 # ---- grouped boolean queries: (a AND b) OR c, NOT — explicit grammar
@@ -406,11 +438,13 @@ def test_tree_nested(spark, bidx, docs):
     ]
 
 
-def test_count_refuses_phrases(spark, bidx):
+def test_count_phrases_delegates_to_kernel_totals(spark, bidx, docs):
+    """count() of a phrase query counts the PHRASE's matches via the
+    kernels' exact totals (in-index positional verify)."""
     from katta_spark.query import count_matches
 
-    with pytest.raises(ValueError, match="verify source"):
-        count_matches(spark, bidx, '"hotalpha hotbeta"')
+    n = count_matches(spark, bidx, '"hotalpha hotbeta"~3')
+    assert n == len(_slop_docs(docs, ["hotalpha", "hotbeta"], 3))
 
 
 # ---- review fixes: guards, leaf boosts, phrase/rewrite boosts
@@ -453,10 +487,7 @@ def test_phrase_boost_no_orphan_token(spark, bidx, docs, tiny_transcripts):
     assert qw == {"join": 2.0, "scan": 2.0, "merge": 1.0}
     assert ph == [(["join", "scan"], 0)] and "2" not in qw
     # end-to-end it still runs the phrase path
-    hits = search(
-        spark, bidx, '"hotalpha hotbeta"^2 w00011', k=5,
-        source=tiny_transcripts,
-    )
+    hits = search(spark, bidx, '"hotalpha hotbeta"^2 w00011', k=5)
     assert hits.count() >= 0
 
 

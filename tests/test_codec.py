@@ -110,10 +110,10 @@ def test_batch_encode_matches_single(  ):
     got = encode_posting_lists_batch(doc, tf, dl, starts, block=32)
     assert len(got) == len(runs)
     for (d, t, l), row in zip(runs, got):
-        df_, cf, dbuf, tbuf, lbuf, sbuf, mt, md, bmt, bmd = row
+        df_, cf, sdl, dbuf, tbuf, lbuf, sbuf, mt, md, bmt, bmd = row
         ed, et, el, es = encode_posting_list(d, t, l, block=32)
         assert (dbuf, tbuf, lbuf, sbuf) == (ed, et, el, es)
-        assert df_ == d.size and cf == t.sum()
+        assert df_ == d.size and cf == t.sum() and sdl == l.sum()
         assert mt == t.max() and md == l.min()
         emt, emd = block_maxima(t, l, block=32)
         assert np.array_equal(vb_decode(bmt), emt.astype(np.uint64))
@@ -133,3 +133,46 @@ def test_compression_is_compact():
     d, t, l, s = encode_posting_list(doc_ids, tfs, dls)
     assert len(d) < 2.5 * doc_ids.size  # avg gap ~100 → ~1-2 bytes
     assert len(t) == doc_ids.size  # tf=1 → 1 byte each
+
+
+def test_positions_roundtrip():
+    """encode_positions_batch / decode_positions: per-doc delta chains,
+    doc-major, restart at each doc — the .prx-analog layout."""
+    from katta_spark.codec import decode_positions, encode_positions_batch
+
+    rng = np.random.default_rng(5)
+    # 12 term-runs; each run = several docs; each doc = ascending positions
+    all_pos, doc_starts, run_starts_occ, per_run = [], [], [], []
+    occ = 0
+    for _ in range(12):
+        run_starts_occ.append(occ)
+        tfs, flat = [], []
+        for _ in range(int(rng.integers(1, 6))):
+            tf = int(rng.integers(1, 7))
+            pos = np.sort(
+                rng.choice(np.arange(0, 5000), size=tf, replace=False)
+            )
+            doc_starts.append(occ)
+            occ += tf
+            tfs.append(tf)
+            flat.append(pos)
+        per_run.append((np.array(tfs), np.concatenate(flat)))
+        all_pos.append(per_run[-1][1])
+    blobs = encode_positions_batch(
+        np.concatenate(all_pos),
+        np.array(doc_starts),
+        np.array(run_starts_occ),
+    )
+    assert len(blobs) == 12
+    for blob, (tfs, flat) in zip(blobs, per_run):
+        got = decode_positions(blob, tfs)
+        assert np.array_equal(got, flat)
+
+
+def test_positions_empty():
+    from katta_spark.codec import decode_positions, encode_positions_batch
+
+    assert encode_positions_batch(
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    ) == []
+    assert decode_positions(b"", np.empty(0, np.int64)).size == 0

@@ -213,10 +213,10 @@ def test_multi_index_boolean_and_tree(spark, split_indexes):
             spark, whole_idx, q
         ), q
 
-    # phrase over a list refuses with a clear error
+    # phrases + grouping stay mutually exclusive over index lists too
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="single-index only"):
-        search_multi(spark, [a, b], '"hotalpha hotbeta"', k=5)
+    with _pytest.raises(ValueError, match="cannot be combined"):
+        search_multi(spark, [a, b], '"hotalpha hotbeta" AND w00011', k=5)
 
 
 def test_search_batch_matches_per_query(spark, split_indexes, tiny_transcripts):
@@ -262,15 +262,31 @@ def test_multi_index_sorted_search(spark, split_indexes, tiny_transcripts):
     ]
 
 
-def test_multi_index_refuses_rewrites_and_quoted_trees(spark, split_indexes):
-    from katta_spark.query import count_matches, search_multi
+def test_multi_index_refuses_rewrites(spark, split_indexes):
+    from katta_spark.query import search_multi
 
     _, a, b = split_indexes
-    with pytest.raises(ValueError, match="single-index only"):
-        search_multi(spark, [a, b], '"foo AND bar"', k=5)
     for q in ("hot*", "merg~1", "w00?11", "[a TO b]"):
         with pytest.raises(ValueError, match="single-index only"):
             search_multi(spark, [a, b], q, k=5)
+
+
+def test_multi_index_phrase(spark, split_indexes):
+    """Phrases now span index lists (in-index positional verify — Katta
+    runs PhraseQuery per shard, LuceneServer.java:682): split-corpus
+    phrase/slop results equal the whole-corpus answer, and a slop
+    operator inside quotes must not trip the rewrite refusal."""
+    from katta_spark.query import search_multi
+
+    whole, a, b = split_indexes
+    for q in ('"hotalpha hotbeta"', '"hotalpha hotbeta"~4 w00011'):
+        got = search_multi(spark, [a, b], q, k=12,
+                           score_dtype="float64").collect()
+        want = search(spark, whole, q, k=12, score_dtype="float64").collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want]
+        assert [round(r.score, 9) for r in got] == [
+            round(r.score, 9) for r in want
+        ]
 
 
 def test_count_delegates_rewrites(spark, split_indexes):
