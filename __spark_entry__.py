@@ -47,6 +47,7 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}")
     ksb.build_index(
         spark, _docs(spark, sf_dir), d, num_shards=4, doc_id_col="doc_id",
+        docvalue_cols=("n_chars",),
     )
     _INDEX_CACHE[sf_dir] = d
     return d
@@ -498,14 +499,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_split_index"] = split_index
 
     def sorted_search(spark, sf):
-        """T2/T4: matches of a query ordered by a stored field (n_chars)."""
+        """T2/T4: matches of a query ordered by a stored field (n_chars) —
+        the docvalue FAST path: sort keys come from the in-index sidecar,
+        each shard kernel emits only its k best rows (TopFieldCollector's
+        min(limit, maxDoc) cap, LuceneServer.java:672-677), and only the
+        merged top-k joins back to the source for display columns."""
         docs = _docs(spark, sf)
         out = ksq.search_sorted(
             spark,
             _index_dir(spark, sf),
             "merge batch",
             docs,
-            sort_cols=[F.col("n_chars").desc()],
+            sort_cols=[("n_chars", "desc")],
             k=8,
             track_scores=False,
             doc_id_col="doc_id",

@@ -327,12 +327,22 @@ def term_dictionary(
 
 
 def _docs_with_ids(transcripts, num_shards, id_cols, text_col, doc_id_col,
-                   keyword_cols: tuple[str, ...] = ()):
-    extra = [c for c in keyword_cols if c != text_col]
+                   keyword_cols: tuple[str, ...] = (),
+                   docvalue_cols: tuple[str, ...] = ()):
+    seen: set[str] = set()
+    extra = [
+        c
+        for c in (*keyword_cols, *docvalue_cols)
+        if c != text_col and not (c in seen or seen.add(c))
+    ]
     if doc_id_col is None:
+        extra_sel = [c for c in extra if c not in id_cols]
         return with_doc_ids(
-            transcripts.select(*id_cols, text_col, *extra), num_shards
-        ).select("doc_id", "shard_id", F.col(text_col).alias("text"), *extra)
+            transcripts.select(*id_cols, text_col, *extra_sel), num_shards
+        ).select(
+            "doc_id", "shard_id", F.col(text_col).alias("text"),
+            *[c for c in id_cols if c in extra], *extra_sel,
+        )
     return transcripts.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         # hash the CAST value so shard_expr(doc_id: long) reproduces the
@@ -359,6 +369,7 @@ def build_index(
     text_col: str = "text",
     doc_id_col: str | None = None,
     keyword_cols: tuple[str, ...] = (),
+    docvalue_cols: tuple[str, ...] = (),
 ) -> dict:
     """Build the full index (postings + dict + stats + corpus + shards +
     lineage).
@@ -376,14 +387,20 @@ def build_index(
     ``keyword_cols``: NOT_ANALYZED fields indexed as ``field:value`` terms
     searchable via field-qualified queries (Katta.java:825-826 parses
     ``field:term`` with a KeywordAnalyzer QueryParser).
+    ``docvalue_cols``: columns written to the per-shard sort-value sidecar
+    (docvalues.py — the Lucene norms/FieldCache analog) so field-sorted
+    searches cap per-shard output at k like Katta's TopFieldCollector
+    (LuceneServer.java:672-677) instead of joining every match.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     p = _paths(index_dir)
     phase_t: dict[str, float] = {}
     t_start = time.time()
     keyword_cols = tuple(keyword_cols)
+    docvalue_cols = tuple(docvalue_cols)
     docs = _docs_with_ids(
-        transcripts, num_shards, id_cols, text_col, doc_id_col, keyword_cols
+        transcripts, num_shards, id_cols, text_col, doc_id_col, keyword_cols,
+        docvalue_cols,
     )
 
     # Format check: an existing index of a different on-disk version cannot
@@ -426,10 +443,12 @@ def build_index(
         "num_shards": num_shards,
         "text_col": text_col,
         "doc_id_col": doc_id_col,
+        "docvalue_cols": list(docvalue_cols),
     }
     if os.path.exists(meta_file):
         with open(meta_file) as fh:
             stored_meta = json.load(fh)
+        stored_meta.setdefault("docvalue_cols", [])
         if stored_meta != build_meta:
             raise ValueError(
                 f"index at {index_dir!r} was started with build parameters "
@@ -618,6 +637,25 @@ def build_index(
         _ensure_readable(p["postings"], ENCODED_SCHEMA)
         _ensure_readable(p["dict"], "th long, term string, _mx string")
 
+        # Sort-value sidecar (docvalues.py): its own slim corpus scan —
+        # overlapped with the phase-3 stats job on the driver pool.
+        fut_dv = None
+        if docvalue_cols:
+            from katta_spark.docvalues import dv_path, write_docvalues
+
+            if n_committed or not os.path.exists(
+                os.path.join(dv_path(index_dir), "_SUCCESS")
+            ):
+
+                def _run_dv():
+                    t_dv = time.time()
+                    write_docvalues(
+                        spark, docs, index_dir, docvalue_cols, num_shards
+                    )
+                    phase_t["docvalues"] = round(time.time() - t_dv, 2)
+
+                fut_dv = pool.submit(_run_dv)
+
         t2 = time.time()
         # ---- Phase 3: term stats AND marker-derived doc/avgdl scalars in
         # ONE job (vocab-sized; parquet prunes the blob columns). Katta's
@@ -739,6 +777,8 @@ def build_index(
             n_docs = int(row["n_docs"])
             avgdl = float(row["avgdl"])
 
+        if fut_dv is not None:
+            fut_dv.result()
         for fut in lineage_futs:
             fut.result()
     except BaseException:

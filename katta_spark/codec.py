@@ -54,6 +54,19 @@ def u64_to_i64_order(u: np.ndarray) -> np.ndarray:
     return (u.astype(np.uint64) ^ _SIGN).view(np.int64)
 
 
+def f64_to_u64_order(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> uint64 (IEEE total order trick):
+    negatives get their bits complemented, non-negatives get the sign bit
+    set — so uint64 comparison orders like float comparison, with NaN
+    sorting above +inf (Spark's NaN-is-largest convention)."""
+    b = np.ascontiguousarray(v, dtype=np.float64).view(np.int64)
+    u = b.view(np.uint64).copy()
+    neg = b < 0
+    u[neg] = ~u[neg]
+    u[~neg] |= _SIGN
+    return u
+
+
 def vb_encode(values: np.ndarray) -> bytes:
     """Variable-byte encode a uint64 array (vectorized).
 

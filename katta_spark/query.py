@@ -104,6 +104,15 @@ class IndexHandle:
             object.__setattr__(self, "_total_dl", float(row["sdl"] or 0))
         return self._total_dl
 
+    def docvalue_kinds(self) -> dict[str, str]:
+        """col → kind of the index's sort-value sidecar (docvalues.py),
+        memoized — {} when the index was built without docvalue_cols."""
+        if not hasattr(self, "_dv_kinds"):
+            from katta_spark.docvalues import read_meta
+
+            object.__setattr__(self, "_dv_kinds", read_meta(self.index_dir))
+        return self._dv_kinds
+
     def df_of_terms(self, spark: SparkSession, terms: list[str]) -> dict[str, int]:
         """Per-term global df, memoized per handle (df=0 for unindexed
         terms is cached too) — Katta's CachedDfSource invariant
@@ -1157,6 +1166,73 @@ def _make_match_kernel(
     return kernel
 
 
+def _make_dv_sort_cog(kernel, specs: list, dv_k: int, score_dtype: str):
+    """Wrap a match/score kernel with the in-index field-sort cap — the
+    TopFieldCollector analog (LuceneServer.java:672-677): the wrapped
+    kernel emits EVERY shard match (k=maxint upstream), this stage looks
+    each match's sort keys up in the shard's docvalue sidecar (cogrouped —
+    nothing shuffles) and keeps only the dv_k best by
+    (spec order, doc_id asc), emitting order-preserving mapped keys
+    ``__sv<i>`` (nullable long; NULL ordering matches Spark's
+    asc_nulls_first / desc_nulls_last) for the global merge."""
+    from katta_spark.codec import u64_to_i64_order
+    from katta_spark.docvalues import decode_shard_column
+
+    n_specs = len(specs)
+
+    def _empty() -> pd.DataFrame:
+        out = _empty_hits(score_dtype)
+        for i in range(n_specs):
+            out[f"__sv{i}"] = pd.array([], dtype="Int64")
+        return out
+
+    def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return _empty()
+        hits = kernel(left)
+        if not len(hits):
+            return _empty()
+        docs = hits["doc_id"].to_numpy(np.int64)
+        per_spec = []
+        for name, direction in specs:
+            dv_docs, dv_vals, dv_null = decode_shard_column(right, name)
+            if dv_docs.size:
+                ix = np.minimum(
+                    np.searchsorted(dv_docs, docs), dv_docs.size - 1
+                )
+                found = dv_docs[ix] == docs
+                vals = np.where(found, dv_vals[ix], np.uint64(0))
+                isnull = ~found | dv_null[ix]
+            else:
+                vals = np.zeros(docs.size, dtype=np.uint64)
+                isnull = np.ones(docs.size, dtype=bool)
+            per_spec.append((vals, isnull, direction))
+        # lexsort keys, innermost first: doc asc tiebreak, then specs from
+        # last to first as (value key, null-rank key) pairs
+        lex: list[np.ndarray] = [docs]
+        for vals, isnull, direction in reversed(per_spec):
+            vkey = vals if direction == "asc" else ~vals
+            vkey = np.where(isnull, np.uint64(0), vkey)
+            # asc_nulls_first: null rank 0 < non-null 1;
+            # desc_nulls_last: non-null 0 < null 1
+            nkey = (
+                (~isnull if direction == "asc" else isnull)
+            ).astype(np.uint8)
+            lex.append(vkey)
+            lex.append(nkey)
+        order = np.lexsort(tuple(lex))[:dv_k]
+        out = hits.iloc[order].reset_index(drop=True)
+        for i, (vals, isnull, _) in enumerate(per_spec):
+            col = pd.array(
+                u64_to_i64_order(vals[order]), dtype="Int64"
+            )
+            col[isnull[order]] = pd.NA
+            out[f"__sv{i}"] = col
+        return out
+
+    return cog
+
+
 # Kernel-mode registry — the content-server extension point (SURVEY.md
 # §2.12; reference IContentServer, node/IContentServer.java:28-107):
 # registering a factory adds a new search mode. Factories share the
@@ -1192,9 +1268,16 @@ def search(
     source_id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     source_doc_id_col: str | None = None,
     _with_total: bool = False,
+    _dv_sort: tuple | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
+
+    ``_dv_sort`` (internal, used by :func:`search_sorted`): a tuple
+    ``(specs, dv_k)`` with specs = [(col, 'asc'|'desc'), ...] over the
+    index's docvalue sidecar — the shard kernels then look sort keys up
+    in-index (TopFieldCollector analog) and emit only their dv_k best
+    rows, tagged with order-preserving mapped keys ``__sv<i>``.
 
     Query syntax (the Lucene QueryParser surface Katta exposes verbatim,
     Katta.java:825-826): plain terms (default OR), ``field:value``
@@ -1390,6 +1473,30 @@ def search(
             [(int(x),) for x in filter_docs], "doc_id long"
         )
         filter_doc_col = "doc_id"
+    if _dv_sort is not None:
+        if filter_df is not None or _with_total:
+            raise ValueError(
+                "_dv_sort does not combine with filter_df/_with_total"
+            )
+        specs, dv_k = _dv_sort
+        dv_cog = _make_dv_sort_cog(kernel, specs, dv_k, score_dtype)
+        from katta_spark.docvalues import dv_path as _dvp
+
+        dvdf = spark.read.parquet(_dvp(index.index_dir)).where(
+            F.col("col").isin([n for n, _ in specs])
+        )
+        if shard_ids is not None:
+            dvdf = dvdf.where(F.col("shard_id").isin(shard_ids))
+        sv_schema = ", ".join(f"__sv{i} long" for i in range(len(specs)))
+        hits = (
+            postings.groupBy("shard_id")
+            .cogroup(dvdf.groupBy("shard_id"))
+            .applyInPandas(dv_cog, out_schema + ", " + sv_schema)
+        )
+        return hits.select(
+            "doc_id", "shard_id", "score",
+            *[f"__sv{i}" for i in range(len(specs))],
+        )
     if filter_df is None:
         # 1-arg wrapper: applyInPandas treats a 2-arg function as
         # (group_key, pdf), but our kernels' 2nd arg is the filter set.
@@ -1716,10 +1823,18 @@ def search_sorted(
     LuceneServer.java:672-677, typed sort fields WritableType.java:33-35,
     score tracking flag LuceneServer.java:97 / LuceneClientTest.java:379).
 
-    Matching documents (>=1 query term) are joined to their stored fields
-    and ordered by ``sort_cols`` (list of Column or column names) with the
-    distributed TakeOrderedAndProject doing the k-way merge that Katta's
-    FieldSortComparator/MergeSort performed per node.
+    ``sort_cols`` entries may be column names, ``(name, 'asc'|'desc')``
+    tuples, or arbitrary Columns. When every entry names a column the
+    index carries in its docvalue sidecar (build_index docvalue_cols) and
+    no filter is applied, the FAST path runs: each shard kernel looks the
+    sort keys up IN-INDEX and emits only its k best rows — ≤ k·shards
+    rows total leave the kernels, exactly Katta's per-shard
+    TopFieldCollector cap at min(limit, maxDoc), and only the merged
+    top-k joins back to ``source`` for the display columns. Otherwise
+    every match joins to its stored fields and the distributed
+    TakeOrderedAndProject does the k-way merge (correct, but a high-df
+    query shuffles |matches| rows).
+
     ``track_scores=False`` omits the BM25 score column (Katta's default —
     scores are only computed when requested).
 
@@ -1727,8 +1842,26 @@ def search_sorted(
     the searched indices, LuceneClientTest.java:330) via search_multi's
     combined-stats bag union; ``source`` must cover the union corpus.
     """
-    # candidate docs = union of posting lists (huge k caps nothing away);
-    # when scores aren't tracked, the match-only kernel skips BM25 entirely
+    specs = _norm_sort_specs(sort_cols)
+    if (
+        specs is not None
+        and not isinstance(index, (list, tuple))
+        and filter_df is None
+    ):
+        ih = IndexHandle.open(spark, index) if isinstance(index, str) else index
+        if all(n in ih.docvalue_kinds() for n, _ in specs):
+            return _search_sorted_dv(
+                spark, ih, query, source, specs, k, track_scores,
+                id_cols, doc_id_col,
+            )
+    # fallback: candidate docs = union of posting lists (huge k caps
+    # nothing away); when scores aren't tracked, the match-only kernel
+    # skips BM25 entirely
+    if specs is not None:
+        sort_cols = [
+            F.col(n).asc() if d == "asc" else F.col(n).desc()
+            for n, d in specs
+        ]
     if isinstance(index, (list, tuple)):
         if not track_scores:
             raise ValueError(
@@ -1758,6 +1891,70 @@ def search_sorted(
     if not track_scores:
         out = out.drop("score")
     return out
+
+
+def _norm_sort_specs(sort_cols) -> "list[tuple[str, str]] | None":
+    """Normalize sort_cols to [(name, 'asc'|'desc'), ...] — None when any
+    entry is an opaque Column (those take the source-join path)."""
+    specs: list[tuple[str, str]] = []
+    for c in sort_cols:
+        if isinstance(c, str):
+            specs.append((c, "asc"))
+        elif (
+            isinstance(c, (tuple, list))
+            and len(c) == 2
+            and isinstance(c[0], str)
+            and c[1] in ("asc", "desc")
+        ):
+            specs.append((c[0], c[1]))
+        else:
+            return None
+    return specs
+
+
+def _search_sorted_dv(
+    spark: SparkSession,
+    index: IndexHandle,
+    query: str,
+    source: DataFrame,
+    specs: list,
+    k: int,
+    track_scores: bool,
+    id_cols: tuple[str, str],
+    doc_id_col: str | None,
+) -> DataFrame:
+    """Docvalue fast path: per-shard in-index field-sort cap (≤ k·shards
+    rows leave the kernels), global merge on the mapped keys, then ONE
+    broadcast join of the merged top-k to ``source`` for display columns."""
+    hits = search(
+        spark, index, query, k=2**31 - 1, prune=False,
+        score_dtype="float64", ordered=False,
+        mode="or" if track_scores else "match",
+        _dv_sort=(specs, k),
+    )
+    order_cols = [
+        (
+            F.col(f"__sv{i}").asc_nulls_first()
+            if d == "asc"
+            else F.col(f"__sv{i}").desc_nulls_last()
+        )
+        for i, (_, d) in enumerate(specs)
+    ]
+    top = hits.orderBy(*order_cols, F.col("doc_id").asc()).limit(k)
+    if doc_id_col is None:
+        src = source.withColumn(
+            "doc_id", F.xxhash64(*[F.col(c) for c in id_cols])
+        )
+    else:
+        src = source.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    out = src.join(F.broadcast(top), "doc_id").orderBy(
+        *order_cols, F.col("doc_id").asc()
+    )
+    out = out.drop(*[f"__sv{i}" for i in range(len(specs))])
+    # column shape matches the join path: doc_id, shard_id, [score], source
+    lead = ["doc_id", "shard_id"] + (["score"] if track_scores else [])
+    rest = [c for c in out.columns if c not in lead + ["score"]]
+    return out.select(*lead, *rest)
 
 
 def search_batch(

@@ -1,0 +1,144 @@
+"""Sort-value sidecar (docvalues) — the TopFieldCollector-parity path.
+
+Reference: Katta's field-sorted search caps per-shard work at
+min(limit, maxDoc) because Lucene's TopFieldCollector reads sort values
+from the index (LuceneServer.java:672-677; typed sort fields
+WritableType.java:33-35). The sidecar replicates that: per-shard
+(doc → mapped value) blob buckets, kernels emit only their k best rows,
+and the global merge + display join touch ≤ k·shards rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.build import build_index
+from katta_spark.query import IndexHandle, search, search_sorted
+
+
+@pytest.fixture(scope="module")
+def dv_corpus(spark, tiny_transcripts):
+    """Transcripts + a float column and a nullable long column."""
+    return tiny_transcripts.withColumn(
+        "fval",
+        F.when(
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(7)) == 0, None
+        ).otherwise(
+            (F.xxhash64("conv_id", "turn_idx", F.lit(3)) % 1000) / 7.0
+        ),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def dvidx(spark, dv_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dv_idx"))
+    build_index(
+        spark, dv_corpus, d, num_shards=4,
+        docvalue_cols=("turn_idx", "ts", "fval"),
+    )
+    return d
+
+
+@pytest.mark.parametrize(
+    "specs",
+    [
+        [("turn_idx", "desc")],
+        [("turn_idx", "asc")],
+        [("ts", "asc"), ("turn_idx", "desc")],
+        [("fval", "asc")],   # nullable double: asc_nulls_first parity
+        [("fval", "desc")],  # desc_nulls_last parity
+    ],
+)
+def test_dv_fast_path_equals_join_path(spark, dvidx, dv_corpus, specs):
+    """The in-index sort cap must reproduce the source-join path exactly —
+    same docs, same order, same scores — including NULL placement
+    (Spark asc_nulls_first / desc_nulls_last) and float ordering."""
+    cols = [
+        F.col(n).asc() if d == "asc" else F.col(n).desc() for n, d in specs
+    ]
+    got = search_sorted(
+        spark, dvidx, "hotalpha hotbeta w00011", dv_corpus, specs, k=12
+    ).collect()
+    want = search_sorted(
+        spark, dvidx, "hotalpha hotbeta w00011", dv_corpus, cols, k=12
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got]),
+        np.array([r.score for r in want]),
+        rtol=1e-12,
+    )
+    for n, _ in specs:
+        assert [r[n] for r in got] == [r[n] for r in want]
+
+
+def test_dv_caps_per_shard_rows(spark, dvidx):
+    """≤ k·shards rows leave the kernels (the r3 path emitted EVERY
+    match); the cap must still lose nothing vs the full match set."""
+    k = 5
+    hits = search(
+        spark, dvidx, "hotalpha hotbeta", k=2**31 - 1, prune=False,
+        score_dtype="float64", ordered=False,
+        _dv_sort=([("turn_idx", "desc")], k),
+    )
+    n_capped = hits.count()
+    n_match = search(
+        spark, dvidx, "hotalpha hotbeta", k=2**31 - 1, ordered=False
+    ).count()
+    assert n_capped <= k * 4
+    assert n_match > n_capped  # the cap is actually doing work here
+
+
+def test_dv_match_only_mode(spark, dvidx, dv_corpus):
+    """track_scores=False runs the match-only kernel under the dv cap."""
+    got = search_sorted(
+        spark, dvidx, "merge hotbeta", dv_corpus, [("ts", "desc")],
+        k=6, track_scores=False,
+    )
+    assert "score" not in got.columns
+    want = search_sorted(
+        spark, dvidx, "merge hotbeta", dv_corpus, [F.col("ts").desc()],
+        k=6, track_scores=False,
+    )
+    assert [r.doc_id for r in got.collect()] == [
+        r.doc_id for r in want.collect()
+    ]
+
+
+def test_dv_missing_column_falls_back(spark, dvidx, dv_corpus):
+    """A sort column without a sidecar entry silently takes the join path
+    (same answer, just not capped)."""
+    got = search_sorted(
+        spark, dvidx, "hotalpha", dv_corpus, [("n_tokens_hint", "desc")]
+        if "n_tokens_hint" in dv_corpus.columns
+        else [("role", "asc"), ("turn_idx", "asc")],
+        k=5,
+    )
+    # 'role' is a string → unsupported by the sidecar → join path; result
+    # must still be correct vs explicit Columns
+    want = search_sorted(
+        spark, dvidx, "hotalpha", dv_corpus,
+        [F.col("role").asc(), F.col("turn_idx").asc()], k=5,
+    )
+    assert [r.doc_id for r in got.collect()] == [
+        r.doc_id for r in want.collect()
+    ]
+
+
+def test_dv_unsupported_type_refused_at_build(spark, tiny_transcripts, tmp_path):
+    with pytest.raises(ValueError, match="unsupported type"):
+        build_index(
+            spark, tiny_transcripts, str(tmp_path / "bad_dv"),
+            num_shards=2, docvalue_cols=("role",),  # string
+        )
+
+
+def test_dv_resume_param_guard(spark, tiny_transcripts, dvidx):
+    """Resuming with different docvalue_cols refuses like keyword_cols."""
+    with pytest.raises(ValueError, match="build parameters"):
+        build_index(
+            spark, tiny_transcripts, dvidx, num_shards=4,
+            docvalue_cols=("turn_idx",),
+        )
