@@ -113,6 +113,29 @@ def _split_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _SPLIT_CACHE[sf_dir]
 
 
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+def _compacted_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Compaction of the two split indexes (the optimize() analog,
+    IndexerJob.java:118-179): merged once per sf_dir from the postings
+    union, no retokenize."""
+    if sf_dir in _COMPACT_CACHE:
+        return _COMPACT_CACHE[sf_dir]
+    import katta_spark.compact as kc
+
+    a, b = _split_index_dirs(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}_merged")
+    if not os.path.exists(os.path.join(d, "corpus.parquet", "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        kc.compact(spark, [a, b], d)
+    _COMPACT_CACHE[sf_dir] = d
+    return d
+
+
 def _bm25(spark: SparkSession, sf_dir: str, q: str, k: int, mode: str = "or") -> DataFrame:
     hits = ksq.search(
         spark, _index_dir(spark, sf_dir), q, k=k, mode=mode, score_dtype="float64"
@@ -497,6 +520,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits.select("doc_id", F.round("score", 4).alias("score_r"))
 
     q["bm25_split_index"] = split_index
+
+    def compact_search(spark, sf):
+        """Delta compaction (optimize() analog): the two split indexes
+        merged into ONE index purely from the postings union — search over
+        it must equal the whole-corpus answer (and is score-identical to
+        search_multi over the parts, tested in tests/test_compact.py)."""
+        hits = ksq.search(
+            spark, _compacted_dir(spark, sf), "join hash", k=10,
+            score_dtype="float64",
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["compact_search"] = compact_search
 
     def sorted_search(spark, sf):
         """T2/T4: matches of a query ordered by a stored field (n_chars) —
@@ -938,6 +974,8 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
 
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
+    # …and so must their compaction (optimize() analog)
+    o["compact_search"] = o["bm25_top10"]
     # …and the whole-corpus totalHits (cross-index accumulation)
     o["bm25_total_multi"] = o["bm25_total"]
 

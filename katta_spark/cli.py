@@ -86,6 +86,14 @@ def main(argv: list[str] | None = None) -> int:
     p_check = sub.add_parser("check")
     p_check.add_argument("index_dir")
 
+    p_compact = sub.add_parser("compact")
+    p_compact.add_argument("out_dir")
+    p_compact.add_argument(
+        "index_dirs",
+        help="comma-separated input indexes [base,delta,...] to merge "
+        "(the optimize() analog, IndexerJob.java:118-179)",
+    )
+
     p_gen = sub.add_parser("generateIndex")
     p_gen.add_argument("index_dir")
     p_gen.add_argument("words_per_doc", type=int)
@@ -185,6 +193,12 @@ def main(argv: list[str] | None = None) -> int:
             from katta_spark.query import count_matches
 
             print(count_matches(spark, args.index_dir, args.query))
+        elif args.cmd == "compact":
+            from katta_spark.compact import compact
+
+            print(json.dumps(
+                compact(spark, args.index_dirs.split(","), args.out_dir)
+            ))
         elif args.cmd == "generateIndex":
             import time
 

@@ -1,0 +1,110 @@
+"""Delta-index compaction — the optimize() analog (IndexerJob.java:118-179).
+
+search(compacted) must be SCORE-IDENTICAL to search_multi([base, delta]):
+compaction derives the merged index purely from the postings union (no
+retokenize), and its global stats equal the combined stats the multi-index
+search computes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from katta_spark.build import build_index
+from katta_spark.compact import compact
+from katta_spark.query import count_matches, search, search_multi
+
+
+@pytest.fixture(scope="module")
+def base_delta(spark, tiny_transcripts, tmp_path_factory):
+    root = tmp_path_factory.mktemp("compact")
+    dirs = []
+    for parity in (0, 1):
+        d = str(root / f"part{parity}")
+        build_index(
+            spark,
+            tiny_transcripts.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+            ),
+            d,
+            num_shards=4,
+        )
+        dirs.append(d)
+    out = str(root / "merged")
+    summary = compact(spark, dirs, out)
+    return dirs, out, summary
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "hotalpha hotbeta",
+        "hotalpha -hotbeta",
+        "+w00011 hotalpha",
+        '"hotalpha hotbeta"~4 merge',
+        "(hotalpha AND hotbeta) OR w00011",
+    ],
+)
+def test_compacted_equals_multi(spark, base_delta, query):
+    dirs, out, _ = base_delta
+    got = search(spark, out, query, k=12, score_dtype="float64").collect()
+    want = search_multi(
+        spark, dirs, query, k=12, score_dtype="float64"
+    ).collect()
+    # shard ids differ (multi offsets them) — compare docs + scores
+    assert [r.doc_id for r in got] == [r.doc_id for r in want], query
+    assert [round(r.score, 9) for r in got] == [
+        round(r.score, 9) for r in want
+    ], query
+
+
+def test_compacted_counts_and_stats(spark, base_delta, tiny_transcripts):
+    dirs, out, summary = base_delta
+    assert summary["n_docs"] == tiny_transcripts.count()
+    assert count_matches(spark, out, "hotalpha hotbeta") == count_matches(
+        spark, dirs, "hotalpha hotbeta"
+    )
+    # merged term stats == stats of a from-scratch whole-corpus index:
+    # df/cf are pure sums, so compare against the union-of-inputs aggregate
+    import pandas as pd
+
+    a = (
+        spark.read.parquet(f"{dirs[0]}/stats.parquet")
+        .unionByName(spark.read.parquet(f"{dirs[1]}/stats.parquet"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .orderBy("term")
+        .toPandas()
+    )
+    b = (
+        spark.read.parquet(f"{out}/stats.parquet")
+        .select("term", "df", "cf")
+        .orderBy("term")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_compact_refuses_duplicate_docs(spark, base_delta, tmp_path):
+    dirs, _, _ = base_delta
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        compact(spark, [dirs[0], dirs[0]], str(tmp_path / "dup"))
+
+
+def test_compact_refuses_shape_mismatch(
+    spark, base_delta, tiny_transcripts, tmp_path
+):
+    dirs, _, _ = base_delta
+    other = str(tmp_path / "othershape")
+    build_index(
+        spark, tiny_transcripts.limit(50), other, num_shards=2
+    )
+    with pytest.raises(ValueError, match="must share"):
+        compact(spark, [dirs[0], other], str(tmp_path / "bad"))
+
+
+def test_compact_refuses_nonempty_out(spark, base_delta):
+    dirs, out, _ = base_delta
+    with pytest.raises(ValueError, match="not empty"):
+        compact(spark, dirs, out)
