@@ -472,6 +472,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_wildcard"] = bm25_wildcard
 
+    def bm25_wildcard_multi(spark, sf):
+        """Dictionary rewrites over a LIST of indexes (the r3 refusal
+        lifted): the wildcard expands against EACH index's dictionary
+        (Katta rewrites per shard, LuceneServer.java:602-624) and the
+        expansions union with combined stats — equal to the whole-corpus
+        single-index answer."""
+        a, b = _split_index_dirs(spark, sf)
+        hits = ksq.search_multi(
+            spark, [a, b], "sc* filter", k=10, score_dtype="float64"
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+
+    q["bm25_wildcard_multi"] = bm25_wildcard_multi
+
     def bm25_boost(spark, sf):
         """F2 boost clause (term^2): the boosted term's contribution is
         multiplied — identical to the additive duplicate-term weighting."""
@@ -1012,6 +1026,9 @@ scores AS (
 SELECT doc_id, round(s, 4) AS score_r FROM scores
 ORDER BY s DESC, doc_id ASC LIMIT 10
 """
+
+    # per-index wildcard rewrites union to the whole-corpus expansion
+    o["bm25_wildcard_multi"] = o["bm25_wildcard"]
 
     o["sorted_search"] = f"""
         SELECT doc_id, n_chars FROM (

@@ -1650,27 +1650,41 @@ def search_multi(
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
     # Boolean clause surface over the combined corpus: +MUST / -MUST_NOT,
     # phrases (in-index positional verify — no per-index source needed)
-    # and AND/OR/NOT grouping parse exactly as in search(); the dictionary
-    # rewrites (wildcard/fuzzy/range) would need a combined dictionary and
-    # are refused explicitly rather than silently mis-tokenized.
+    # and AND/OR/NOT grouping parse exactly as in search(). Dictionary
+    # rewrites (wildcard/fuzzy/range) expand PER INDEX — exactly Katta's
+    # model, where Lucene rewrites the query against each shard's own
+    # dictionary (LuceneServer.java:602-624) — and the expansions union
+    # with combined stats, so results equal one merged index.
     unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
     has_phrase = unquoted != query
+    tree = None
+    must: set[str] = set()
+    must_not: set[str] = set()
+    phrases: list[tuple[list[str], int]] = []
     if (
         "*" in unquoted
         or "~" in unquoted
         or "?" in unquoted
         or _RANGE_RE.search(unquoted)
     ):
-        raise ValueError(
-            "wildcard/fuzzy/range rewrites are single-index only (they "
-            "expand against one index's dictionary) — search each index "
-            "separately"
-        )
-    tree = None
-    must: set[str] = set()
-    must_not: set[str] = set()
-    phrases: list[tuple[list[str], int]] = []
-    if _TREE_RE.search(unquoted):
+        if _TREE_RE.search(unquoted):
+            raise ValueError(
+                "wildcard/fuzzy/range clauses cannot be combined with "
+                "AND/OR/NOT grouping"
+            )
+        if has_phrase:
+            raise ValueError(
+                "phrases cannot be combined with wildcard/fuzzy/range "
+                "clauses"
+            )
+        # a term expanded by several indexes' dictionaries scores ONCE at
+        # its clause boost (each shard scores its own rewrite in Katta —
+        # summing across indexes would double-weight shared terms)
+        qweights = {}
+        for h in handles:
+            for t, w in expand_ranges(spark, h, query).items():
+                qweights[t] = max(qweights.get(t, 0.0), w)
+    elif _TREE_RE.search(unquoted):
         if has_phrase:
             raise ValueError(
                 "phrases cannot be combined with AND/OR/NOT grouping"

@@ -262,13 +262,25 @@ def test_multi_index_sorted_search(spark, split_indexes, tiny_transcripts):
     ]
 
 
-def test_multi_index_refuses_rewrites(spark, split_indexes):
+def test_multi_index_dictionary_rewrites(spark, split_indexes):
+    """Wildcard/fuzzy/range rewrites over a LIST of indexes: expanded per
+    index (Katta rewrites per shard, LuceneServer.java:602-624), unioned
+    with combined stats — results equal the whole-corpus single index."""
     from katta_spark.query import search_multi
 
-    _, a, b = split_indexes
-    for q in ("hot*", "merg~1", "w00?11", "[a TO b]"):
-        with pytest.raises(ValueError, match="single-index only"):
-            search_multi(spark, [a, b], q, k=5)
+    whole, a, b = split_indexes
+    for q in ("hot* w00011", "merg~1", "w00?11", "[hota TO hotz] merge"):
+        got = search_multi(
+            spark, [a, b], q, k=10, score_dtype="float64"
+        ).collect()
+        want = search(spark, whole, q, k=10, score_dtype="float64").collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], q
+        assert [round(r.score, 9) for r in got] == [
+            round(r.score, 9) for r in want
+        ], q
+    # grouping x rewrite stays refused, like single-index
+    with pytest.raises(ValueError, match="cannot be combined"):
+        search_multi(spark, [a, b], "(hot* AND merge)", k=5)
 
 
 def test_multi_index_phrase(spark, split_indexes):
