@@ -437,11 +437,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Batch query execution: MANY queries in ONE Spark job (the
         LuceneSearchPerformanceTest throughput shape) — one postings scan
         pruned to the union of terms, per-shard kernel scores every query,
-        one tiny per-query window merge."""
+        one tiny per-query window merge. The batch mixes flat, boolean
+        (+MUST/-MUST_NOT) and grouped AND/OR/NOT queries — operators
+        amortize too (r3 was flat-only)."""
         out = ksq.search_batch(
             spark, _index_dir(spark, sf),
-            ["join hash", "merge batch", "customer order"], k=5,
-            score_dtype="float64",
+            ["join hash", "merge batch", "customer order",
+             "+join -scan merge", "(join AND hash) OR merge NOT scan"],
+            k=5, score_dtype="float64",
         )
         return out.select(
             "query_id", "doc_id", F.round("score", 4).alias("score_r")
@@ -933,7 +936,8 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
 
     # grouped boolean: (join AND hash) OR merge NOT scan — per-doc term
     # contributions pivoted, match + BooleanQuery path-sum in SQL
-    o["bm25_tree"] = f"""
+    def _tree_sql(k: int) -> str:
+        return f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
 ),
@@ -971,19 +975,30 @@ scored AS (
   FROM piv
 )
 SELECT doc_id, round(s, 4) AS score_r FROM scored WHERE m
-ORDER BY s DESC, doc_id ASC LIMIT 10
+ORDER BY s DESC, doc_id ASC LIMIT {k}
 """
 
-    # batch execution: per-query SQL answers stitched with their query_id
+    o["bm25_tree"] = _tree_sql(10)
+
+    # batch execution: per-query SQL answers stitched with their query_id —
+    # flat queries, a +MUST/-MUST_NOT query, and an AND/OR/NOT tree
+    _batch_parts = [
+        _bm25_sql([("join", 1.0), ("hash", 1.0)], 5),
+        _bm25_sql([("merge", 1.0), ("batch", 1.0)], 5),
+        _bm25_sql([("customer", 1.0), ("order", 1.0)], 5),
+        _bm25_sql(
+            [("join", 1.0), ("merge", 1.0)], 5,
+            filter_clause=(
+                "WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'join')"
+                " AND doc_id NOT IN "
+                "(SELECT doc_id FROM tok WHERE term = 'scan')"
+            ),
+        ),
+        _tree_sql(5),
+    ]
     o["bm25_batch"] = " UNION ALL ".join(
-        f"SELECT {qi} AS query_id, * FROM ({_bm25_sql(terms, 5)})"
-        for qi, terms in enumerate(
-            [
-                [("join", 1.0), ("hash", 1.0)],
-                [("merge", 1.0), ("batch", 1.0)],
-                [("customer", 1.0), ("order", 1.0)],
-            ]
-        )
+        f"SELECT {qi} AS query_id, * FROM ({sql})"
+        for qi, sql in enumerate(_batch_parts)
     )
 
     # compliance: split indexes must reproduce the whole-corpus ranking

@@ -763,62 +763,10 @@ def _make_tree_kernel(
             contrib = idf * scoring.tf_norm_np(t, l, avgdl)
             per_term[row.term] = (d, contrib)
 
-        pos_terms, _ = tree_terms(tree)
-        pos_arrays = [
-            per_term[t][0] for t in sorted(pos_terms) if t in per_term
-        ]
-        if not pos_arrays:
+        docs, s64, total = _eval_tree_scores(tree, per_term)
+        if docs is None:
             return _empty_hits(score_dtype, with_total)
-        universe = np.unique(np.concatenate(pos_arrays))
-        n = universe.size
-
-        def leaf(t: str, boost: float) -> tuple[np.ndarray, np.ndarray]:
-            m = np.zeros(n, dtype=bool)
-            s = np.zeros(n, dtype=np.float64)
-            if t in per_term:
-                d, c = per_term[t]
-                ix = np.searchsorted(universe, d)
-                ok = (ix < n) & (universe[np.minimum(ix, n - 1)] == d)
-                m[ix[ok]] = True
-                s[ix[ok]] = boost * c[ok]
-            return m, s
-
-        def ev(node) -> tuple[np.ndarray, np.ndarray]:
-            # Lucene occur-flag semantics: a NOT child is a MUST_NOT
-            # clause of its ENCLOSING boolean — 'a NOT b' and 'a OR NOT b'
-            # both mean (a) AND NOT (b); a level with only NOT children
-            # matches nothing (pure-negative query).
-            kind = node[0]
-            if kind == "term":
-                return leaf(node[1], node[2])
-            if kind == "not":
-                # bare top-level NOT (or nested not-of-not): pure negative
-                return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
-            pos_parts, neg_ms = [], []
-            for ch in node[1]:
-                if ch[0] == "not":
-                    neg_ms.append(ev(ch[1])[0])
-                else:
-                    pos_parts.append(ev(ch))
-            if not pos_parts:
-                return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
-            ms = [p[0] for p in pos_parts]
-            s = np.zeros(n, dtype=np.float64)
-            for mi, si in pos_parts:
-                s += np.where(mi, si, 0.0)
-            m = (
-                np.logical_and.reduce(ms)
-                if kind == "and"
-                else np.logical_or.reduce(ms)
-            )
-            for nm in neg_ms:
-                m = m & ~nm
-            return m, s
-
-        m, s = ev(tree)
-        docs = universe[m]
-        sc = s[m].astype(score_dtype)
-        total = int(m.sum())
+        sc = s64.astype(score_dtype)
         if docs.size > k:
             order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
             docs, sc = docs[order], sc[order]
@@ -834,6 +782,68 @@ def _make_tree_kernel(
         return out
 
     return kernel
+
+
+def _eval_tree_scores(
+    tree: tuple, per_term: dict
+) -> "tuple[np.ndarray | None, np.ndarray | None, int]":
+    """Evaluate a parse_tree_query tree over decoded postings.
+
+    ``per_term``: term → (sorted docIDs, UNWEIGHTED BM25 contributions).
+    Returns (matched docs sorted, float64 scores, total matches) or
+    (None, None, 0) when no positive term has postings. Scoring is
+    BooleanQuery's path-sum: a node's score sums the scores of its
+    MATCHING children only; Lucene occur-flag NOT semantics ('a NOT b' ≡
+    'a OR NOT b' ≡ (a) AND NOT (b); a level with only NOT children
+    matches nothing)."""
+    pos_terms, _ = tree_terms(tree)
+    pos_arrays = [per_term[t][0] for t in sorted(pos_terms) if t in per_term]
+    if not pos_arrays:
+        return None, None, 0
+    universe = np.unique(np.concatenate(pos_arrays))
+    n = universe.size
+
+    def leaf(t: str, boost: float) -> tuple[np.ndarray, np.ndarray]:
+        m = np.zeros(n, dtype=bool)
+        s = np.zeros(n, dtype=np.float64)
+        if t in per_term:
+            d, c = per_term[t]
+            ix = np.searchsorted(universe, d)
+            ok = (ix < n) & (universe[np.minimum(ix, n - 1)] == d)
+            m[ix[ok]] = True
+            s[ix[ok]] = boost * c[ok]
+        return m, s
+
+    def ev(node) -> tuple[np.ndarray, np.ndarray]:
+        kind = node[0]
+        if kind == "term":
+            return leaf(node[1], node[2])
+        if kind == "not":
+            # bare top-level NOT (or nested not-of-not): pure negative
+            return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
+        pos_parts, neg_ms = [], []
+        for ch in node[1]:
+            if ch[0] == "not":
+                neg_ms.append(ev(ch[1])[0])
+            else:
+                pos_parts.append(ev(ch))
+        if not pos_parts:
+            return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
+        ms = [p[0] for p in pos_parts]
+        s = np.zeros(n, dtype=np.float64)
+        for mi, si in pos_parts:
+            s += np.where(mi, si, 0.0)
+        m = (
+            np.logical_and.reduce(ms)
+            if kind == "and"
+            else np.logical_or.reduce(ms)
+        )
+        for nm in neg_ms:
+            m = m & ~nm
+        return m, s
+
+    m, s = ev(tree)
+    return universe[m], s[m], int(m.sum())
 
 
 def _make_score_kernel(
@@ -1990,8 +2000,13 @@ def search_batch(
     Plan: ONE postings scan pruned to the UNION of all queries' terms →
     per-shard kernel decodes each distinct term once and scores every
     query against it → ≤ |queries|·k rows per shard → one tiny window
-    per query_id for the global merge. Flat term queries only (the
-    boolean/phrase/rewrite surfaces stay per-query in search())."""
+    per query_id for the global merge.
+
+    Query surface: flat terms, ``+``/``-`` boolean clauses, AND/OR/NOT
+    grouping, and the dictionary rewrites (wildcard/fuzzy/range — each
+    expanded once driver-side, then batched like flat terms). Phrases are
+    refused with a clear error (their positional verify stays per-query
+    in :func:`search`) — nothing is silently mis-parsed."""
     from pyspark.sql import Window
 
     if isinstance(index, str):
@@ -1999,8 +2014,47 @@ def search_batch(
     index._record_query()
     sql_t = "float" if score_dtype == "float32" else "double"
     out_schema = f"query_id int, shard_id int, doc_id long, score {sql_t}"
-    parsed = [parse_query(q, index.keyword_fields) for q in queries]
-    all_terms = sorted({t for qw in parsed for t in qw})
+    # Per-query plan: ("flat", qweights, must, must_not) | ("tree", tree).
+    # Routing mirrors search() exactly (same guards, same rewrite paths).
+    plans: list[tuple] = []
+    for qstr in queries:
+        unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", qstr)
+        if unquoted != qstr:
+            raise ValueError(
+                "search_batch does not support phrase queries "
+                f"({qstr!r}) — run them individually through search()"
+            )
+        if (
+            "*" in qstr
+            or "~" in qstr
+            or "?" in qstr
+            or _RANGE_RE.search(qstr)
+        ):
+            if _TREE_RE.search(qstr):
+                raise ValueError(
+                    "wildcard/fuzzy/range clauses cannot be combined with "
+                    "AND/OR/NOT grouping"
+                )
+            plans.append(
+                ("flat", expand_ranges(spark, index, qstr), frozenset(),
+                 frozenset())
+            )
+        elif _TREE_RE.search(qstr):
+            tree, _ = parse_tree_query(qstr, index.keyword_fields)
+            plans.append(("tree", tree))
+        else:
+            qw, must, must_not, _ph = parse_bool_query(
+                qstr, index.keyword_fields
+            )
+            plans.append(("flat", qw, frozenset(must), frozenset(must_not)))
+
+    def _plan_terms(plan) -> set:
+        if plan[0] == "tree":
+            pos_s, neg_s = tree_terms(plan[1])
+            return pos_s | neg_s
+        return set(plan[1]) | set(plan[3])
+
+    all_terms = sorted({t for plan in plans for t in _plan_terms(plan)})
     if not all_terms or k <= 0:
         return spark.createDataFrame([], out_schema)
     hashes = sorted(term_hash(t) for t in all_terms)
@@ -2052,18 +2106,34 @@ def search_batch(
                 idf * scoring.tf_norm_np(t, l, avgdl),
             )
         out_q, out_d, out_s = [], [], []
-        for qi, qw in enumerate(parsed):
-            present = [t for t in qw if t in decoded]
-            if not present:
-                continue
-            docs_cat = np.concatenate([decoded[t][0] for t in present])
-            contribs = np.concatenate(
-                [qw[t] * decoded[t][1] for t in present]
-            )
-            docs_u, inv = np.unique(docs_cat, return_inverse=True)
-            scores = np.zeros(docs_u.size, dtype=np.float64)
-            np.add.at(scores, inv, contribs)
-            sc = scores.astype(score_dtype)
+        for qi, plan in enumerate(plans):
+            if plan[0] == "tree":
+                docs_u, s64, _ = _eval_tree_scores(plan[1], decoded)
+                if docs_u is None or docs_u.size == 0:
+                    continue
+                sc = s64.astype(score_dtype)
+            else:
+                _, qw, must, must_not = plan
+                present = [t for t in qw if t in decoded]
+                if not present or any(t not in decoded for t in must):
+                    continue
+                docs_cat = np.concatenate([decoded[t][0] for t in present])
+                contribs = np.concatenate(
+                    [qw[t] * decoded[t][1] for t in present]
+                )
+                docs_u, inv = np.unique(docs_cat, return_inverse=True)
+                scores = np.zeros(docs_u.size, dtype=np.float64)
+                np.add.at(scores, inv, contribs)
+                keep = np.ones(docs_u.size, dtype=bool)
+                for t in must:
+                    keep &= np.isin(docs_u, decoded[t][0])
+                for t in must_not:
+                    if t in decoded:
+                        keep &= ~np.isin(docs_u, decoded[t][0])
+                docs_u, scores = docs_u[keep], scores[keep]
+                if docs_u.size == 0:
+                    continue
+                sc = scores.astype(score_dtype)
             if docs_u.size > k:
                 order = np.lexsort((docs_u, -sc.astype(np.float64)))[:k]
                 docs_u, sc = docs_u[order], sc[order]

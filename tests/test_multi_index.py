@@ -225,8 +225,14 @@ def test_search_batch_matches_per_query(spark, split_indexes, tiny_transcripts):
     from katta_spark.query import search, search_batch
 
     whole_idx, _, _ = split_indexes
+    # flat, duplicate-term, absent, boolean +/-, AND/OR/NOT tree, and
+    # dictionary-rewrite queries all amortize into the ONE batch job
     queries = ["hotalpha", "hotalpha hotbeta", "w00011 w00013", "zzzqqq",
-               "hotalpha hotalpha w00015"]
+               "hotalpha hotalpha w00015",
+               "+hotalpha -hotbeta w00011",
+               "(hotalpha AND hotbeta) OR w00011 NOT hotgamma",
+               "w0001* merge",
+               "merg~1"]
     batch = search_batch(spark, whole_idx, queries, k=7,
                          score_dtype="float64").collect()
     by_q = {}
@@ -241,6 +247,16 @@ def test_search_batch_matches_per_query(spark, split_indexes, tiny_transcripts):
             np.array([r.score for r in want]),
             rtol=1e-9,
         )
+
+
+def test_search_batch_refuses_phrases(spark, split_indexes):
+    """ADVICE r3: phrase syntax in a batch must error, never silently
+    mis-parse into an OR of tokens."""
+    from katta_spark.query import search_batch
+
+    whole_idx, _, _ = split_indexes
+    with pytest.raises(ValueError, match="phrase"):
+        search_batch(spark, whole_idx, ["hotalpha", '"a b"'], k=5)
 
 
 def test_multi_index_sorted_search(spark, split_indexes, tiny_transcripts):
