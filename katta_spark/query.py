@@ -724,6 +724,24 @@ def _empty_hits(score_dtype: str, with_total: bool = False) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+def _tree_has_not(node: tuple) -> bool:
+    if node[0] == "term":
+        return False
+    if node[0] == "not":
+        return True
+    return any(_tree_has_not(c) for c in node[1])
+
+
+def _tree_leaves(node: tuple) -> list[tuple[str, float]]:
+    if node[0] == "term":
+        return [(node[1], node[2])]
+    kids = [node[1]] if node[0] == "not" else node[1]
+    out: list[tuple[str, float]] = []
+    for c in kids:
+        out.extend(_tree_leaves(c))
+    return out
+
+
 def _make_tree_kernel(
     tree: tuple,
     qweights: dict[str, float],
@@ -732,17 +750,34 @@ def _make_tree_kernel(
     k: int,
     score_dtype: str = "float32",
     with_total: bool = False,
+    prune: bool = True,
+    stats: dict | None = None,
 ):
     """Per-shard kernel for grouped boolean queries (parse_tree_query).
 
-    Decodes each query term's postings once, aligns membership + BM25
-    contribution vectors over the shard's candidate universe (union of
-    positive-leaf postings — a doc outside it can never match: pure-
-    negative trees match nothing, Lucene semantics), then evaluates the
-    tree bottom-up with numpy boolean algebra. Scoring is BooleanQuery's:
-    a node's score sums the scores of its MATCHING children only — a
-    failed AND group contributes nothing even when one of its terms is
-    present. No block pruning (bounds don't compose through NOT)."""
+    Scoring is BooleanQuery's path-sum: a node's score sums the scores of
+    its MATCHING children only — a failed AND group contributes nothing
+    even when one of its terms is present.
+
+    NOT-free trees take the PRUNED path: the tree is viewed as an OR of
+    top-level children; children are evaluated in descending impact-bound
+    order (bound = Σ leaf boost × idf × tf_norm(max_tf, min_dl)), every
+    accumulated doc is known to MATCH (it entered via a matching child),
+    so θ = kth best accumulated score is a valid lower bound, and a child
+    whose bound + suffix cannot reach θ is evaluated RESTRICTED to the
+    accumulated docs — decoding only the postings blocks that contain
+    them (skip pointers). Because bounds are sorted descending, once one
+    child is restricted every later child is too, so no doc is ever
+    introduced after a restricted evaluation — scores stay exact (the
+    same argument as the flat MaxScore kernel; fuzz-tested pruned ==
+    unpruned). Inside AND groups the intersection narrows with skip-
+    pointer block decoding as in the conjunctive kernel.
+
+    Trees containing NOT (bounds don't compose through negation),
+    with_total (exact counts must visit every match), and filtered
+    searches fall back to the full-decode path (_eval_tree_scores).
+
+    ``stats`` (tests): counts blocks_decoded / blocks_total."""
 
     def kernel(
         pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
@@ -751,22 +786,47 @@ def _make_tree_kernel(
             return _empty_hits(score_dtype, with_total)
         shard_id = int(pdf["shard_id"].iloc[0])
         idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
-        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for row, idf in zip(pdf.itertuples(index=False), idf_col):
-            d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
-            if filter_docs is not None:
-                keep = np.isin(d, filter_docs)
-                d, t, l = d[keep], t[keep], l[keep]
-            # UNWEIGHTED base contribution: each leaf multiplies by its
-            # own boost, so duplicate leaves sum to boost x occurrences
-            # (not (Σboost)² as a global additive weight would)
-            contrib = idf * scoring.tf_norm_np(t, l, avgdl)
-            per_term[row.term] = (d, contrib)
+        rows_map = {
+            row.term: (row, idf)
+            for row, idf in zip(pdf.itertuples(index=False), idf_col)
+        }
+        use_prune = (
+            prune
+            and not with_total
+            and not _tree_has_not(tree)
+            and filter_docs is None
+            and k > 0
+        )
 
-        docs, s64, total = _eval_tree_scores(tree, per_term)
-        if docs is None:
-            return _empty_hits(score_dtype, with_total)
-        sc = s64.astype(score_dtype)
+        def _count(decoded: int, total_b: int) -> None:
+            if stats is not None:
+                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + decoded
+                stats["blocks_total"] = stats.get("blocks_total", 0) + total_b
+
+        if not use_prune:
+            per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for term, (row, idf) in rows_map.items():
+                d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
+                nb = read_skips(row.skips).shape[0]
+                _count(nb, nb)
+                if filter_docs is not None:
+                    keep = np.isin(d, filter_docs)
+                    d, t, l = d[keep], t[keep], l[keep]
+                # UNWEIGHTED base contribution: each leaf multiplies by its
+                # own boost, so duplicate leaves sum to boost x occurrences
+                # (not (Σboost)² as a global additive weight would)
+                per_term[term] = (d, idf * scoring.tf_norm_np(t, l, avgdl))
+            docs, s64, total = _eval_tree_scores(tree, per_term)
+            if docs is None:
+                return _empty_hits(score_dtype, with_total)
+            sc = s64.astype(score_dtype)
+        else:
+            docs, sc, total = _pruned_tree_topk(
+                tree, rows_map, avgdl, k, _count
+            )
+            if docs is None:
+                return _empty_hits(score_dtype, with_total)
+            sc = sc.astype(score_dtype)
         if docs.size > k:
             order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
             docs, sc = docs[order], sc[order]
@@ -782,6 +842,148 @@ def _make_tree_kernel(
         return out
 
     return kernel
+
+
+def _pruned_tree_topk(
+    tree: tuple, rows_map: dict, avgdl: float, k: int, count
+):
+    """MaxScore-style evaluation of a NOT-free tree (see _make_tree_kernel
+    docstring for the soundness argument). Returns (docs, scores, total)
+    over every doc that matched a fully-evaluated child — a superset of
+    the exact top-k, each with its EXACT score."""
+    MARGIN = 1.0 + 1e-9
+    children = list(tree[1]) if tree[0] == "or" else [tree]
+
+    def leaf_impact(t: str, boost: float) -> float:
+        if t not in rows_map:
+            return 0.0
+        row, idf = rows_map[t]
+        return boost * idf * float(
+            scoring.tf_norm_np(
+                np.array([row.max_tf]), np.array([row.min_dl]), avgdl
+            )[0]
+        )
+
+    bounds = [
+        sum(leaf_impact(t, b) for t, b in _tree_leaves(ch))
+        for ch in children
+    ]
+    order = np.argsort(bounds)[::-1]
+    children = [children[i] for i in order]
+    bounds = [bounds[i] for i in order]
+    suffix = np.concatenate([np.cumsum(bounds[::-1])[::-1][1:], [0.0]])
+
+    # Per-kernel decode cache: a term appearing as several leaves (or
+    # re-evaluated under different AND restricts) decodes at most its
+    # total block count — the second request upgrades to a cached full
+    # decode, and the block charge per term is capped at nblocks, so the
+    # pruned path NEVER decodes more than the full path.
+    full_cache: dict[str, tuple] = {}
+    charged: dict[str, int] = {}
+    requested: set[str] = set()
+
+    def _term_decode(t: str, restrict: np.ndarray | None):
+        row, idf = rows_map[t]
+        skips = read_skips(row.skips)
+        nb = skips.shape[0]
+        if t not in requested:
+            requested.add(t)
+            count(0, nb)
+
+        def _charge(n: int) -> None:
+            prev = charged.get(t, 0)
+            add = max(0, min(n, nb - prev))
+            charged[t] = prev + add
+            count(add, 0)
+
+        if t in full_cache:
+            return full_cache[t] + (idf,)
+        if restrict is None or nb <= 1 or charged.get(t, 0):
+            d, tf, dl = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
+            full_cache[t] = (d, tf, dl)
+            _charge(nb)
+            return d, tf, dl, idf
+        firsts = skips["first_doc"]
+        idx = np.searchsorted(
+            firsts, i64_to_u64_order(restrict), side="right"
+        ) - 1
+        need = np.unique(np.clip(idx, 0, nb - 1))
+        d, tf, dl = decode_blocks(
+            row.doc_ids, row.tfs, row.doclens, row.skips, need, int(row.df)
+        )
+        _charge(need.size)
+        return d, tf, dl, idf
+
+    def ev(node, restrict: np.ndarray | None):
+        """Exact (docs, scores) of the subtree; if ``restrict`` is given,
+        exact over restrict's docs only (both sorted)."""
+        kind = node[0]
+        if kind == "term":
+            t, boost = node[1], node[2]
+            if t not in rows_map:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            d, tf, dl, idf = _term_decode(t, restrict)
+            if restrict is not None:
+                keep = np.isin(d, restrict)
+                d, tf, dl = d[keep], tf[keep], dl[keep]
+            return d, boost * idf * scoring.tf_norm_np(tf, dl, avgdl)
+        if kind == "and":
+            docs, scores = ev(node[1][0], restrict)
+            for ch in node[1][1:]:
+                if docs.size == 0:
+                    return docs, scores
+                d2, s2 = ev(ch, docs)  # d2 ⊆ docs, sorted
+                pos = np.searchsorted(docs, d2)
+                scores = scores[pos] + s2
+                docs = d2
+            return docs, scores
+        # or: union-merge summing matching children's scores
+        parts = [ev(ch, restrict) for ch in node[1]]
+        parts = [(d, s) for d, s in parts if d.size]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(parts) == 1:
+            return parts[0]
+        docs_cat = np.concatenate([d for d, _ in parts])
+        s_cat = np.concatenate([s for _, s in parts])
+        docs_u, inv = np.unique(docs_cat, return_inverse=True)
+        scores = np.zeros(docs_u.size, dtype=np.float64)
+        np.add.at(scores, inv, s_cat)
+        return docs_u, scores
+
+    acc_docs: np.ndarray | None = None
+    acc_scores: np.ndarray | None = None
+    theta = -np.inf
+    for i, child in enumerate(children):
+        restrict = None
+        if (
+            acc_docs is not None
+            and acc_docs.size >= k
+            and (bounds[i] + suffix[i]) * MARGIN < theta
+        ):
+            restrict = acc_docs
+        d, s = ev(child, restrict)
+        if d.size == 0:
+            continue
+        if acc_docs is None:
+            acc_docs, acc_scores = d, np.asarray(s, dtype=np.float64)
+        else:
+            pos_in = np.searchsorted(acc_docs, d)
+            pos_c = np.minimum(pos_in, max(acc_docs.size - 1, 0))
+            hit = acc_docs[pos_c] == d
+            acc_scores[pos_c[hit]] += s[hit]
+            if not hit.all():
+                new_d, new_s = d[~hit], s[~hit]
+                ins = np.searchsorted(acc_docs, new_d)
+                acc_docs = np.insert(acc_docs, ins, new_d)
+                acc_scores = np.insert(acc_scores, ins, new_s)
+        if acc_docs.size >= k:
+            theta = np.partition(acc_scores, acc_scores.size - k)[
+                acc_scores.size - k
+            ]
+    if acc_docs is None or acc_docs.size == 0:
+        return None, None, 0
+    return acc_docs, acc_scores, int(acc_docs.size)
 
 
 def _eval_tree_scores(
@@ -1459,7 +1661,8 @@ def search(
 
     if tree is not None:
         kernel = _make_tree_kernel(
-            tree, qweights, n_docs, avgdl, k, score_dtype, _with_total
+            tree, qweights, n_docs, avgdl, k, score_dtype, _with_total,
+            prune=prune,
         )
     elif boolean:
         kernel = _make_score_kernel(

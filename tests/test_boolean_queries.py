@@ -616,3 +616,87 @@ def test_tree_query_fuzz(spark, bidx, docs):
         ], q
         n_nonempty += 1 if brute else 0
     assert n_nonempty >= 5  # the fuzz actually exercised matching trees
+
+
+def test_tree_prune_equals_noprune_fuzz(spark, bidx, docs):
+    """NOT-free trees admit the flat-OR MaxScore/suffix bound (r3 verdict
+    task 7): the pruned tree path must return EXACTLY the unpruned
+    results on random NOT-free trees, and the block counter must show
+    real skips. Kernels are exercised directly on the per-shard pandas
+    groups (they are pure functions of their input)."""
+    import random
+
+    from katta_spark.query import (
+        IndexHandle,
+        _make_tree_kernel,
+        parse_tree_query,
+    )
+
+    rng = random.Random(20260818)
+    TERMS = ["hotalpha", "hotbeta", "hotgamma", "w00011", "w00012",
+             "w00015", "merge"]
+
+    def gen(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.4:
+            t = rng.choice(TERMS)
+            boost = rng.choice([1.0, 1.0, 2.0, 0.5])
+            return f"{t}" if boost == 1.0 else f"{t}^{boost:g}"
+        kind = rng.choice([" AND ", " OR "])
+        kids = [gen(depth + 1) for _ in range(rng.randint(2, 3))]
+        return "(" + kind.join(kids) + ")"
+
+    ix = IndexHandle.open(spark, bidx)
+    from katta_spark.xxhash import term_hash
+
+    hashes = [term_hash(t) for t in TERMS]
+    pdf_all = (
+        ix.postings(spark)
+        .where(F.col("th").isin(hashes))
+        .join(
+            ix.stats(spark)
+            .where(F.col("th").isin(hashes))
+            .select("th", "term", F.col("df").alias("df_g")),
+            "th",
+        )
+        .toPandas()
+    )
+    n_docs, avgdl = float(ix.n_docs), ix.avgdl
+    total_skipped = 0
+    for trial in range(15):
+        q = gen(0)
+        tree, qw = parse_tree_query(q, ())
+        s_p: dict = {}
+        s_f: dict = {}
+        kp = _make_tree_kernel(tree, qw, n_docs, avgdl, 5, "float64",
+                               prune=True, stats=s_p)
+        kf = _make_tree_kernel(tree, qw, n_docs, avgdl, 5, "float64",
+                               prune=False, stats=s_f)
+        for _, grp in pdf_all.groupby("shard_id"):
+            a = kp(grp.reset_index(drop=True))
+            b = kf(grp.reset_index(drop=True))
+            assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+            np.testing.assert_allclose(
+                a["score"].to_numpy(np.float64),
+                b["score"].to_numpy(np.float64),
+                rtol=1e-12, err_msg=q,
+            )
+        assert s_p.get("blocks_decoded", 0) <= s_f.get("blocks_decoded", 0)
+        total_skipped += s_f.get("blocks_decoded", 0) - s_p.get(
+            "blocks_decoded", 0
+        )
+    assert total_skipped > 0, "pruning never skipped a block across 15 trees"
+
+
+def test_tree_prune_end_to_end(spark, bidx, docs):
+    """Pruned trees through the full search() path still match the
+    brute-force oracle (and the NOT fallback still works)."""
+    for q in ("(hotalpha AND hotbeta) OR merge",
+              "hotalpha OR (w00011 AND w00012) OR hotgamma",
+              "(hotalpha OR hotbeta) AND merge"):
+        got = search(spark, bidx, q, k=10, score_dtype="float64").collect()
+        want = search(spark, bidx, q, k=10, score_dtype="float64",
+                      prune=False).collect()
+        assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+            (r.doc_id, round(r.score, 9)) for r in want
+        ], q
