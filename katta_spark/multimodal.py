@@ -84,14 +84,33 @@ def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                px = _decode_stub(bytes(payload), int(w), int(h))
-                # fake embedding: histogram of the fake pixels (deterministic)
-                hist, _ = np.histogram(px, bins=feat_dim, range=(0, 256))
-                feats.append((hist / max(1, px.size)).astype(np.float32))
+            if not len(pdf):
+                continue
+            # the ONLY per-row step is the decode itself (the stand-in for
+            # the vendored library call); all feature math is one
+            # vectorized pass over the whole batch (segment bincount)
+            pixels = [
+                _decode_stub(bytes(p), int(w), int(h))
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            n = len(pixels)
+            sizes = np.array([p.size for p in pixels], dtype=np.int64)
+            flat = np.concatenate([p.ravel() for p in pixels])
+            seg = np.repeat(np.arange(n), sizes)
+            # same binning as np.histogram(range=(0,256), bins=feat_dim)
+            # for uint8 inputs: bin = v * feat_dim // 256
+            bins = flat.astype(np.int64) * feat_dim // 256
+            hist = np.bincount(
+                seg * feat_dim + bins, minlength=n * feat_dim
+            ).reshape(n, feat_dim)
+            feats = (
+                hist / np.maximum(sizes, 1)[:, None]
+            ).astype(np.float32)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "features": [f.tolist() for f in feats]}
+                {
+                    "media_id": pdf["media_id"],
+                    "features": [f.tolist() for f in feats],
+                }
             )
 
     return media.select("media_id", "payload", "width", "height").mapInPandas(
@@ -106,25 +125,39 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, tss, payloads = [], [], [], []
-            for mid, payload, dur in zip(
-                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
-            ):
-                n_frames = max(1, int(dur) // every_ms)
-                for i in range(n_frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    tss.append(i * every_ms)
-                    # STUB: real impl decodes the frame; fake = payload hash + idx
-                    payloads.append(
-                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "little")).digest()
-                    )
+            if not len(pdf):
+                continue
+            # the explode arithmetic is pure integers — one np.repeat /
+            # arange pass for the whole batch, no per-frame Python loop
+            dur = pdf["duration_ms"].to_numpy(np.int64)
+            n_frames = np.maximum(1, dur // every_ms)
+            total = int(n_frames.sum())
+            row_of = np.repeat(np.arange(len(pdf)), n_frames)
+            idxs = np.arange(total) - np.repeat(
+                np.cumsum(n_frames) - n_frames, n_frames
+            )
+            # STUB frame decode: ONE digest per input media row (the
+            # open-the-container stand-in), per-frame payload derived
+            # vectorized as digest ⊕ frame_idx bytes
+            digests = np.frombuffer(
+                b"".join(
+                    hashlib.sha256(bytes(p)).digest() for p in pdf["payload"]
+                ),
+                dtype=np.uint8,
+            ).reshape(len(pdf), 32)
+            frames = digests[row_of].copy()
+            frames[:, :4] ^= (
+                idxs.astype("<u4").view(np.uint8).reshape(total, 4)
+            )
+            fb = frames.tobytes()
             yield pd.DataFrame(
                 {
-                    "media_id": ids,
-                    "frame_idx": idxs,
-                    "frame_ts_ms": tss,
-                    "frame_payload": payloads,
+                    "media_id": pdf["media_id"].to_numpy(np.int64)[row_of],
+                    "frame_idx": idxs.astype(np.int32),
+                    "frame_ts_ms": (idxs * every_ms).astype(np.int32),
+                    "frame_payload": [
+                        fb[i * 32 : (i + 1) * 32] for i in range(total)
+                    ],
                 }
             )
 

@@ -99,3 +99,54 @@ def test_cli_generate_index(spark, tmp_path, capsys):
     # the keyword field is searchable (SampleIndexGenerator's NOT_ANALYZED key)
     assert cli.main(["count", idx, "role:user"]) == 0
     assert int(capsys.readouterr().out.strip().splitlines()[-1]) > 0
+
+
+def test_cli_registry_pattern_search(spark, tiny_transcripts, tmp_path, capsys):
+    """bin/katta search '<patterns>' parity via --root: names, regex
+    ('index[12]'), and '*' resolve against the registry (Client.java:
+    425-456) and multi-match patterns run the stats-combining multi-index
+    search, equal to the whole corpus."""
+    from katta_spark import cli
+    from katta_spark.build import build_index
+
+    root = tmp_path / "registry"
+    root.mkdir()
+    whole = str(tmp_path / "whole")
+    build_index(spark, tiny_transcripts, whole, num_shards=2)
+    for parity in (1, 2):
+        build_index(
+            spark,
+            tiny_transcripts.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2))
+                == parity - 1
+            ),
+            str(root / f"index{parity}"),
+            num_shards=2,
+        )
+
+    # regex pattern resolves BOTH split indexes; totals equal the whole
+    assert cli.main(
+        ["search", "index[12]", "hotalpha w00011", "-k", "5",
+         "--root", str(root)]
+    ) == 0
+    out_pat = capsys.readouterr().out
+    assert cli.main(["search", whole, "hotalpha w00011", "-k", "5"]) == 0
+    out_whole = capsys.readouterr().out
+    assert int(out_pat.split()[0]) == int(out_whole.split()[0]) > 0
+    # per-hit doc ids + scores match the whole-corpus table line-for-line
+    tail = lambda s: [
+        " ".join(ln.split()[2:]) for ln in s.splitlines()
+        if ln.strip()[:1].isdigit() and "hits found" not in ln
+    ]
+    assert tail(out_pat) == tail(out_whole)
+
+    # '*' resolves every registered index (the whole dir is NOT registered)
+    assert cli.main(
+        ["search", "*", "hotalpha", "-k", "3", "--root", str(root)]
+    ) == 0
+    assert "hits found in" in capsys.readouterr().out
+
+    # a no-match pattern union errors clearly
+    with pytest.raises(ValueError, match="no index matches"):
+        cli.main(["search", "nosuch.*", "hotalpha", "-k", "3",
+                  "--root", str(root)])
