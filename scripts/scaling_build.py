@@ -34,12 +34,15 @@ from pyspark.sql import SparkSession
 def _eventlog_metrics(log_dir: str, after_ns: int) -> dict:
     """Sum task metrics from the (single) event log, tasks launched after
     ``after_ns`` (epoch ms actually — Spark logs 'Launch Time' in ms)."""
-    import glob
-
+    # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_<app>/
+    # events_1_<app>) — walk everything under log_dir.
+    paths = []
+    for root, _, files in os.walk(log_dir):
+        for f in files:
+            if "appstatus" not in f:
+                paths.append(os.path.join(root, f))
     cpu = run = sw = sr = tasks = 0
-    for path in glob.glob(os.path.join(log_dir, "*")):
-        if not os.path.isfile(path):
-            continue
+    for path in paths:
         with open(path) as fh:
             for line in fh:
                 if '"SparkListenerTaskEnd"' not in line:
