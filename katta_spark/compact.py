@@ -201,10 +201,11 @@ def compact(
         for d in index_dirs
     ]
     if any(m is not None for m in dv_metas):
-        raise ValueError(
-            "compaction of indexes with docvalue sidecars is not "
-            "supported yet — rebuild with docvalue_cols into one index"
-        )
+        if not all(m == dv_metas[0] for m in dv_metas):
+            raise ValueError(
+                "compaction inputs must all carry the SAME docvalue "
+                f"sidecar columns/kinds; got {dv_metas!r}"
+            )
 
     os.makedirs(out_dir, exist_ok=True)
     if os.listdir(out_dir) not in ([], ["FORMAT_VERSION"]):
@@ -297,6 +298,32 @@ def compact(
         "n_docs long, avgdl double, n_shards int, "
         "keyword_fields array<string>, sharding string",
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus.parquet"))
+
+    # ---- docvalue sidecar merge: union the per-shard bucket rows and
+    # re-bucket per shard (inputs are doc-disjoint — checked above)
+    if dv_metas[0] is not None:
+        from katta_spark.docvalues import (
+            DV_SCHEMA,
+            dv_path,
+            merge_docvalues_kernel,
+        )
+
+        dv_union = None
+        for d in index_dirs:
+            t = spark.read.parquet(dv_path(d))
+            dv_union = t if dv_union is None else dv_union.unionByName(t)
+        (
+            dv_union.repartition(h0.num_shards, "shard_id")
+            .groupBy("shard_id")
+            .applyInPandas(
+                merge_docvalues_kernel(sorted(dv_metas[0]["cols"])), DV_SCHEMA
+            )
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(dv_path(out_dir))
+        )
+        with open(os.path.join(out_dir, "docvalues_meta.json"), "w") as fh:
+            json.dump(dv_metas[0], fh)
 
     # lineage: one row recording the compaction (provenance, idempotent
     # re-runs refuse via the non-empty-out_dir guard)

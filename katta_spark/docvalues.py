@@ -75,6 +75,67 @@ def mapped_expr(df: DataFrame, col: str):
     )
 
 
+_DV_KEYS = ("shard_id", "col", "bucket", "doc_ids", "vals", "nulls")
+
+
+def _empty_dv_dict() -> dict:
+    return {k: [] for k in _DV_KEYS}
+
+
+def _empty_dv_frame() -> pd.DataFrame:
+    return pd.DataFrame(_empty_dv_dict())
+
+
+def encode_buckets(
+    out: dict,
+    shard: int,
+    col: str,
+    u_sorted: np.ndarray,
+    mapped: np.ndarray,
+    null_mask: np.ndarray,
+) -> None:
+    """Append one column's bucket rows (doc-sorted inputs, u64 docIDs)."""
+    for b0 in range(0, u_sorted.size, DV_BUCKET):
+        hi = min(b0 + DV_BUCKET, u_sorted.size)
+        chunk = u_sorted[b0:hi]
+        deltas = np.empty(chunk.size, dtype=np.uint64)
+        deltas[0] = chunk[0]
+        deltas[1:] = chunk[1:] - chunk[:-1]
+        out["shard_id"].append(shard)
+        out["col"].append(col)
+        out["bucket"].append(b0 // DV_BUCKET)
+        out["doc_ids"].append(vb_encode(deltas))
+        out["vals"].append(vb_encode(mapped[b0:hi]))
+        out["nulls"].append(
+            vb_encode(np.flatnonzero(null_mask[b0:hi]).astype(np.uint64))
+        )
+
+
+def merge_docvalues_kernel(cols: list[str]):
+    """applyInPandas kernel over UNIONED per-shard sidecar rows from
+    several source indexes: decode every source's buckets, re-sort by
+    docID (inputs are doc-disjoint — compaction refuses duplicates), and
+    re-bucket — the docvalue leg of index compaction."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty_dv_frame()
+        shard = int(pdf["shard_id"].iloc[0])
+        out = _empty_dv_dict()
+        for c in cols:
+            docs, vals, nulls = decode_shard_column(pdf, c)
+            if docs.size == 0:
+                continue
+            order = np.argsort(docs, kind="stable")
+            encode_buckets(
+                out, shard, c,
+                i64_to_u64_order(docs[order]), vals[order], nulls[order],
+            )
+        return pd.DataFrame(out)
+
+    return kernel
+
+
 def write_docvalues(
     spark: SparkSession,
     docs_with_ids: DataFrame,
@@ -99,16 +160,12 @@ def write_docvalues(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
-            return pd.DataFrame(
-                {k: [] for k in
-                 ("shard_id", "col", "bucket", "doc_ids", "vals", "nulls")}
-            )
+            return _empty_dv_frame()
         shard = int(pdf["shard_id"].iloc[0])
         doc = pdf["doc_id"].to_numpy(np.int64)
         order = np.argsort(doc, kind="stable")
         u = i64_to_u64_order(doc[order])
-        out = {k: [] for k in
-               ("shard_id", "col", "bucket", "doc_ids", "vals", "nulls")}
+        out = _empty_dv_dict()
         for c in cols:
             if kinds[c] == "double":
                 mapped = f64_to_u64_order(
@@ -117,20 +174,7 @@ def write_docvalues(
             else:
                 mapped = i64_to_u64_order(pdf[c].to_numpy(np.int64)[order])
             nmask = pdf[f"{c}__n"].to_numpy(bool)[order]
-            for b0 in range(0, u.size, DV_BUCKET):
-                hi = min(b0 + DV_BUCKET, u.size)
-                chunk = u[b0:hi]
-                deltas = np.empty(chunk.size, dtype=np.uint64)
-                deltas[0] = chunk[0]
-                deltas[1:] = chunk[1:] - chunk[:-1]
-                out["shard_id"].append(shard)
-                out["col"].append(c)
-                out["bucket"].append(b0 // DV_BUCKET)
-                out["doc_ids"].append(vb_encode(deltas))
-                out["vals"].append(vb_encode(mapped[b0:hi]))
-                out["nulls"].append(
-                    vb_encode(np.flatnonzero(nmask[b0:hi]).astype(np.uint64))
-                )
+            encode_buckets(out, shard, c, u, mapped, nmask)
         return pd.DataFrame(out)
 
     (

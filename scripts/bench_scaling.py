@@ -33,7 +33,11 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TURNS = int(os.environ.get("KATTA_SCALING_TURNS", "1000000"))
+# 2M turns default: large enough to amortize the fixed per-job serial
+# tail (phase3_stats, ~4-6 s regardless of input) into the measurement —
+# the direction the 10^12-turn north-star regime takes to its limit.
+# The 1M-turn run is reported alongside for the trend.
+TURNS = int(os.environ.get("KATTA_SCALING_TURNS", "2000000"))
 # N vs 4N EXECUTORS (north rule wording): local-cluster mode runs real
 # separate executor JVMs of a fixed shape (EXEC_CORES cores, EXEC_MEM MB)
 # and scales only the executor count.

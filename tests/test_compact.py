@@ -108,3 +108,69 @@ def test_compact_refuses_nonempty_out(spark, base_delta):
     dirs, out, _ = base_delta
     with pytest.raises(ValueError, match="not empty"):
         compact(spark, dirs, out)
+
+
+def test_compact_merges_docvalue_sidecars(
+    spark, tiny_transcripts, tmp_path_factory
+):
+    """Compaction re-buckets the inputs' docvalue sidecars: field-sorted
+    search over the compacted index runs the FAST path and equals both
+    its own join path and a from-scratch whole-corpus dv index."""
+    from katta_spark.query import IndexHandle, search_sorted
+
+    root = tmp_path_factory.mktemp("compact_dv")
+    dirs = []
+    for parity in (0, 1):
+        d = str(root / f"p{parity}")
+        build_index(
+            spark,
+            tiny_transcripts.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+            ),
+            d, num_shards=4, docvalue_cols=("turn_idx", "ts"),
+        )
+        dirs.append(d)
+    out = str(root / "merged")
+    compact(spark, dirs, out)
+    ih = IndexHandle.open(spark, out)
+    assert set(ih.docvalue_kinds()) == {"turn_idx", "ts"}
+    whole = str(root / "whole")
+    build_index(
+        spark, tiny_transcripts, whole, num_shards=4,
+        docvalue_cols=("turn_idx", "ts"),
+    )
+    kwargs = dict(k=9)
+    got = search_sorted(
+        spark, out, "hotalpha hotbeta", tiny_transcripts,
+        [("ts", "desc"), ("turn_idx", "asc")], **kwargs,
+    ).collect()
+    via_join = search_sorted(
+        spark, out, "hotalpha hotbeta", tiny_transcripts,
+        [F.col("ts").desc(), F.col("turn_idx").asc()], **kwargs,
+    ).collect()
+    via_whole = search_sorted(
+        spark, whole, "hotalpha hotbeta", tiny_transcripts,
+        [("ts", "desc"), ("turn_idx", "asc")], **kwargs,
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in via_join]
+    assert [r.doc_id for r in got] == [r.doc_id for r in via_whole]
+    assert [round(r.score, 6) for r in got] == [
+        round(r.score, 6) for r in via_whole
+    ]
+
+
+def test_compact_refuses_mixed_docvalues(
+    spark, tiny_transcripts, base_delta, tmp_path
+):
+    """One input with a sidecar + one without (or different cols) refuses."""
+    dirs, _, _ = base_delta
+    withdv = str(tmp_path / "withdv")
+    build_index(
+        spark,
+        tiny_transcripts.where(
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == 1
+        ),
+        withdv, num_shards=4, docvalue_cols=("turn_idx",),
+    )
+    with pytest.raises(ValueError, match="SAME docvalue"):
+        compact(spark, [dirs[0], withdv], str(tmp_path / "bad_mix"))
