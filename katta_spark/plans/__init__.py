@@ -78,6 +78,18 @@ def audit_details_plan(details) -> dict:
     }
 
 
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every file scan in the plan — the column-pruning
+    audit: a 2-column projection must not read 14 columns, and the
+    positions blobs must only be fetched by phrase queries."""
+    plan = physical_plan(df)
+    out = []
+    for line in plan.splitlines():
+        if "ReadSchema:" in line:
+            out.append(line.split("ReadSchema:", 1)[1].strip())
+    return out
+
+
 def audit_sorted_search_plan(out) -> dict:
     """Field-sorted search must not run a global score sort: the only
     global ordering is the TakeOrderedAndProject on the sort fields, and

@@ -138,3 +138,47 @@ def test_broad_expansion_uses_broadcast_fetch(spark, idx, docs):
     assert [(r.doc_id, round(r.score, 6)) for r in got] == [
         (r.doc_id, round(r.score, 6)) for r in want
     ]
+
+
+def test_positions_column_pruned_unless_phrase(spark, idx):
+    """The v8 positions blobs must be fetched ONLY by phrase queries: a
+    flat query's postings ReadSchema excludes positions (and the
+    build-time-only cf/sum_dl), a phrase query's includes it."""
+    from katta_spark.plans import scan_read_schemas
+
+    flat_scans = scan_read_schemas(search(spark, idx, "hotalpha w00011", k=5))
+    post = [s for s in flat_scans if "doc_ids" in s]
+    assert post, flat_scans
+    assert all("positions" not in s for s in post), post
+    assert all("sum_dl" not in s and "cf" not in s for s in post), post
+
+    ph_scans = scan_read_schemas(
+        search(spark, idx, '"hotalpha hotbeta"', k=5)
+    )
+    post = [s for s in ph_scans if "doc_ids" in s]
+    assert post and any("positions" in s for s in post), ph_scans
+
+
+def test_dv_sorted_plan_shape(spark, tiny_transcripts, tmp_path_factory):
+    """Docvalue fast path plan: the sidecar scan is predicate-pushed to
+    the named sort column, and the display join broadcasts the merged
+    top-k (never the corpus)."""
+    from katta_spark.plans import physical_plan, scan_read_schemas
+
+    d = str(tmp_path_factory.mktemp("plan_dv_idx"))
+    build_index(
+        spark, tiny_transcripts, d, num_shards=4,
+        docvalue_cols=("turn_idx",),
+    )
+    out = search_sorted(
+        spark, d, "hotalpha", tiny_transcripts, [("turn_idx", "desc")], k=5
+    )
+    plan = physical_plan(out)
+    assert "EqualTo(col,turn_idx)" in plan or "In(col" in plan, plan[:3000]
+    simple = physical_plan(out, mode="simple")
+    assert "BroadcastHashJoin" in simple and "SortMergeJoin" not in simple
+    # the dv scan reads only the sidecar columns
+    dv_scans = [
+        s for s in scan_read_schemas(out) if "vals" in s and "bucket" in s
+    ]
+    assert dv_scans and all("positions" not in s for s in dv_scans)
