@@ -438,12 +438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         LuceneSearchPerformanceTest throughput shape) — one postings scan
         pruned to the union of terms, per-shard kernel scores every query,
         one tiny per-query window merge. The batch mixes flat, boolean
-        (+MUST/-MUST_NOT) and grouped AND/OR/NOT queries — operators
-        amortize too (r3 was flat-only)."""
+        (+MUST/-MUST_NOT), grouped AND/OR/NOT, and PHRASE queries —
+        operators amortize too (r3 was flat-only)."""
         out = ksq.search_batch(
             spark, _index_dir(spark, sf),
             ["join hash", "merge batch", "customer order",
-             "+join -scan merge", "(join AND hash) OR merge NOT scan"],
+             "+join -scan merge", "(join AND hash) OR merge NOT scan",
+             '"join hash" merge'],
             k=5, score_dtype="float64",
         )
         return out.select(
@@ -995,6 +996,14 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
             ),
         ),
         _tree_sql(5),
+        _bm25_sql(
+            [("join", 1.0), ("hash", 1.0), ("merge", 1.0)], 5,
+            filter_clause=(
+                "WHERE doc_id IN (SELECT doc_id FROM documents WHERE "
+                f"contains(' ' || array_to_string({_TOK}, ' ') || ' ', "
+                "' join hash '))"
+            ),
+        ),
     ]
     o["bm25_batch"] = " UNION ALL ".join(
         f"SELECT {qi} AS query_id, * FROM ({sql})"

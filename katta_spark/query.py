@@ -2205,11 +2205,11 @@ def search_batch(
     query against it → ≤ |queries|·k rows per shard → one tiny window
     per query_id for the global merge.
 
-    Query surface: flat terms, ``+``/``-`` boolean clauses, AND/OR/NOT
+    Query surface: flat terms, ``+``/``-`` boolean clauses, phrases
+    (in-index positional verify, like :func:`search`), AND/OR/NOT
     grouping, and the dictionary rewrites (wildcard/fuzzy/range — each
-    expanded once driver-side, then batched like flat terms). Phrases are
-    refused with a clear error (their positional verify stays per-query
-    in :func:`search`) — nothing is silently mis-parsed."""
+    expanded once driver-side, then batched like flat terms). The same
+    clause-combination guards as search() apply per query."""
     from pyspark.sql import Window
 
     if isinstance(index, str):
@@ -2217,45 +2217,61 @@ def search_batch(
     index._record_query()
     sql_t = "float" if score_dtype == "float32" else "double"
     out_schema = f"query_id int, shard_id int, doc_id long, score {sql_t}"
-    # Per-query plan: ("flat", qweights, must, must_not) | ("tree", tree).
-    # Routing mirrors search() exactly (same guards, same rewrite paths).
+    # Per-query plan: ("flat", qweights, must, must_not, phrases) |
+    # ("tree", tree). Routing mirrors search() exactly (same guards, same
+    # rewrite paths).
     plans: list[tuple] = []
     for qstr in queries:
         unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", qstr)
-        if unquoted != qstr:
-            raise ValueError(
-                "search_batch does not support phrase queries "
-                f"({qstr!r}) — run them individually through search()"
-            )
+        has_phrase = unquoted != qstr
         if (
-            "*" in qstr
-            or "~" in qstr
-            or "?" in qstr
-            or _RANGE_RE.search(qstr)
+            "*" in unquoted
+            or "~" in unquoted
+            or "?" in unquoted
+            or _RANGE_RE.search(unquoted)
         ):
-            if _TREE_RE.search(qstr):
+            if _TREE_RE.search(unquoted):
                 raise ValueError(
                     "wildcard/fuzzy/range clauses cannot be combined with "
                     "AND/OR/NOT grouping"
                 )
+            if has_phrase:
+                raise ValueError(
+                    "phrases cannot be combined with wildcard/fuzzy/range "
+                    "clauses"
+                )
             plans.append(
                 ("flat", expand_ranges(spark, index, qstr), frozenset(),
-                 frozenset())
+                 frozenset(), ())
             )
-        elif _TREE_RE.search(qstr):
+        elif _TREE_RE.search(unquoted):
+            if has_phrase:
+                raise ValueError(
+                    "phrases cannot be combined with AND/OR/NOT grouping"
+                )
             tree, _ = parse_tree_query(qstr, index.keyword_fields)
             plans.append(("tree", tree))
         else:
-            qw, must, must_not, _ph = parse_bool_query(
+            qw, must, must_not, ph = parse_bool_query(
                 qstr, index.keyword_fields
             )
-            plans.append(("flat", qw, frozenset(must), frozenset(must_not)))
+            plans.append(
+                ("flat", qw, frozenset(must), frozenset(must_not), tuple(ph))
+            )
 
     def _plan_terms(plan) -> set:
         if plan[0] == "tree":
             pos_s, neg_s = tree_terms(plan[1])
             return pos_s | neg_s
         return set(plan[1]) | set(plan[3])
+
+    phrase_terms = {
+        t
+        for plan in plans
+        if plan[0] == "flat"
+        for toks, _ in plan[4]
+        for t in toks
+    }
 
     all_terms = sorted({t for plan in plans for t in _plan_terms(plan)})
     if not all_terms or k <= 0:
@@ -2266,9 +2282,10 @@ def search_batch(
     # NOTE: mirrors search()'s _stats_for_query fetch contract (pushed
     # In(th) under the threshold, broadcast semi-join above it, th+term
     # double predicate as the hash-collision guard) — keep the two in step.
+    bcols = _KERNEL_COLS + (["positions"] if phrase_terms else [])
     postings = index.postings(spark)
     if len(hashes) <= _ISIN_MAX_TERMS:
-        postings = postings.where(F.col("th").isin(hashes)).select(*_KERNEL_COLS)
+        postings = postings.where(F.col("th").isin(hashes)).select(*bcols)
         stats_small = (
             index.stats(spark)
             .where(F.col("th").isin(hashes) & F.col("term").isin(all_terms))
@@ -2283,7 +2300,7 @@ def search_batch(
             .join(F.broadcast(q_df), ["th", "term"], "left_semi")
             .select("th", "term", F.col("df").alias("df_g"))
         )
-        postings = postings.select(*_KERNEL_COLS)
+        postings = postings.select(*bcols)
     postings = postings.join(F.broadcast(stats_small), "th")
 
     def _empty_batch() -> pd.DataFrame:
@@ -2302,12 +2319,15 @@ def search_batch(
         shard_id = int(pdf["shard_id"].iloc[0])
         idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        pos_data: dict[str, tuple] = {}
         for row, idf in zip(pdf.itertuples(index=False), idf_col):
             d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
             decoded[row.term] = (
                 d,
                 idf * scoring.tf_norm_np(t, l, avgdl),
             )
+            if row.term in phrase_terms:
+                pos_data[row.term] = (d, t, decode_positions(row.positions, t))
         out_q, out_d, out_s = [], [], []
         for qi, plan in enumerate(plans):
             if plan[0] == "tree":
@@ -2316,7 +2336,7 @@ def search_batch(
                     continue
                 sc = s64.astype(score_dtype)
             else:
-                _, qw, must, must_not = plan
+                _, qw, must, must_not, phrases = plan
                 present = [t for t in qw if t in decoded]
                 if not present or any(t not in decoded for t in must):
                     continue
@@ -2334,6 +2354,11 @@ def search_batch(
                     if t in decoded:
                         keep &= ~np.isin(docs_u, decoded[t][0])
                 docs_u, scores = docs_u[keep], scores[keep]
+                for toks, slop in phrases:
+                    if docs_u.size == 0:
+                        break
+                    pm = _phrase_match_mask(docs_u, toks, slop, pos_data)
+                    docs_u, scores = docs_u[pm], scores[pm]
                 if docs_u.size == 0:
                     continue
                 sc = scores.astype(score_dtype)

@@ -249,14 +249,31 @@ def test_search_batch_matches_per_query(spark, split_indexes, tiny_transcripts):
         )
 
 
-def test_search_batch_refuses_phrases(spark, split_indexes):
-    """ADVICE r3: phrase syntax in a batch must error, never silently
-    mis-parse into an OR of tokens."""
-    from katta_spark.query import search_batch
+def test_search_batch_phrases(spark, split_indexes):
+    """Phrase queries batch too (in-index positional verify, like
+    search()); invalid clause combinations still error per query instead
+    of silently mis-parsing (the r3 advice gap)."""
+    from katta_spark.query import search, search_batch
 
     whole_idx, _, _ = split_indexes
-    with pytest.raises(ValueError, match="phrase"):
-        search_batch(spark, whole_idx, ["hotalpha", '"a b"'], k=5)
+    queries = ["hotalpha", '"hotalpha hotbeta"~3 w00011',
+               '"hotalpha hotbeta"']
+    batch = search_batch(spark, whole_idx, queries, k=6,
+                         score_dtype="float64").collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qi, q in enumerate(queries):
+        got = by_q.get(qi, [])
+        want = search(spark, whole_idx, q, k=6,
+                      score_dtype="float64").collect()
+        assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+            (r.doc_id, round(r.score, 9)) for r in want
+        ], q
+    with pytest.raises(ValueError, match="cannot be combined"):
+        search_batch(spark, whole_idx, ['"a b" AND c'], k=5)
+    with pytest.raises(ValueError, match="cannot be combined"):
+        search_batch(spark, whole_idx, ['"a b" hot*'], k=5)
 
 
 def test_multi_index_sorted_search(spark, split_indexes, tiny_transcripts):
