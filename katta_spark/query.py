@@ -1832,6 +1832,7 @@ def search_multi(
     filter_doc_col: str = "doc_id",
     ordered: bool = True,
     _with_total: bool = False,
+    _dv_sort: tuple | None = None,
 ) -> DataFrame:
     """Search several indexes as one corpus — Katta's multi-index search
     (``search(query, ["idx1", "idx2"])``, LuceneClientTest.java:266-279).
@@ -1991,6 +1992,41 @@ def search_multi(
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
     if _with_total:
         out_schema += ", shard_total long"
+    if _dv_sort is not None:
+        # per-index sidecars, shard ids offset like the postings — the
+        # same TopFieldCollector cap as single-index (see search())
+        if filter_df is not None or _with_total:
+            raise ValueError(
+                "_dv_sort does not combine with filter_df/_with_total"
+            )
+        from katta_spark.docvalues import dv_path as _dvp
+
+        specs, dv_k = _dv_sort
+        dv_cog = _make_dv_sort_cog(kernel, specs, dv_k, score_dtype)
+        dv_parts = []
+        offset = 0
+        for h in handles:
+            dv_parts.append(
+                spark.read.parquet(_dvp(h.index_dir))
+                .where(F.col("col").isin([n for n, _ in specs]))
+                .withColumn(
+                    "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
+                )
+            )
+            offset += h.num_shards
+        dvdf = dv_parts[0]
+        for p in dv_parts[1:]:
+            dvdf = dvdf.unionByName(p)
+        sv_schema = ", ".join(f"__sv{i} long" for i in range(len(specs)))
+        hits = (
+            postings.groupBy("shard_id")
+            .cogroup(dvdf.groupBy("shard_id"))
+            .applyInPandas(dv_cog, out_schema + ", " + sv_schema)
+        )
+        return hits.select(
+            "doc_id", "shard_id", "score",
+            *[f"__sv{i}" for i in range(len(specs))],
+        )
     if filter_df is None:
         hits = postings.groupBy("shard_id").applyInPandas(
             lambda pdf: kernel(pdf), out_schema
@@ -2070,16 +2106,18 @@ def search_sorted(
     combined-stats bag union; ``source`` must cover the union corpus.
     """
     specs = _norm_sort_specs(sort_cols)
-    if (
-        specs is not None
-        and not isinstance(index, (list, tuple))
-        and filter_df is None
-    ):
-        ih = IndexHandle.open(spark, index) if isinstance(index, str) else index
-        if all(n in ih.docvalue_kinds() for n, _ in specs):
+    if specs is not None and filter_df is None:
+        ihs = [
+            IndexHandle.open(spark, ix) if isinstance(ix, str) else ix
+            for ix in (index if isinstance(index, (list, tuple)) else [index])
+        ]
+        if all(
+            all(n in h.docvalue_kinds() for n, _ in specs) for h in ihs
+        ) and (track_scores or len(ihs) == 1):
             return _search_sorted_dv(
-                spark, ih, query, source, specs, k, track_scores,
-                id_cols, doc_id_col,
+                spark,
+                ihs if isinstance(index, (list, tuple)) else ihs[0],
+                query, source, specs, k, track_scores, id_cols, doc_id_col,
             )
     # fallback: candidate docs = union of posting lists (huge k caps
     # nothing away); when scores aren't tracked, the match-only kernel
@@ -2152,13 +2190,21 @@ def _search_sorted_dv(
 ) -> DataFrame:
     """Docvalue fast path: per-shard in-index field-sort cap (≤ k·shards
     rows leave the kernels), global merge on the mapped keys, then ONE
-    broadcast join of the merged top-k to ``source`` for display columns."""
-    hits = search(
-        spark, index, query, k=2**31 - 1, prune=False,
-        score_dtype="float64", ordered=False,
-        mode="or" if track_scores else "match",
-        _dv_sort=(specs, k),
-    )
+    broadcast join of the merged top-k to ``source`` for display columns.
+    ``index`` may be a LIST of dv-carrying handles (combined stats via
+    search_multi, per-index sidecars cogrouped per offset shard)."""
+    if isinstance(index, (list, tuple)):
+        hits = search_multi(
+            spark, list(index), query, k=2**31 - 1,
+            score_dtype="float64", ordered=False, _dv_sort=(specs, k),
+        )
+    else:
+        hits = search(
+            spark, index, query, k=2**31 - 1, prune=False,
+            score_dtype="float64", ordered=False,
+            mode="or" if track_scores else "match",
+            _dv_sort=(specs, k),
+        )
     order_cols = [
         (
             F.col(f"__sv{i}").asc_nulls_first()

@@ -142,3 +142,43 @@ def test_dv_resume_param_guard(spark, tiny_transcripts, dvidx):
             spark, tiny_transcripts, dvidx, num_shards=4,
             docvalue_cols=("turn_idx",),
         )
+
+
+def test_dv_multi_index_fast_path(spark, dv_corpus, tmp_path_factory):
+    """Sorted search over a LIST of dv-carrying indexes runs the capped
+    fast path (per-index sidecars, offset shards, combined stats) and
+    equals the whole-corpus single-index answer."""
+    root = tmp_path_factory.mktemp("dv_multi")
+    whole = str(root / "whole")
+    build_index(
+        spark, dv_corpus, whole, num_shards=4,
+        docvalue_cols=("turn_idx", "ts"),
+    )
+    parts = []
+    for parity in (0, 1):
+        d = str(root / f"p{parity}")
+        build_index(
+            spark,
+            dv_corpus.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+            ),
+            d, num_shards=4, docvalue_cols=("turn_idx", "ts"),
+        )
+        parts.append(d)
+    specs = [("ts", "desc"), ("turn_idx", "asc")]
+    got = search_sorted(
+        spark, parts, "hotalpha hotbeta", dv_corpus, specs, k=10
+    ).collect()
+    want = search_sorted(
+        spark, whole, "hotalpha hotbeta", dv_corpus, specs, k=10
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert [round(r.score, 9) for r in got] == [
+        round(r.score, 9) for r in want
+    ]
+    # and the legacy multi-index join path agrees too
+    legacy = search_sorted(
+        spark, parts, "hotalpha hotbeta", dv_corpus,
+        [F.col("ts").desc(), F.col("turn_idx").asc()], k=10,
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in legacy]
