@@ -610,6 +610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified near-dup: LSH candidates ∩ exact Jaccard >= t — the composed
     # scale pipeline (jaccard only on candidates, never corpus²)
     q["dedup_near_pairs"] = lambda s, sf: tx.near_dup_pairs(_docs(s, sf), threshold=0.2)
+    # canonical assignment over the TRANSITIVE CLOSURE of those pairs
+    # (iterative min-label propagation; the oracle is a DuckDB recursive
+    # CTE over the same pair set — the r3 "rows-only check" upgraded)
+    q["dedup_near_canonical"] = lambda s, sf: tx.dedup_near(
+        _docs(s, sf), threshold=0.2
+    )
     q["dedup_minhash_lsh"] = lambda s, sf: tx.minhash_lsh_pairs(_docs(s, sf))
     q["dedup_jaccard"] = lambda s, sf: tx.jaccard_pairs(_docs(s, sf), threshold=0.2)
     q["minhash_signatures"] = lambda s, sf: tx.minhash_signatures(_docs(s, sf), num_hashes=4)
@@ -1211,6 +1217,59 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2
     """
+
+    # canonical assignment: DuckDB RECURSIVE CTE computes the transitive
+    # closure of the SAME verified pair set (reach = self ∪ step over
+    # undirected edges); canonical = min reachable docID — exactly the
+    # fixpoint of the engine's min-label propagation (textops.dedup_near)
+    o["dedup_near_canonical"] = (
+        shingle_cte.replace("WITH toks", "WITH RECURSIVE toks")
+        + """
+        , sig AS (
+          SELECT doc_id,
+                 min(md5('0|' || shingle)) h0, min(md5('1|' || shingle)) h1,
+                 min(md5('2|' || shingle)) h2, min(md5('3|' || shingle)) h3,
+                 min(md5('4|' || shingle)) h4, min(md5('5|' || shingle)) h5,
+                 min(md5('6|' || shingle)) h6, min(md5('7|' || shingle)) h7
+          FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id, unnest([
+            '0' || '#' || h0 || '#' || h1, '1' || '#' || h2 || '#' || h3,
+            '2' || '#' || h4 || '#' || h5, '3' || '#' || h6 || '#' || h7
+          ]) AS band FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.a, c.b, count(*) i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a, b
+          FROM inter JOIN sizes sa ON sa.doc_id = a
+                     JOIN sizes sb ON sb.doc_id = b
+          WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2
+        ),
+        edges AS (
+          SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        ),
+        reach(node, other) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+        )
+        SELECT node AS doc_id, min(other) AS canonical_id,
+               min(other) <> node AS is_dup
+        FROM reach GROUP BY node
+    """
+    )
 
     o["dedup_minhash_lsh"] = shingle_cte + """
         , sig AS (
