@@ -494,7 +494,7 @@ def build_index(
 
     kernel = _make_encode_kernel(block)
     n_committed = n_skipped = 0
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=3)
     lineage_futs: list = []
     fut_dict = (
         pool.submit(_run_dictionary)
@@ -634,8 +634,14 @@ def build_index(
                     "overwrite"
                 ).parquet(path)
 
-        _ensure_readable(p["postings"], ENCODED_SCHEMA)
-        _ensure_readable(p["dict"], "th long, term string, _mx string")
+        # The readability probe is only needed for the empty/all-empty-text
+        # corpus edge, but spark.read.parquet().schema LISTS every postings
+        # file — a measurable serial cost right before the stats job lists
+        # them again. Probe lazily: run phase 3 optimistically and
+        # materialize the empty tables ONLY if its analysis fails.
+        def _ensure_phase3_readable() -> None:
+            _ensure_readable(p["postings"], ENCODED_SCHEMA)
+            _ensure_readable(p["dict"], "th long, term string, _mx string")
 
         # Sort-value sidecar (docvalues.py): its own slim corpus scan —
         # overlapped with the phase-3 stats job on the driver pool.
@@ -675,11 +681,34 @@ def build_index(
             for t in ("stats", "shards", "corpus")
         )
         if not stats_done or n_committed:
-            tdict_r = spark.read.parquet(p["dict"]).select("th", "term")
             marker = F.col("th").isin(list(SENTINEL_HASHES))
-            stats_src = spark.read.parquet(p["postings"]).select(
-                "shard_id", "th", "df", "cf", "sum_dl"
-            )
+
+            def _run_stats(obs3):
+                tdict_r = spark.read.parquet(p["dict"]).select("th", "term")
+                stats_src = spark.read.parquet(p["postings"]).select(
+                    "shard_id", "th", "df", "cf", "sum_dl"
+                )
+                if obs3 is not None:
+                    aggs = []
+                    for s in range(num_shards):
+                        cond = marker & (F.col("shard_id") == s)
+                        aggs += [
+                            F.sum(F.when(cond, F.col("df"))).alias(f"nd{s}"),
+                            F.sum(F.when(cond, F.col("cf"))).alias(f"nr{s}"),
+                            F.sum(F.when(cond, F.col("sum_dl"))).alias(
+                                f"dl{s}"
+                            ),
+                        ]
+                    stats_src = stats_src.observe(obs3, *aggs)
+                (
+                    stats_src.groupBy("th")
+                    .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                    .join(tdict_r, "th")
+                    .select("term", "df", "cf", "th")
+                    .write.mode("overwrite")
+                    .parquet(p["stats"])
+                )
+
             # Per-shard marker sums as Observation metrics on the stats
             # write (zero extra jobs) — 3 conditional aggregates per shard.
             # Past 256 shards that codegen footprint isn't worth it: fall
@@ -687,24 +716,19 @@ def build_index(
             # (pushed In(th) predicate + row-group skipping, still no
             # Python and no blob decode).
             obs3 = Observation("phase3_markers") if num_shards <= 256 else None
-            if obs3 is not None:
-                aggs = []
-                for s in range(num_shards):
-                    cond = marker & (F.col("shard_id") == s)
-                    aggs += [
-                        F.sum(F.when(cond, F.col("df"))).alias(f"nd{s}"),
-                        F.sum(F.when(cond, F.col("cf"))).alias(f"nr{s}"),
-                        F.sum(F.when(cond, F.col("sum_dl"))).alias(f"dl{s}"),
-                    ]
-                stats_src = stats_src.observe(obs3, *aggs)
-            (
-                stats_src.groupBy("th")
-                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-                .join(tdict_r, "th")
-                .select("term", "df", "cf", "th")
-                .write.mode("overwrite")
-                .parquet(p["stats"])
-            )
+            try:
+                _run_stats(obs3)
+            except Exception:
+                # empty-corpus edge: the postings/dict writes left only
+                # _SUCCESS — materialize typed empty tables and retry
+                # (an Observation cannot be reused: make a fresh one)
+                _ensure_phase3_readable()
+                obs3 = (
+                    Observation("phase3_markers_retry")
+                    if obs3 is not None
+                    else None
+                )
+                _run_stats(obs3)
             m = None
             if obs3 is not None:
                 try:
@@ -745,9 +769,6 @@ def build_index(
                     f"but {n_docs} distinct doc_ids"
                 )
             _ensure_readable(p["stats"], "term string, df long, cf long, th long")
-            spark.createDataFrame(
-                shard_counts, "shard_id int, n_docs long, sum_dl long"
-            ).write.mode("overwrite").parquet(p["shards"])
             sum_dl = sum(dl for _, _, dl in shard_counts)
             avgdl = (sum_dl / n_docs) if n_docs else 1.0
             # Guard avgdl==0 (every doc's analyzed text empty but keyword fields
@@ -756,11 +777,21 @@ def build_index(
             if avgdl == 0.0:
                 avgdl = 1.0
             sharding = "pmod_doc_id" if doc_id_col is None else "pmod_xxhash64"
+
+            # two single-row table writes: each is a full (tiny) Spark job
+            # of mostly fixed overhead — overlap them on the driver pool
+            def _write_shards():
+                spark.createDataFrame(
+                    shard_counts, "shard_id int, n_docs long, sum_dl long"
+                ).write.mode("overwrite").parquet(p["shards"])
+
+            fut_shards = pool.submit(_write_shards)
             spark.createDataFrame(
                 [(n_docs, avgdl, num_shards, list(keyword_cols), sharding)],
                 "n_docs long, avgdl double, n_shards int, "
                 "keyword_fields array<string>, sharding string",
             ).write.mode("overwrite").parquet(p["corpus"])
+            fut_shards.result()
         else:
             # Fully-resumed build (no new batches, stats committed): the
             # scalars are already on disk — nothing to recompute.
