@@ -58,8 +58,17 @@ def f64_to_u64_order(v: np.ndarray) -> np.ndarray:
     """Order-preserving float64 -> uint64 (IEEE total order trick):
     negatives get their bits complemented, non-negatives get the sign bit
     set — so uint64 comparison orders like float comparison, with NaN
-    sorting above +inf (Spark's NaN-is-largest convention)."""
-    b = np.ascontiguousarray(v, dtype=np.float64).view(np.int64)
+    sorting above +inf (Spark's NaN-is-largest convention). All NaN bit
+    patterns (including negative-sign-bit NaN from 0.0/-0.0 arithmetic)
+    are canonicalized to the positive quiet NaN first, so EVERY NaN takes
+    the above-+inf encoding — a -NaN must not sort below -inf. -0.0 is
+    canonicalized to +0.0 (Spark's NormalizeFloatingNumbers makes them
+    compare equal in sort keys; the raw bit trick would order them)."""
+    a = np.ascontiguousarray(v, dtype=np.float64)
+    if np.isnan(a).any():
+        a = np.where(np.isnan(a), np.float64("nan"), a)
+    a = a + 0.0  # IEEE: -0.0 + 0.0 == +0.0; every other value unchanged
+    b = a.view(np.int64)
     u = b.view(np.uint64).copy()
     neg = b < 0
     u[neg] = ~u[neg]

@@ -58,6 +58,24 @@ class IndexHandle:
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
+        # Refuse old on-disk formats up front with a clear message — a
+        # pre-v8 index would otherwise surface as an opaque
+        # AnalysisException about a missing 'positions'/'sum_dl' column
+        # deep inside the first phrase query or compaction.
+        from katta_spark.build import FORMAT_VERSION
+
+        vf = os.path.join(index_dir, "FORMAT_VERSION")
+        stored = None
+        if os.path.exists(vf):
+            with open(vf) as fh:
+                stored = fh.read().strip()
+        if stored != str(FORMAT_VERSION):
+            raise ValueError(
+                f"index at {index_dir!r} has on-disk format "
+                f"{stored or 'unknown (no FORMAT_VERSION file)'}; this "
+                f"build reads format {FORMAT_VERSION} — rebuild the index "
+                "(build_index into a fresh directory)"
+            )
         row = spark.read.parquet(os.path.join(index_dir, "corpus.parquet")).collect()[0]
         kw = tuple(row["keyword_fields"] or ()) if "keyword_fields" in row else ()
         sharding = row["sharding"] if "sharding" in row else "pmod_doc_id"
@@ -2476,8 +2494,8 @@ def count_matches(
         or any(tok[0] in "+-" and len(tok) > 1 for tok in query.split())
     ):
         # non-flat query: the search kernels' exact totals ARE the count
-        # (rewrites expand against the dictionary there; multi-index
-        # rewrites surface search_multi's single-index-only error)
+        # (rewrites expand against the dictionary there — per index when
+        # several are searched, via search_multi's per-index expansion)
         multi = handles if len(handles) > 1 else handles[0]
         rows = search_with_total(spark, multi, query, k=1).collect()
         return int(rows[0]["total_hits"]) if rows else 0

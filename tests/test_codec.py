@@ -176,3 +176,26 @@ def test_positions_empty():
         np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
     ) == []
     assert decode_positions(b"", np.empty(0, np.int64)).size == 0
+
+
+def test_f64_order_nan_and_zero_canonicalization():
+    from katta_spark.codec import f64_to_u64_order
+
+    neg_nan = np.frombuffer(
+        np.uint64(0xFFF8000000000000).tobytes(), dtype=np.float64
+    )[0]
+    assert np.isnan(neg_nan) and np.signbit(neg_nan)
+    v = np.array(
+        [neg_nan, np.nan, np.inf, -np.inf, -0.0, 0.0, 1.5, -1.5],
+        dtype=np.float64,
+    )
+    u = f64_to_u64_order(v)
+    # every NaN bit pattern maps to ONE encoding, above +inf
+    assert u[0] == u[1]
+    assert u[0] > u[2]
+    # -inf is the smallest; -NaN must NOT sort below it
+    assert u[3] == u.min()
+    # -0.0 and +0.0 compare equal (Spark NormalizeFloatingNumbers)
+    assert u[4] == u[5]
+    # ordering of ordinary values preserved
+    assert u[7] < u[4] < u[6] < u[2]

@@ -8,6 +8,8 @@ single-plan DataFrame oracle, on the full reference query set.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -164,3 +166,20 @@ def test_zero_doc_shards(spark, tmp_path_factory):
     hits = search(spark, d, terms[0]["t"], k=5).collect()
     assert len(hits) >= 1
     assert count_matches(spark, d, "zzz") == 0
+
+
+def test_open_refuses_unknown_format(spark, index, tmp_path_factory):
+    """IndexHandle.open checks FORMAT_VERSION up front: a pre-v8 (or
+    versionless) directory gets a clear 'rebuild required' error instead
+    of an opaque missing-column failure inside the first phrase query."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("idx_oldfmt")) + "/idx"
+    shutil.copytree(index.index_dir, d)
+    with open(os.path.join(d, "FORMAT_VERSION"), "w") as fh:
+        fh.write("7")
+    with pytest.raises(ValueError, match="format 7.*rebuild"):
+        IndexHandle.open(spark, d)
+    os.remove(os.path.join(d, "FORMAT_VERSION"))
+    with pytest.raises(ValueError, match="unknown.*rebuild"):
+        IndexHandle.open(spark, d)
