@@ -63,6 +63,24 @@ def main() -> None:
         extra["documents_build_docs_per_sec"] = round(
             n_docs / timings["build_documents_index"], 1
         )
+        # Same build with positions=False (Lucene omit-term-positions):
+        # the opt-out for phrase-free corpora — isolates the positional-
+        # postings encode cost on long documents (the r3→r4 +30%).
+        nopos_dir = tempfile.mkdtemp(prefix="katta_bench_nopos_")
+        try:
+            timed(
+                "build_documents_nopos",
+                lambda: ksb.build_index(
+                    spark, docs, nopos_dir, num_shards=8,
+                    doc_id_col="doc_id", keyword_cols=("lang", "source"),
+                    docvalue_cols=("n_chars",), positions=False,
+                ),
+            )
+            extra["documents_nopos_docs_per_sec"] = round(
+                n_docs / timings["build_documents_nopos"], 1
+            )
+        finally:
+            shutil.rmtree(nopos_dir, ignore_errors=True)
 
         # query paths over the built index (handle opened once, like a
         # client holding a deployed-index view)

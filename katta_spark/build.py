@@ -146,13 +146,15 @@ def _encode_arrays(
     (shard, th, doc, pos).
 
     Rows with repeated (shard, th, doc) are occurrences — tf is their run
-    length and ``pos`` their ascending token positions. All inputs are
+    length and ``pos`` their ascending token positions (None for a
+    positions=False build: empty blobs are written). All inputs are
     fixed-width ints; run detection is pure C-speed numpy and the heavy
     lifting is one vectorized multi-list encode
     (codec.encode_posting_lists_batch + encode_positions_batch).
     """
     n = shard.size
     # level 1: (shard, th, doc) runs → tf
+    with_positions = pos is not None
     chg_doc = np.empty(n, dtype=bool)
     chg_doc[0] = True
     chg_doc[1:] = (doc[1:] != doc[:-1]) | (th[1:] != th[:-1]) | (
@@ -171,18 +173,23 @@ def _encode_arrays(
     encoded = encode_posting_lists_batch(doc_r, tf, dl_r, starts, block=block)
     cols = [c for c in _COLS[2:] if c != "positions"]
     out = pd.DataFrame(encoded, columns=cols)
-    # positions blob per run, occurrence-level (delta chain restarts per doc)
+    # positions blob per run, occurrence-level (delta chain restarts per
+    # doc); positions=False builds (the Lucene omit-term-positions field
+    # option) write empty blobs — the column stays in the v8 schema so
+    # every non-phrase code path is identical, phrase queries refuse.
     out.insert(
         cols.index("doclens") + 1,
         "positions",
-        encode_positions_batch(pos, s_doc, s_doc[starts]),
+        encode_positions_batch(pos, s_doc, s_doc[starts])
+        if with_positions
+        else [b""] * starts.size,
     )
     out.insert(0, "th", th_r[starts])
     out.insert(0, "shard_id", shard_r[starts].astype(np.int32))
     return out
 
 
-def _make_encode_kernel(block: int):
+def _make_encode_kernel(block: int, positions: bool = True):
     """mapInPandas kernel over salt-partitioned token rows.
 
     Materializes the partition (fixed-width numpy, ~32 B/row — sized by
@@ -212,7 +219,8 @@ def _make_encode_kernel(block: int):
         # ordering == pos ordering — sd doubles as the innermost sort key
         order = np.lexsort((sd, doc, th, shard))
         yield _encode_arrays(
-            shard[order], th[order], doc[order], dl[order], pos[order], block
+            shard[order], th[order], doc[order], dl[order],
+            pos[order] if positions else None, block,
         )
 
     return kernel
@@ -370,6 +378,7 @@ def build_index(
     doc_id_col: str | None = None,
     keyword_cols: tuple[str, ...] = (),
     docvalue_cols: tuple[str, ...] = (),
+    positions: bool = True,
 ) -> dict:
     """Build the full index (postings + dict + stats + corpus + shards +
     lineage).
@@ -391,6 +400,12 @@ def build_index(
     (docvalues.py — the Lucene norms/FieldCache analog) so field-sorted
     searches cap per-shard output at k like Katta's TopFieldCollector
     (LuceneServer.java:672-677) instead of joining every match.
+    ``positions=False``: omit term positions (the Lucene
+    Field omit-term-positions option) — the positions column stays in the
+    v8 schema but holds empty blobs, saving the occurrence-level encode
+    cost on corpora that never run phrase queries; a phrase query against
+    such an index refuses with a clear error (Lucene parity: PhraseQuery
+    on an unpositioned field throws).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     p = _paths(index_dir)
@@ -444,11 +459,13 @@ def build_index(
         "text_col": text_col,
         "doc_id_col": doc_id_col,
         "docvalue_cols": list(docvalue_cols),
+        "positions": positions,
     }
     if os.path.exists(meta_file):
         with open(meta_file) as fh:
             stored_meta = json.load(fh)
         stored_meta.setdefault("docvalue_cols", [])
+        stored_meta.setdefault("positions", True)
         if stored_meta != build_meta:
             raise ValueError(
                 f"index at {index_dir!r} was started with build parameters "
@@ -492,7 +509,7 @@ def build_index(
         for bi, lo in enumerate(range(0, num_shards, shards_per_batch))
     ]
 
-    kernel = _make_encode_kernel(block)
+    kernel = _make_encode_kernel(block, positions)
     n_committed = n_skipped = 0
     pool = ThreadPoolExecutor(max_workers=3)
     lineage_futs: list = []
@@ -787,9 +804,15 @@ def build_index(
 
             fut_shards = pool.submit(_write_shards)
             spark.createDataFrame(
-                [(n_docs, avgdl, num_shards, list(keyword_cols), sharding)],
+                [
+                    (
+                        n_docs, avgdl, num_shards, list(keyword_cols),
+                        sharding, positions,
+                    )
+                ],
                 "n_docs long, avgdl double, n_shards int, "
-                "keyword_fields array<string>, sharding string",
+                "keyword_fields array<string>, sharding string, "
+                "positions boolean",
             ).write.mode("overwrite").parquet(p["corpus"])
             fut_shards.result()
         else:

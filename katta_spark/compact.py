@@ -51,10 +51,12 @@ from katta_spark.codec import (
 from katta_spark.query import IndexHandle
 
 
-def _merge_kernel(block: int):
+def _merge_kernel(block: int, positions: bool = True):
     """mapInPandas over (shard, th-slice) partitions, rows sorted by
     (shard_id, th): consecutive same-(shard, th) rows are one term's
-    posting lists from different source indexes."""
+    posting lists from different source indexes. ``positions=False``
+    (all inputs built with omitted term positions — compact() refuses a
+    mix) skips the positions decode/merge and writes empty blobs."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # a (shard, th) group may straddle Arrow batches — buffer the
@@ -97,11 +99,11 @@ def _merge_kernel(block: int):
                 docs_l.append(d)
                 tfs_l.append(t)
                 dls_l.append(l)
-                pos_l.append(decode_positions(r.positions, t))
+                if positions:
+                    pos_l.append(decode_positions(r.positions, t))
             docs = np.concatenate(docs_l)
             tfs = np.concatenate(tfs_l)
             dls = np.concatenate(dls_l)
-            pos_all = np.concatenate(pos_l)
             order = np.argsort(docs, kind="stable")
             docs_s = docs[order]
             if np.any(docs_s[1:] == docs_s[:-1]):
@@ -111,16 +113,18 @@ def _merge_kernel(block: int):
                     f"two inputs; shard {rows[0].shard_id}, th {rows[0].th})"
                 )
             tfs_s, dls_s = tfs[order], dls[order]
-            # gather each doc's positions slice into the merged doc order
-            occ_start = np.concatenate(
-                [[0], np.cumsum(tfs)[:-1]]
-            )  # per source-doc entry, into pos_all
             total = int(tfs_s.sum())
             new_off = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
-            gather = np.repeat(occ_start[order], tfs_s) + (
-                np.arange(total) - np.repeat(new_off, tfs_s)
-            )
-            pos_s = pos_all[gather]
+            if positions:
+                pos_all = np.concatenate(pos_l)
+                # gather each doc's positions slice into the merged order
+                occ_start = np.concatenate(
+                    [[0], np.cumsum(tfs)[:-1]]
+                )  # per source-doc entry, into pos_all
+                gather = np.repeat(occ_start[order], tfs_s) + (
+                    np.arange(total) - np.repeat(new_off, tfs_s)
+                )
+                m_pos.append(pos_all[gather])
 
             heads.append((int(rows[0].shard_id), int(rows[0].th)))
             run_starts.append(nd)
@@ -129,7 +133,6 @@ def _merge_kernel(block: int):
             m_doc.append(docs_s)
             m_tf.append(tfs_s)
             m_dl.append(dls_s)
-            m_pos.append(pos_s)
             nd += docs_s.size
             nocc += total
         if not heads:
@@ -140,11 +143,14 @@ def _merge_kernel(block: int):
         encoded = encode_posting_lists_batch(
             doc_all, tf_all, dl_all, np.array(run_starts), block=block
         )
-        pos_blobs = encode_positions_batch(
-            np.concatenate(m_pos),
-            np.concatenate(doc_starts),
-            np.array(run_starts_occ),
-        )
+        if positions:
+            pos_blobs = encode_positions_batch(
+                np.concatenate(m_pos),
+                np.concatenate(doc_starts),
+                np.array(run_starts_occ),
+            )
+        else:
+            pos_blobs = [b""] * len(heads)
         cols = [
             "df", "cf", "sum_dl", "doc_ids", "tfs", "doclens", "skips",
             "max_tf", "min_dl", "block_max_tf", "block_min_dl",
@@ -182,6 +188,9 @@ def compact(
             h.num_shards == h0.num_shards
             and h.sharding == h0.sharding
             and set(h.keyword_fields) == set(h0.keyword_fields)
+            # positions=True merged with positions=False would yield an
+            # index whose phrase results silently miss half the corpus
+            and h.positions == h0.positions
         )
         if not same:
             raise ValueError(
@@ -224,7 +233,7 @@ def compact(
             n_parts, F.col("shard_id"), F.pmod(F.col("th"), F.lit(slices))
         )
         .sortWithinPartitions("shard_id", "th")
-        .mapInPandas(_merge_kernel(block), ENCODED_SCHEMA)
+        .mapInPandas(_merge_kernel(block, h0.positions), ENCODED_SCHEMA)
         .repartition(
             h0.num_shards, F.col("shard_id"), F.pmod(F.col("th"), F.lit(16))
         )
@@ -294,9 +303,14 @@ def compact(
     if avgdl == 0.0:
         avgdl = 1.0
     spark.createDataFrame(
-        [(n_docs, avgdl, h0.num_shards, list(h0.keyword_fields), h0.sharding)],
+        [
+            (
+                n_docs, avgdl, h0.num_shards, list(h0.keyword_fields),
+                h0.sharding, h0.positions,
+            )
+        ],
         "n_docs long, avgdl double, n_shards int, "
-        "keyword_fields array<string>, sharding string",
+        "keyword_fields array<string>, sharding string, positions boolean",
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus.parquet"))
 
     # ---- docvalue sidecar merge: union the per-shard bucket rows and

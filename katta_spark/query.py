@@ -55,6 +55,9 @@ class IndexHandle:
     num_shards: int
     keyword_fields: tuple[str, ...] = ()
     sharding: str = "pmod_doc_id"
+    # False for positions=False builds (Lucene omit-term-positions): the
+    # postings' positions blobs are empty and phrase queries refuse.
+    positions: bool = True
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
@@ -79,9 +82,10 @@ class IndexHandle:
         row = spark.read.parquet(os.path.join(index_dir, "corpus.parquet")).collect()[0]
         kw = tuple(row["keyword_fields"] or ()) if "keyword_fields" in row else ()
         sharding = row["sharding"] if "sharding" in row else "pmod_doc_id"
+        pos = bool(row["positions"]) if "positions" in row else True
         h = cls(
             index_dir, int(row["n_docs"]), float(row["avgdl"]),
-            int(row["n_shards"]), kw, sharding,
+            int(row["n_shards"]), kw, sharding, pos,
         )
         h._opened_at = time.time()
         h._n_queries = 0
@@ -1594,6 +1598,12 @@ def search(
         qweights, must, must_not, phrases = parse_bool_query(
             query, index.keyword_fields
         )
+    if phrases and not index.positions:
+        raise ValueError(
+            f"phrase query against index {index.index_dir!r} built with "
+            "positions=False (omitted term positions) — rebuild with "
+            "positions=True to run phrase/slop queries"
+        )
     boolean = bool(must or must_not or phrases)
     if boolean and mode != "or":
         raise ValueError(
@@ -1935,6 +1945,14 @@ def search_multi(
                 "boolean operators (+/-) define their own clause "
                 f"semantics; mode={mode!r} is not combinable with them"
             )
+    if phrases:
+        for h in handles:
+            if not h.positions:
+                raise ValueError(
+                    f"phrase query against index {h.index_dir!r} built "
+                    "with positions=False (omitted term positions) — "
+                    "rebuild with positions=True to run phrase/slop queries"
+                )
     if not qweights or k <= 0:
         return spark.createDataFrame([], empty_schema)
     terms = sorted(set(qweights) | must_not)
@@ -2337,6 +2355,12 @@ def search_batch(
         for t in toks
     }
 
+    if phrase_terms and not index.positions:
+        raise ValueError(
+            f"phrase query in batch against index {index.index_dir!r} "
+            "built with positions=False (omitted term positions) — "
+            "rebuild with positions=True to run phrase/slop queries"
+        )
     all_terms = sorted({t for plan in plans for t in _plan_terms(plan)})
     if not all_terms or k <= 0:
         return spark.createDataFrame([], out_schema)

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from katta_spark.build import build_index
 from katta_spark.oracle import bm25_topk, with_doc_ids
-from katta_spark.query import parse_bool_query, search
+from katta_spark.query import (
+    IndexHandle,
+    parse_bool_query,
+    search,
+    search_batch,
+    search_multi,
+)
 from katta_spark.tokenizer import tokenize_col
 
 
@@ -700,3 +706,38 @@ def test_tree_prune_end_to_end(spark, bidx, docs):
         assert [(r.doc_id, round(r.score, 9)) for r in got] == [
             (r.doc_id, round(r.score, 9)) for r in want
         ], q
+
+
+def test_positions_false_build(spark, bidx, tiny_transcripts, tmp_path_factory):
+    """positions=False (Lucene omit-term-positions analog): every
+    non-phrase query is bit-identical to a positional build — only the
+    positions blobs differ (empty) — and phrase/slop queries refuse with
+    a clear rebuild message across search / search_multi / search_batch."""
+    d = str(tmp_path_factory.mktemp("nopos_idx"))
+    build_index(
+        spark, tiny_transcripts, d, num_shards=4, positions=False
+    )
+    h = IndexHandle.open(spark, d)
+    assert h.positions is False
+    for q in ("hotalpha hotbeta", "+hotalpha -hotbeta", "w00011"):
+        a = [
+            (r.doc_id, r.score)
+            for r in search(spark, bidx, q, k=10).collect()
+        ]
+        b = [(r.doc_id, r.score) for r in search(spark, h, q, k=10).collect()]
+        assert a == b, q
+    # postings bytes: positions column empty, everything else present
+    import os as _os
+
+    post = spark.read.parquet(_os.path.join(d, "postings.parquet"))
+    row = post.agg(
+        F.sum(F.length("positions")).alias("p"),
+        F.sum(F.length("doc_ids")).alias("d"),
+    ).collect()[0]
+    assert row["p"] == 0 and row["d"] > 0
+    with pytest.raises(ValueError, match="positions=False"):
+        search(spark, h, '"hotalpha hotbeta"', k=5)
+    with pytest.raises(ValueError, match="positions=False"):
+        search_multi(spark, [h, bidx], '"hotalpha hotbeta"~2', k=5)
+    with pytest.raises(ValueError, match="positions=False"):
+        search_batch(spark, h, ["w00011", '"hotalpha hotbeta"'], k=5)

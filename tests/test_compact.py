@@ -174,3 +174,48 @@ def test_compact_refuses_mixed_docvalues(
     )
     with pytest.raises(ValueError, match="SAME docvalue"):
         compact(spark, [dirs[0], withdv], str(tmp_path / "bad_mix"))
+
+
+def test_compact_positions_false(spark, tiny_transcripts, tmp_path_factory):
+    """Compacting positions=False inputs works (empty blobs pass through /
+    merge to empty) and a positional/positionless mix refuses."""
+    root = tmp_path_factory.mktemp("compact_nopos")
+    dirs = []
+    for parity in (0, 1):
+        d = str(root / f"np{parity}")
+        build_index(
+            spark,
+            tiny_transcripts.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+            ),
+            d,
+            num_shards=4,
+            positions=False,
+        )
+        dirs.append(d)
+    out = str(root / "np_merged")
+    compact(spark, dirs, out)
+    q = "hotalpha hotbeta"
+    got = search(spark, out, q, k=10, score_dtype="float64").collect()
+    want = search_multi(spark, dirs, q, k=10, score_dtype="float64").collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+    import os
+
+    post = spark.read.parquet(os.path.join(out, "postings.parquet"))
+    assert post.agg(F.sum(F.length("positions"))).collect()[0][0] == 0
+    with pytest.raises(ValueError, match="positions"):
+        search(spark, out, '"hotalpha hotbeta"', k=5)
+    # mixed inputs refuse
+    dpos = str(root / "withpos")
+    build_index(
+        spark,
+        tiny_transcripts.where(
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == 0
+        ),
+        dpos,
+        num_shards=4,
+    )
+    with pytest.raises(ValueError, match="must share"):
+        compact(spark, [dpos, dirs[1]], str(root / "mix"))
