@@ -630,9 +630,6 @@ _MAX_SLOP = (1 << 22) - 1
 
 # Repeated-token sloppy phrases are verified per candidate doc with a
 # distinct-occurrence assignment search; the configuration space is capped.
-_MAX_REPEAT_CONFIGS = 100_000
-
-
 def _phrase_match_mask(
     cand: np.ndarray,
     tokens: list[str],
@@ -675,7 +672,7 @@ def _phrase_match_mask(
         per_slot.append((di, p_abs, adj))
         slot_keys.append(np.sort(di * _POS_KEY_SPACE + adj))
     if len(set(tokens)) < m:
-        return _phrase_match_repeats(nc, per_slot, slop)
+        return _phrase_match_repeats(nc, per_slot, slop, tokens)
     # A config with span <= slop exists iff SOME slot j occurrence is its
     # minimum adjusted position and every other slot has an adjusted
     # position within [anchor, anchor + slop] in the same doc.
@@ -699,37 +696,64 @@ def _phrase_match_mask(
 
 
 def _phrase_match_repeats(
-    nc: int, per_slot: list, slop: int
+    nc: int, per_slot: list, slop: int, tokens: list[str]
 ) -> np.ndarray:
     """Distinct-occurrence phrase check for phrases with repeated tokens
-    ('"a b a"'): per candidate doc, search assignments of occurrences to
-    slots requiring pairwise-distinct absolute positions and adjusted span
-    <= slop. Candidate docs and per-doc occurrence counts are small (the
-    must-set already restricts to docs containing every token), but the
-    configuration space is capped defensively."""
-    from itertools import product
+    ('"a b a"') — polynomial in the occurrence counts, no configuration
+    cap (the r4 itertools.product enumeration was exponential and raised
+    past a defensive cap mid-job).
 
+    Two structural facts make this easy. (1) Slots holding DIFFERENT
+    tokens can never collide on an absolute position (one term occupies a
+    position), so the distinct-positions constraint decomposes per token
+    GROUP. (2) For a fixed window anchor ``a`` (candidate minimum
+    adjusted position), the slot at phrase offset ``i`` accepts exactly
+    the absolute positions ``p`` with ``a <= p - i + m <= a + slop`` — an
+    INTERVAL of p whose endpoints grow with i — so within a group a
+    system of distinct representatives exists iff the greedy sweep
+    (offsets ascending, each taking the smallest unused position in its
+    interval) completes: interval bipartite matching. A feasible
+    assignment's minimum adjusted position is always some occurrence's
+    adjusted position, so trying every such anchor is exhaustive.
+    """
+    m = len(tokens)
     ok = np.zeros(nc, dtype=bool)
+    # one entry per DISTINCT token: (ascending phrase offsets using it,
+    # that token's (doc-index, abs-position) occurrence arrays — identical
+    # across its slots, so taken from the first)
+    by_tok: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        by_tok.setdefault(t, []).append(i)
+    groups = [
+        (offs, per_slot[offs[0]][0], per_slot[offs[0]][1])
+        for offs in by_tok.values()
+    ]
     for c in range(nc):
-        options = []
-        n_cfg = 1
-        for di, p_abs, adj in per_slot:
-            sel = di == c
-            opts = list(zip(p_abs[sel].tolist(), adj[sel].tolist()))
-            options.append(opts)
-            n_cfg *= max(1, len(opts))
-        if n_cfg > _MAX_REPEAT_CONFIGS:
-            raise ValueError(
-                "repeated-token phrase has too many position combinations "
-                f"({n_cfg} > {_MAX_REPEAT_CONFIGS}) in one document — "
-                "reduce phrase ambiguity"
+        pos_by_g = [p_abs[di == c] for _, di, p_abs in groups]
+        anchors = np.unique(
+            np.concatenate(
+                [
+                    (p[None, :] - np.asarray(offs)[:, None] + m).ravel()
+                    for (offs, _, _), p in zip(groups, pos_by_g)
+                ]
             )
-        for cfg in product(*options):
-            ps = [p for p, _ in cfg]
-            if len(set(ps)) < len(ps):
-                continue
-            adjs = [a for _, a in cfg]
-            if max(adjs) - min(adjs) <= slop:
+        )
+        for a in anchors:
+            good = True
+            for (offs, _, _), p in zip(groups, pos_by_g):
+                ptr = 0
+                for i in offs:
+                    lo = a + i - m
+                    # positions consumed or skipped at earlier (smaller-lo)
+                    # offsets stay unusable — the pointer never rewinds
+                    ptr += int(np.searchsorted(p[ptr:], lo))
+                    if ptr >= p.size or p[ptr] > lo + slop:
+                        good = False
+                        break
+                    ptr += 1
+                if not good:
+                    break
+            if good:
                 ok[c] = True
                 break
     return ok

@@ -117,3 +117,53 @@ def test_phrase_matcher_repeated_token_distinctness():
     assert _phrase_match_mask(cand, ["a", "a"], 0, pdata).tolist() == [
         False, False,
     ]
+
+
+def test_phrase_matcher_repeated_token_adversarial():
+    """Heavy-repetition phrases (the case the r4 matcher capped at
+    _MAX_REPEAT_CONFIGS and enumerated exponentially): the interval-
+    matching path must agree with brute force on dense repeated-token
+    docs, with no cap to hit."""
+    rng = random.Random(99)
+    for trial in range(40):
+        vocab = ["a", "b"] if trial % 2 else ["a", "b", "c"]
+        doc_tokens = {
+            did: [rng.choice(vocab) for _ in range(rng.randint(4, 18))]
+            for did in range(rng.randint(1, 6))
+        }
+        m = rng.randint(2, 5)
+        # mostly-repeated phrase: token 'a' dominates
+        tokens = [rng.choice(["a", "a", "a", "b"]) for _ in range(m)]
+        slop = rng.choice([0, 1, 2, 4, 8])
+        pdata = _pdata_from_docs(doc_tokens, set(tokens))
+        cand = np.array(
+            sorted(
+                d
+                for d, toks in doc_tokens.items()
+                if all(w in toks for w in tokens)
+            ),
+            dtype=np.int64,
+        )
+        got = _phrase_match_mask(cand, tokens, slop, pdata)
+        want = _brute(doc_tokens, cand, tokens, slop)
+        assert np.array_equal(got, want), (
+            trial, tokens, slop,
+            {d: doc_tokens[d] for d in cand[got != want]},
+        )
+
+
+def test_phrase_matcher_no_cap_on_dense_doc():
+    """A single pathological doc (40 occurrences of one token, phrase
+    'a a a a a a') would have exceeded the old 100k-config cap by orders
+    of magnitude; the interval matcher answers directly."""
+    doc_tokens = {7: ["a"] * 40}
+    pdata = _pdata_from_docs(doc_tokens, {"a"})
+    cand = np.array([7], dtype=np.int64)
+    tokens = ["a"] * 6
+    # consecutive run of 6 'a's exists -> slop 0 matches
+    assert _phrase_match_mask(cand, tokens, 0, pdata).tolist() == [True]
+    doc_tokens = {7: (["a", "x"] * 20)}
+    pdata = _pdata_from_docs(doc_tokens, {"a"})
+    # 'a's at even positions: 6 distinct a's need span 10 > slop 4
+    assert _phrase_match_mask(cand, tokens, 4, pdata).tolist() == [False]
+    assert _phrase_match_mask(cand, tokens, 5, pdata).tolist() == [True]
