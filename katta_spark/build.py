@@ -417,6 +417,15 @@ def build_index(
         transcripts, num_shards, id_cols, text_col, doc_id_col, keyword_cols,
         docvalue_cols,
     )
+    if docvalue_cols:
+        # fail fast on an unsupported sort-column type — before any batch
+        # is encoded, not at the sidecar write hours into a large build
+        from katta_spark.docvalues import mapped_expr
+
+        ddt = dict(docs.dtypes)
+        for c in docvalue_cols:
+            if ddt[c] != "string":
+                mapped_expr(docs, c)
 
     # Format check: an existing index of a different on-disk version cannot
     # be resumed — wipe and rebuild from scratch.

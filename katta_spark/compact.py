@@ -314,25 +314,100 @@ def compact(
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus.parquet"))
 
     # ---- docvalue sidecar merge: union the per-shard bucket rows and
-    # re-bucket per shard (inputs are doc-disjoint — checked above)
+    # re-bucket per shard (inputs are doc-disjoint — checked above).
+    # Numeric kinds merge in-kernel; STRING kinds carry per-index
+    # dictionary ranks that are not comparable across indexes, so each
+    # string column's dictionaries are merged and re-ranked first, then
+    # its sidecar rows decode → remap-join (old rank → new rank, fully
+    # distributed) → re-encode per shard.
     if dv_metas[0] is not None:
         from katta_spark.docvalues import (
+            DV_ROWS_SCHEMA,
             DV_SCHEMA,
             dv_path,
+            encode_dv_rows_kernel,
+            explode_dv_rows_kernel,
             merge_docvalues_kernel,
+            string_rank_dictionary,
+            strings_path,
         )
 
-        dv_union = None
-        for d in index_dirs:
-            t = spark.read.parquet(dv_path(d))
-            dv_union = t if dv_union is None else dv_union.unionByName(t)
-        (
-            dv_union.repartition(h0.num_shards, "shard_id")
-            .groupBy("shard_id")
-            .applyInPandas(
-                merge_docvalues_kernel(sorted(dv_metas[0]["cols"])), DV_SCHEMA
+        kinds = dv_metas[0]["cols"]
+        num_cols = sorted(c for c, kd in kinds.items() if kd != "string")
+        str_cols = sorted(c for c, kd in kinds.items() if kd == "string")
+        merged_parts = []
+        if num_cols:
+            dv_union = None
+            for d in index_dirs:
+                t = spark.read.parquet(dv_path(d)).where(
+                    F.col("col").isin(num_cols)
+                )
+                dv_union = t if dv_union is None else dv_union.unionByName(t)
+            merged_parts.append(
+                dv_union.repartition(h0.num_shards, "shard_id")
+                .groupBy("shard_id")
+                .applyInPandas(merge_docvalues_kernel(num_cols), DV_SCHEMA)
             )
-            .write.mode("overwrite")
+        for c in str_cols:
+            # merged dictionary: union of source values, re-ranked
+            vunion = None
+            for d in index_dirs:
+                t = spark.read.parquet(
+                    os.path.join(strings_path(d), f"col={c}")
+                ).select("value")
+                vunion = t if vunion is None else vunion.unionByName(t)
+            ranks, cache = string_rank_dictionary(
+                spark, vunion, h0.num_shards
+            )
+            ranks.write.mode("overwrite").parquet(
+                os.path.join(strings_path(out_dir), f"col={c}")
+            )
+            cache.unpersist()
+            new_dict = spark.read.parquet(
+                os.path.join(strings_path(out_dir), f"col={c}")
+            ).select("value", F.col("rank").alias("new_rank"))
+            # per-source remap (old rank → new rank) and decoded rows
+            remap = None
+            rows = None
+            for i, d in enumerate(index_dirs):
+                rm = (
+                    spark.read.parquet(
+                        os.path.join(strings_path(d), f"col={c}")
+                    )
+                    .select("value", F.col("rank").alias("rank"))
+                    .join(new_dict, "value")
+                    .select(F.lit(i).alias("src"), "rank", "new_rank")
+                )
+                remap = rm if remap is None else remap.unionByName(rm)
+                rw = (
+                    spark.read.parquet(dv_path(d))
+                    .where(F.col("col") == c)
+                    .mapInPandas(explode_dv_rows_kernel(c), DV_ROWS_SCHEMA)
+                    .withColumn("src", F.lit(i))
+                )
+                rows = rw if rows is None else rows.unionByName(rw)
+            remapped = (
+                rows.join(remap, ["src", "rank"], "left")
+                .select(
+                    "shard_id",
+                    "doc_id",
+                    # NULL docs store a placeholder rank 0 whose value may
+                    # be absent from the merged dictionary — keep 0, the
+                    # isnull mask overrides it at sort time
+                    F.coalesce("new_rank", F.lit(0)).alias("rank"),
+                    "isnull",
+                )
+            )
+            merged_parts.append(
+                remapped.repartition(h0.num_shards, "shard_id")
+                .groupBy("shard_id")
+                .applyInPandas(encode_dv_rows_kernel(c), DV_SCHEMA)
+            )
+        merged_dv = merged_parts[0]
+        for mp in merged_parts[1:]:
+            merged_dv = merged_dv.unionByName(mp)
+        (
+            merged_dv.write.mode("overwrite")
             .partitionBy("shard_id")
             .parquet(dv_path(out_dir))
         )

@@ -1424,7 +1424,35 @@ def _make_match_kernel(
     return kernel
 
 
-def _make_dv_sort_cog(kernel, specs: list, dv_k: int, score_dtype: str):
+_DV_FILTER_COL = "\x00filter"
+
+
+def _dv_with_filter(dvdf: DataFrame, fdf: DataFrame) -> DataFrame:
+    """Union the co-sharded filter docIDs INTO the docvalue side of the
+    dv-sort cogroup (applyInPandas cogroup takes exactly two sides):
+    filter rows travel as pseudo-docvalue rows with col=_DV_FILTER_COL
+    and the docID in an extra ``fdoc`` long column; real dv rows carry
+    fdoc=0. ``fdoc`` is non-null EVERYWHERE so the Arrow→pandas transfer
+    keeps exact int64 (a nullable column would round-trip through float64
+    and corrupt 64-bit hash docIDs). '\\x00' cannot start a user column
+    name coming out of build_index's docvalue_cols, so the marker never
+    collides with a real sidecar column."""
+    dvdf = dvdf.withColumn("fdoc", F.lit(0).cast("long"))
+    frows = fdf.select(
+        "shard_id",
+        F.lit(_DV_FILTER_COL).alias("col"),
+        F.lit(0).alias("bucket"),
+        F.lit(None).cast("binary").alias("doc_ids"),
+        F.lit(None).cast("binary").alias("vals"),
+        F.lit(None).cast("binary").alias("nulls"),
+        F.col("doc_id").alias("fdoc"),
+    )
+    return dvdf.unionByName(frows)
+
+
+def _make_dv_sort_cog(
+    kernel, specs: list, dv_k: int, score_dtype: str, filtered: bool = False
+):
     """Wrap a match/score kernel with the in-index field-sort cap — the
     TopFieldCollector analog (LuceneServer.java:672-677): the wrapped
     kernel emits EVERY shard match (k=maxint upstream), this stage looks
@@ -1432,7 +1460,13 @@ def _make_dv_sort_cog(kernel, specs: list, dv_k: int, score_dtype: str):
     nothing shuffles) and keeps only the dv_k best by
     (spec order, doc_id asc), emitting order-preserving mapped keys
     ``__sv<i>`` (nullable long; NULL ordering matches Spark's
-    asc_nulls_first / desc_nulls_last) for the global merge."""
+    asc_nulls_first / desc_nulls_last) for the global merge.
+
+    ``filtered``: the right side additionally carries the shard's allowed
+    docIDs as _DV_FILTER_COL pseudo-rows (_dv_with_filter) — they are
+    split off and passed to the kernel as its filter set, so Katta's
+    search(query, sort, filter) composition (ILuceneServer.java:84-101)
+    keeps the per-shard k cap."""
     from katta_spark.codec import u64_to_i64_order
     from katta_spark.docvalues import decode_shard_column
 
@@ -1447,7 +1481,15 @@ def _make_dv_sort_cog(kernel, specs: list, dv_k: int, score_dtype: str):
     def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left):
             return _empty()
-        hits = kernel(left)
+        if filtered:
+            fmask = (right["col"] == _DV_FILTER_COL).to_numpy()
+            allowed = np.unique(
+                right["fdoc"].to_numpy(np.int64)[fmask]
+            )
+            right = right.loc[~fmask]
+            hits = kernel(left, allowed)
+        else:
+            hits = kernel(left)
         if not len(hits):
             return _empty()
         docs = hits["doc_id"].to_numpy(np.int64)
@@ -1739,12 +1781,13 @@ def search(
         )
         filter_doc_col = "doc_id"
     if _dv_sort is not None:
-        if filter_df is not None or _with_total:
-            raise ValueError(
-                "_dv_sort does not combine with filter_df/_with_total"
-            )
+        if _with_total:
+            raise ValueError("_dv_sort does not combine with _with_total")
         specs, dv_k = _dv_sort
-        dv_cog = _make_dv_sort_cog(kernel, specs, dv_k, score_dtype)
+        dv_cog = _make_dv_sort_cog(
+            kernel, specs, dv_k, score_dtype,
+            filtered=filter_df is not None,
+        )
         from katta_spark.docvalues import dv_path as _dvp
 
         dvdf = spark.read.parquet(_dvp(index.index_dir)).where(
@@ -1752,6 +1795,13 @@ def search(
         )
         if shard_ids is not None:
             dvdf = dvdf.where(F.col("shard_id").isin(shard_ids))
+        if filter_df is not None:
+            fdf = filter_df.select(
+                F.col(filter_doc_col).cast("long").alias("doc_id")
+            ).withColumn("shard_id", index.shard_expr(F.col("doc_id")))
+            if shard_ids is not None:
+                fdf = fdf.where(F.col("shard_id").isin(shard_ids))
+            dvdf = _dv_with_filter(dvdf, fdf)
         sv_schema = ", ".join(f"__sv{i} long" for i in range(len(specs)))
         hits = (
             postings.groupBy("shard_id")
@@ -2039,6 +2089,13 @@ def search_multi(
         kernel = _make_and_kernel(
             qweights, n_docs, avgdl, k, score_dtype, _with_total
         )
+    elif mode == "match":
+        # scores-off path (Katta's default — LuceneServer.java:97 only
+        # tracks scores when asked): used by multi-index search_sorted
+        # with track_scores=False
+        kernel = _make_match_kernel(
+            qweights, n_docs, avgdl, k, score_dtype, _with_total
+        )
     else:
         # with totals the count must be exact → no block pruning; boolean
         # clauses (must/not/phrase) also disable pruning inside the kernel
@@ -2055,14 +2112,15 @@ def search_multi(
     if _dv_sort is not None:
         # per-index sidecars, shard ids offset like the postings — the
         # same TopFieldCollector cap as single-index (see search())
-        if filter_df is not None or _with_total:
-            raise ValueError(
-                "_dv_sort does not combine with filter_df/_with_total"
-            )
+        if _with_total:
+            raise ValueError("_dv_sort does not combine with _with_total")
         from katta_spark.docvalues import dv_path as _dvp
 
         specs, dv_k = _dv_sort
-        dv_cog = _make_dv_sort_cog(kernel, specs, dv_k, score_dtype)
+        dv_cog = _make_dv_sort_cog(
+            kernel, specs, dv_k, score_dtype,
+            filtered=filter_df is not None,
+        )
         dv_parts = []
         offset = 0
         for h in handles:
@@ -2077,6 +2135,26 @@ def search_multi(
         dvdf = dv_parts[0]
         for p in dv_parts[1:]:
             dvdf = dvdf.unionByName(p)
+        if filter_df is not None:
+            fbase = filter_df.select(
+                F.col(filter_doc_col).cast("long").alias("doc_id")
+            )
+            fparts = []
+            offset = 0
+            for h in handles:
+                fparts.append(
+                    fbase.withColumn(
+                        "shard_id",
+                        (h.shard_expr(F.col("doc_id")) + F.lit(offset)).cast(
+                            "int"
+                        ),
+                    )
+                )
+                offset += h.num_shards
+            fdf = fparts[0]
+            for fp in fparts[1:]:
+                fdf = fdf.unionByName(fp)
+            dvdf = _dv_with_filter(dvdf, fdf)
         sv_schema = ", ".join(f"__sv{i} long" for i in range(len(specs)))
         hits = (
             postings.groupBy("shard_id")
@@ -2148,15 +2226,17 @@ def search_sorted(
 
     ``sort_cols`` entries may be column names, ``(name, 'asc'|'desc')``
     tuples, or arbitrary Columns. When every entry names a column the
-    index carries in its docvalue sidecar (build_index docvalue_cols) and
-    no filter is applied, the FAST path runs: each shard kernel looks the
-    sort keys up IN-INDEX and emits only its k best rows — ≤ k·shards
-    rows total leave the kernels, exactly Katta's per-shard
-    TopFieldCollector cap at min(limit, maxDoc), and only the merged
-    top-k joins back to ``source`` for the display columns. Otherwise
-    every match joins to its stored fields and the distributed
-    TakeOrderedAndProject does the k-way merge (correct, but a high-df
-    query shuffles |matches| rows).
+    index carries in its docvalue sidecar (build_index docvalue_cols),
+    the FAST path runs: each shard kernel looks the sort keys up IN-INDEX
+    and emits only its k best rows — ≤ k·shards rows total leave the
+    kernels, exactly Katta's per-shard TopFieldCollector cap at
+    min(limit, maxDoc), and only the merged top-k joins back to
+    ``source`` for the display columns. ``filter_df`` composes with the
+    fast path (Katta's search(query, sort, filter) one-call surface,
+    ILuceneServer.java:84-101): the allowed set cogroups into the kernels
+    ahead of the per-shard dv cap. Otherwise every match joins to its
+    stored fields and the distributed TakeOrderedAndProject does the
+    k-way merge (correct, but a high-df query shuffles |matches| rows).
 
     ``track_scores=False`` omits the BM25 score column (Katta's default —
     scores are only computed when requested).
@@ -2166,18 +2246,19 @@ def search_sorted(
     combined-stats bag union; ``source`` must cover the union corpus.
     """
     specs = _norm_sort_specs(sort_cols)
-    if specs is not None and filter_df is None:
+    if specs is not None:
         ihs = [
             IndexHandle.open(spark, ix) if isinstance(ix, str) else ix
             for ix in (index if isinstance(index, (list, tuple)) else [index])
         ]
         if all(
             all(n in h.docvalue_kinds() for n, _ in specs) for h in ihs
-        ) and (track_scores or len(ihs) == 1):
+        ):
             return _search_sorted_dv(
                 spark,
                 ihs if isinstance(index, (list, tuple)) else ihs[0],
                 query, source, specs, k, track_scores, id_cols, doc_id_col,
+                filter_df, filter_doc_col,
             )
     # fallback: candidate docs = union of posting lists (huge k caps
     # nothing away); when scores aren't tracked, the match-only kernel
@@ -2188,14 +2269,10 @@ def search_sorted(
             for n, d in specs
         ]
     if isinstance(index, (list, tuple)):
-        if not track_scores:
-            raise ValueError(
-                "multi-index sorted search always tracks scores (the "
-                "match-only kernel is single-index)"
-            )
         matches = search_multi(
             spark, list(index), query, k=2**31 - 1, score_dtype="float64",
-            ordered=False, filter_df=filter_df, filter_doc_col=filter_doc_col,
+            ordered=False, mode="or" if track_scores else "match",
+            filter_df=filter_df, filter_doc_col=filter_doc_col,
         )
     else:
         if isinstance(index, str):
@@ -2247,16 +2324,24 @@ def _search_sorted_dv(
     track_scores: bool,
     id_cols: tuple[str, str],
     doc_id_col: str | None,
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
 ) -> DataFrame:
     """Docvalue fast path: per-shard in-index field-sort cap (≤ k·shards
     rows leave the kernels), global merge on the mapped keys, then ONE
     broadcast join of the merged top-k to ``source`` for display columns.
     ``index`` may be a LIST of dv-carrying handles (combined stats via
-    search_multi, per-index sidecars cogrouped per offset shard)."""
+    search_multi, per-index sidecars cogrouped per offset shard).
+    ``filter_df`` composes with the cap: the allowed docIDs cogroup into
+    the kernels ahead of the per-shard dv selection — Katta's
+    search(query, sort, filter) in one call (ILuceneServer.java:84-101,
+    LuceneClientTest.java:562-617)."""
     if isinstance(index, (list, tuple)):
         hits = search_multi(
             spark, list(index), query, k=2**31 - 1,
             score_dtype="float64", ordered=False, _dv_sort=(specs, k),
+            mode="or" if track_scores else "match",
+            filter_df=filter_df, filter_doc_col=filter_doc_col,
         )
     else:
         hits = search(
@@ -2264,6 +2349,7 @@ def _search_sorted_dv(
             score_dtype="float64", ordered=False,
             mode="or" if track_scores else "match",
             _dv_sort=(specs, k),
+            filter_df=filter_df, filter_doc_col=filter_doc_col,
         )
     order_cols = [
         (

@@ -116,7 +116,7 @@ def test_dv_missing_column_falls_back(spark, dvidx, dv_corpus):
         else [("role", "asc"), ("turn_idx", "asc")],
         k=5,
     )
-    # 'role' is a string → unsupported by the sidecar → join path; result
+    # 'role' is not among dvidx's docvalue_cols → join path; result
     # must still be correct vs explicit Columns
     want = search_sorted(
         spark, dvidx, "hotalpha", dv_corpus,
@@ -128,10 +128,11 @@ def test_dv_missing_column_falls_back(spark, dvidx, dv_corpus):
 
 
 def test_dv_unsupported_type_refused_at_build(spark, tiny_transcripts, tmp_path):
+    bad = tiny_transcripts.withColumn("arr", F.array(F.lit(1), F.lit(2)))
     with pytest.raises(ValueError, match="unsupported type"):
         build_index(
-            spark, tiny_transcripts, str(tmp_path / "bad_dv"),
-            num_shards=2, docvalue_cols=("role",),  # string
+            spark, bad, str(tmp_path / "bad_dv"),
+            num_shards=2, docvalue_cols=("arr",),  # array — no sort order
         )
 
 
@@ -182,3 +183,260 @@ def test_dv_multi_index_fast_path(spark, dv_corpus, tmp_path_factory):
         [F.col("ts").desc(), F.col("turn_idx").asc()], k=10,
     ).collect()
     assert [r.doc_id for r in got] == [r.doc_id for r in legacy]
+
+
+def test_dv_filtered_fast_path(spark, dvidx, dv_corpus):
+    """filter_df composes with the dv fast path (Katta's
+    search(query, sort, filter) one call, ILuceneServer.java:84-101):
+    same answer as the join path, per-shard cap intact."""
+    filt = dv_corpus.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id")
+    ).where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    specs = [("ts", "asc"), ("turn_idx", "desc")]
+    got = search_sorted(
+        spark, dvidx, "hotalpha hotbeta w00011", dv_corpus, specs, k=8,
+        filter_df=filt,
+    ).collect()
+    want = search_sorted(
+        spark, dvidx, "hotalpha hotbeta w00011", dv_corpus,
+        [F.col("ts").asc(), F.col("turn_idx").desc()], k=8,
+        filter_df=filt,
+    ).collect()
+    assert len(got) > 0
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got]),
+        np.array([r.score for r in want]),
+        rtol=1e-12,
+    )
+    # the filter actually excludes docs vs the unfiltered answer
+    unfilt = search_sorted(
+        spark, dvidx, "hotalpha hotbeta w00011", dv_corpus, specs, k=8
+    ).collect()
+    assert [r.doc_id for r in got] != [r.doc_id for r in unfilt]
+    # capped: ≤ k·shards rows leave the kernels on the filtered path too
+    hits = search(
+        spark, dvidx, "hotalpha hotbeta", k=2**31 - 1, prune=False,
+        score_dtype="float64", ordered=False,
+        _dv_sort=([("turn_idx", "desc")], 5), filter_df=filt,
+    )
+    assert hits.count() <= 5 * 4
+
+
+def test_dv_filtered_empty_filter(spark, dvidx, dv_corpus):
+    """An empty allowed set matches nothing on the dv fast path (same as
+    the join path's filter semantics)."""
+    empty = spark.createDataFrame([], "doc_id long")
+    got = search_sorted(
+        spark, dvidx, "hotalpha", dv_corpus, [("turn_idx", "asc")], k=5,
+        filter_df=empty,
+    )
+    assert got.count() == 0
+
+
+def test_dv_filtered_multi_index(spark, dv_corpus, tmp_path_factory):
+    """Filter + dv sort across a LIST of indexes: each index's own
+    sharding routes the allowed set; equals the whole-corpus answer."""
+    root = tmp_path_factory.mktemp("dv_multi_filt")
+    whole = str(root / "whole")
+    build_index(
+        spark, dv_corpus, whole, num_shards=4, docvalue_cols=("turn_idx",)
+    )
+    parts = []
+    for parity in (0, 1):
+        d = str(root / f"p{parity}")
+        build_index(
+            spark,
+            dv_corpus.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+            ),
+            d, num_shards=4, docvalue_cols=("turn_idx",),
+        )
+        parts.append(d)
+    filt = dv_corpus.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id")
+    ).where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    specs = [("turn_idx", "desc")]
+    got = search_sorted(
+        spark, parts, "hotalpha hotbeta", dv_corpus, specs, k=10,
+        filter_df=filt,
+    ).collect()
+    want = search_sorted(
+        spark, whole, "hotalpha hotbeta", dv_corpus, specs, k=10,
+        filter_df=filt,
+    ).collect()
+    assert len(got) > 0
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
+@pytest.fixture(scope="module")
+def sdv_corpus(spark, tiny_transcripts):
+    """Transcripts + a nullable string column with heavy duplication."""
+    return tiny_transcripts.withColumn(
+        "label",
+        F.when(
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(5)) == 0, None
+        ).otherwise(
+            F.concat(
+                F.lit("g"),
+                F.pmod(
+                    F.xxhash64("conv_id", "turn_idx", F.lit(11)), F.lit(13)
+                ).cast("string"),
+            )
+        ),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def sdvidx(spark, sdv_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sdv_idx"))
+    build_index(
+        spark, sdv_corpus, d, num_shards=4,
+        docvalue_cols=("label", "role", "turn_idx"),
+    )
+    return d
+
+
+@pytest.mark.parametrize(
+    "specs",
+    [
+        [("role", "asc")],
+        [("role", "desc")],
+        [("label", "asc")],                      # nulls-first parity
+        [("label", "desc"), ("turn_idx", "asc")],  # string+numeric mix
+    ],
+)
+def test_string_dv_fast_equals_join(spark, sdvidx, sdv_corpus, specs):
+    """String docvalues (rank dictionary): the capped in-index path must
+    equal the source-join ORDER BY exactly — duplicates tie-broken by
+    doc_id, NULL placement per Spark asc_nulls_first/desc_nulls_last."""
+    h = IndexHandle.open(spark, sdvidx)
+    assert h.docvalue_kinds()["label"] == "string"
+    cols = [
+        F.col(n).asc() if d == "asc" else F.col(n).desc() for n, d in specs
+    ]
+    got = search_sorted(
+        spark, sdvidx, "hotalpha hotbeta w00011", sdv_corpus, specs, k=15
+    ).collect()
+    want = search_sorted(
+        spark, sdvidx, "hotalpha hotbeta w00011", sdv_corpus, cols, k=15
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    for n, _ in specs:
+        assert [r[n] for r in got] == [r[n] for r in want]
+
+
+def test_string_dv_caps_rows(spark, sdvidx):
+    """The whole point: a string sort now emits ≤ k·shards rows from the
+    kernels instead of every match."""
+    k = 4
+    hits = search(
+        spark, sdvidx, "hotalpha hotbeta", k=2**31 - 1, prune=False,
+        score_dtype="float64", ordered=False,
+        _dv_sort=([("role", "asc")], k),
+    )
+    n_capped = hits.count()
+    n_match = search(
+        spark, sdvidx, "hotalpha hotbeta", k=2**31 - 1, ordered=False
+    ).count()
+    assert n_capped <= k * 4 < n_match
+
+
+def test_string_dv_filtered(spark, sdvidx, sdv_corpus):
+    """Filter + string dv sort compose on the fast path."""
+    filt = sdv_corpus.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id")
+    ).where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    got = search_sorted(
+        spark, sdvidx, "hotalpha hotbeta", sdv_corpus,
+        [("label", "asc"), ("turn_idx", "desc")], k=10, filter_df=filt,
+    ).collect()
+    want = search_sorted(
+        spark, sdvidx, "hotalpha hotbeta", sdv_corpus,
+        [F.col("label").asc(), F.col("turn_idx").desc()], k=10,
+        filter_df=filt,
+    ).collect()
+    assert len(got) > 0
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
+def test_string_dv_compaction_remap(spark, sdv_corpus, tmp_path_factory):
+    """Compacting indexes with string docvalues: per-index ranks are NOT
+    comparable — the merged index re-ranks through a merged dictionary
+    (decode → remap join → re-encode) and must sort exactly like a
+    whole-corpus build. The split corpora see DISJOINT label subsets so
+    their per-index ranks genuinely diverge."""
+    from katta_spark.compact import compact
+
+    root = tmp_path_factory.mktemp("sdv_compact")
+    whole = str(root / "whole")
+    build_index(
+        spark, sdv_corpus, whole, num_shards=4,
+        docvalue_cols=("label", "turn_idx"),
+    )
+    parts = []
+    for parity in (0, 1):
+        d = str(root / f"p{parity}")
+        build_index(
+            spark,
+            sdv_corpus.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+            ),
+            d, num_shards=4, docvalue_cols=("label", "turn_idx"),
+        )
+        parts.append(d)
+    out = str(root / "merged")
+    compact(spark, parts, out)
+    specs = [("label", "asc"), ("turn_idx", "desc")]
+    got = search_sorted(
+        spark, out, "hotalpha hotbeta w00011", sdv_corpus, specs, k=15
+    ).collect()
+    want = search_sorted(
+        spark, whole, "hotalpha hotbeta w00011", sdv_corpus, specs, k=15
+    ).collect()
+    assert len(got) == len(want) > 0
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert [r.label for r in got] == [r.label for r in want]
+
+
+def test_dv_multi_index_scores_off(spark, dv_corpus, tmp_path_factory):
+    """Multi-index sorted search with track_scores=False (Katta's DEFAULT,
+    LuceneServer.java:97) — r4 refused this; now the match-only kernel
+    runs under the multi-index offset path: same docs and order as
+    scores-on, minus the score column. Also exercised on the join path
+    (opaque Column sorts)."""
+    root = tmp_path_factory.mktemp("dv_multi_ns")
+    parts = []
+    for parity in (0, 1):
+        d = str(root / f"p{parity}")
+        build_index(
+            spark,
+            dv_corpus.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+            ),
+            d, num_shards=4, docvalue_cols=("turn_idx", "ts"),
+        )
+        parts.append(d)
+    specs = [("ts", "asc"), ("turn_idx", "desc")]
+    off = search_sorted(
+        spark, parts, "hotalpha hotbeta", dv_corpus, specs, k=10,
+        track_scores=False,
+    )
+    assert "score" not in off.columns
+    on = search_sorted(
+        spark, parts, "hotalpha hotbeta", dv_corpus, specs, k=10,
+        track_scores=True,
+    )
+    off_rows = off.collect()
+    assert len(off_rows) == 10
+    assert [r.doc_id for r in off_rows] == [r.doc_id for r in on.collect()]
+    # join path (opaque Columns) with scores off, multi-index
+    legacy = search_sorted(
+        spark, parts, "hotalpha hotbeta", dv_corpus,
+        [F.col("ts").asc(), F.col("turn_idx").desc()], k=10,
+        track_scores=False,
+    )
+    assert "score" not in legacy.columns
+    assert [r.doc_id for r in off_rows] == [
+        r.doc_id for r in legacy.collect()
+    ]
