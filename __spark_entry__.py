@@ -44,10 +44,13 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}")
+    # dir name versioned by build params: a leftover tempdir from an
+    # older round (different docvalue_cols) must not trip the resume
+    # parameter guard — it would refuse, not silently mismatch
+    d = os.path.join(tempfile.gettempdir(), f"katta_idx_v2_{key}")
     ksb.build_index(
         spark, _docs(spark, sf_dir), d, num_shards=4, doc_id_col="doc_id",
-        docvalue_cols=("n_chars",),
+        docvalue_cols=("n_chars", "lang"),
     )
     _INDEX_CACHE[sf_dir] = d
     return d
@@ -365,31 +368,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_not"] = bm25_not
 
     def bm25_phrase(spark, sf):
-        """F2 phrase clause: '"join hash"' must appear as consecutive
-        tokens, executed ENTIRELY against the index's positional postings
-        (no source= — Lucene runs PhraseQuery per shard with no
-        stored-text access, LuceneServer.java:682); 'merge' is an extra
-        SHOULD scoring term."""
-        hits = ksq.search(
-            spark, _index_dir(spark, sf), '"join hash" merge', k=10,
-            score_dtype="float64",
-        )
-        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
+        """F2 phrase clauses, exact AND sloppy in one gate (folded to fit
+        the 50-gate driver cap), executed ENTIRELY against the index's
+        positional postings (Lucene runs PhraseQuery per shard with no
+        stored-text access, LuceneServer.java:682). 'exact':
+        '"join hash"' as consecutive tokens. 'slop': '"join scan"~3' with
+        SloppyPhraseMatcher semantics — token positions adjusted by
+        phrase offset, match iff span(adj) <= slop (reorderings cost
+        their displacement). 'merge' scores as SHOULD in both."""
+        out = []
+        for tag, qs in (
+            ("exact", '"join hash" merge'),
+            ("slop", '"join scan"~3 merge'),
+        ):
+            hits = ksq.search(
+                spark, _index_dir(spark, sf), qs, k=10,
+                score_dtype="float64",
+            )
+            out.append(
+                hits.select(
+                    "doc_id", F.round("score", 4).alias("score_r")
+                ).withColumn("variant", F.lit(tag))
+            )
+        return out[0].unionByName(out[1])
 
     q["bm25_phrase"] = bm25_phrase
-
-    def bm25_phrase_slop(spark, sf):
-        """F2 proximity phrase '"join scan"~3' — Lucene SloppyPhraseMatcher
-        semantics over the positional postings: token positions adjusted
-        by phrase offset, match iff span(adj) <= slop (reorderings cost
-        their displacement); 'merge' scores as SHOULD."""
-        hits = ksq.search(
-            spark, _index_dir(spark, sf), '"join scan"~3 merge', k=10,
-            score_dtype="float64",
-        )
-        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
-
-    q["bm25_phrase_slop"] = bm25_phrase_slop
 
     def bm25_phrase_multi(spark, sf):
         """Phrases over a LIST of indexes (the r3 refusal lifted by
@@ -469,10 +472,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_total_multi"] = bm25_total_multi
 
     def bm25_wildcard(spark, sf):
-        """P5 end-to-end: prefix wildcard expanded against the term
-        dictionary (Lucene rewrite, LuceneServer.java:602-624), then the
-        expanded OR query runs the normal kernel path."""
-        return _bm25(spark, sf, "sc* filter", 10)
+        """P5 end-to-end, BOTH rewrite shapes in one gate (folded to fit
+        the 50-gate driver cap): 'prefix' = a prefix wildcard expanded
+        against the term dictionary (Lucene rewrite,
+        LuceneServer.java:602-624); 'pattern' = general WildcardQuery
+        mid-pattern * and ? expanded with an anchored regex under the
+        startswith pushdown prefix. Each runs the normal OR kernel."""
+        a = _bm25(spark, sf, "sc* filter", 10).withColumn(
+            "variant", F.lit("prefix")
+        )
+        b = _bm25(spark, sf, "me?ge fil*er", 10).withColumn(
+            "variant", F.lit("pattern")
+        )
+        return a.unionByName(b)
 
     q["bm25_wildcard"] = bm25_wildcard
 
@@ -518,14 +530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits.select("doc_id", F.round("score", 4).alias("score_r"))
 
     q["bm25_range"] = bm25_range
-
-    def bm25_wildcard_pattern(spark, sf):
-        """P5 general WildcardQuery patterns (mid-pattern * and ?):
-        expanded against the dictionary with an anchored regex under the
-        startswith pushdown prefix, then scored as a normal OR rewrite."""
-        return _bm25(spark, sf, "me?ge fil*er", 10)
-
-    q["bm25_wildcard_pattern"] = bm25_wildcard_pattern
 
     def split_index(spark, sf):
         """Compliance (LuceneComplianceTest.java:107-190): two half-corpus
@@ -573,6 +577,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sorted_search"] = sorted_search
 
+    def sorted_search_str(spark, sf):
+        """T2 on a STRING field — Katta's first-listed sort type
+        (WritableType.java:33-35 opens with TEXT; text-sort test
+        LuceneClientTest.java:330): 'lang' sorts via the in-index rank
+        dictionary (docvalues.string_rank_dictionary), per-shard output
+        still capped at k; rank order == UTF8 binary == DuckDB VARCHAR
+        collation. Secondary numeric key exercises the mixed-kind merge."""
+        docs = _docs(spark, sf)
+        out = ksq.search_sorted(
+            spark,
+            _index_dir(spark, sf),
+            "merge batch",
+            docs,
+            sort_cols=[("lang", "asc"), ("n_chars", "desc")],
+            k=8,
+            track_scores=False,
+            doc_id_col="doc_id",
+        )
+        return out.select("doc_id", "lang", "n_chars")
+
+    q["sorted_search_str"] = sorted_search_str
+
+    def sorted_search_filtered(spark, sf):
+        """T2 + P2 composed — Katta's search(query, sort, filter) in ONE
+        call (ILuceneServer.java:84-101; filtered-sort test
+        LuceneClientTest.java:562-617): the allowed set cogroups into the
+        kernels AHEAD of the per-shard dv cap, so filtered sorted queries
+        keep the ≤ k·shards emission too."""
+        docs = _docs(spark, sf)
+        out = ksq.search_sorted(
+            spark,
+            _index_dir(spark, sf),
+            "merge batch",
+            docs,
+            sort_cols=[("n_chars", "desc")],
+            k=8,
+            track_scores=False,
+            doc_id_col="doc_id",
+            filter_df=docs.where("n_chars % 2 = 0"),
+        )
+        return out.select("doc_id", "n_chars")
+
+    q["sorted_search_filtered"] = sorted_search_filtered
+
     def count_q(spark, sf):
         """A3: hit-count fast path."""
         n = ksq.count_matches(spark, _index_dir(spark, sf), "join hash")
@@ -607,9 +655,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-data ops
     q["dedup_exact"] = lambda s, sf: tx.exact_dedup(_docs(s, sf))
-    # verified near-dup: LSH candidates ∩ exact Jaccard >= t — the composed
-    # scale pipeline (jaccard only on candidates, never corpus²)
-    q["dedup_near_pairs"] = lambda s, sf: tx.near_dup_pairs(_docs(s, sf), threshold=0.2)
+    def dedup_near_pairs(spark, sf):
+        """Verified near-dup pairs, BOTH modalities in one gate (folded to
+        fit the 50-gate driver cap). 'text': LSH candidates ∩ exact
+        n-gram Jaccard >= t — jaccard only on candidates, never corpus².
+        'embedding': banded-LSH bucket candidates verified with exact
+        cosine >= t (similarity.embedding_near_dup_pairs) — the embedding
+        dedup modality of the similarity stack. Both emit (a, b, sim)."""
+        text = tx.near_dup_pairs(_docs(spark, sf), threshold=0.2).select(
+            "a", "b", F.col("jaccard").alias("sim")
+        ).withColumn("variant", F.lit("text"))
+        emb = sim.embedding_near_dup_pairs(
+            _emb(spark, sf), threshold=0.3
+        ).select("a", "b", F.col("cos").alias("sim")).withColumn(
+            "variant", F.lit("embedding")
+        )
+        return text.unionByName(emb)
+
+    q["dedup_near_pairs"] = dedup_near_pairs
     # canonical assignment over the TRANSITIVE CLOSURE of those pairs
     # (iterative min-label propagation; the oracle is a DuckDB recursive
     # CTE over the same pair set — the r3 "rows-only check" upgraded)
@@ -705,28 +768,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_frame_sample"] = media_frames
 
     # ---- similarity search
-    q["ann_cosine_top20"] = lambda s, sf: sim.cosine_topk(_emb(s, sf), query_vec_id=0, k=20)
-
-    def ann_lsh(spark, sf):
-        """ANN over the PERSISTED bucket-partitioned index (built once per
-        sf): multi-probe Hamming-ball bucket pruning, then exact cosine on
-        the pruned candidates. The md5-Rademacher hyperplanes are
-        engine-reproducible, so the whole approximate path has an exact
-        DuckDB oracle."""
-        return sim.cosine_topk_lsh(
+    def ann_topk(spark, sf):
+        """Similarity search, BOTH paths in one gate (folded to fit the
+        50-gate driver cap). 'exact': brute-force cosine top-20, one
+        corpus scan, TakeOrderedAndProject. 'lsh': top-10 over the
+        PERSISTED bucket-partitioned ANN index (built once per sf) —
+        multi-probe Hamming-ball bucket pruning, then exact cosine on the
+        pruned candidates; the md5-Rademacher hyperplanes are
+        engine-reproducible, so the approximate path has an exact DuckDB
+        oracle."""
+        exact = sim.cosine_topk(
+            _emb(spark, sf), query_vec_id=0, k=20
+        ).withColumn("variant", F.lit("exact"))
+        lsh = sim.cosine_topk_lsh(
             _emb(spark, sf), query_vec_id=0, k=10, dim=64,
             ann_dir=_ann_dir(spark, sf),
-        )
+        ).withColumn("variant", F.lit("lsh"))
+        return exact.unionByName(lsh)
 
-    q["ann_lsh_top10"] = ann_lsh
-
-    def dedup_embedding(spark, sf):
-        """Embedding-cosine near-dup: LSH-bucketed candidate pairs (never
-        corpus²) verified with exact cosine — the dedup modality of the
-        similarity stack."""
-        return sim.embedding_near_dup_pairs(_emb(spark, sf), threshold=0.3)
-
-    q["dedup_embedding"] = dedup_embedding
+    q["ann_cosine_top20"] = ann_topk
 
     return q
 
@@ -783,7 +843,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # phrase: contains-verify of the consecutive token run on candidates;
     # scoring = plain BM25 over all three scoring terms
-    o["bm25_phrase"] = _bm25_sql(
+    _phrase_exact_sql = _bm25_sql(
         [("join", 1.0), ("hash", 1.0), ("merge", 1.0)], 10,
         filter_clause=(
             "WHERE doc_id IN (SELECT doc_id FROM documents WHERE "
@@ -829,7 +889,7 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
     # pattern wildcards: q = dictionary terms matching the anchored regexes
-    o["bm25_wildcard_pattern"] = f"""
+    _wc_pattern_sql = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
 ),
@@ -914,7 +974,7 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         "(SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS p "
         f"FROM (SELECT doc_id, {_TOK} AS t FROM documents))"
     )
-    o["bm25_phrase_slop"] = _bm25_sql(
+    _phrase_slop_sql = _bm25_sql(
         [("join", 1.0), ("scan", 1.0), ("merge", 1.0)], 10,
         filter_clause=(
             "WHERE doc_id IN ("
@@ -923,10 +983,16 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
             "AND abs(pb.p - 1 - pa.p) <= 3)"
         ),
     )
+    # exact + slop folded into ONE gate (50-gate driver cap)
+    o["bm25_phrase"] = f"""
+        SELECT 'exact' AS variant, * FROM ({_phrase_exact_sql})
+        UNION ALL
+        SELECT 'slop' AS variant, * FROM ({_phrase_slop_sql})
+    """
 
     # multi-index phrase == whole-corpus phrase (cross-index stats +
     # in-kernel positional verify)
-    o["bm25_phrase_multi"] = o["bm25_phrase"]
+    o["bm25_phrase_multi"] = _phrase_exact_sql
 
     # phrase + exact totalHits: the phrase constraint moves INSIDE the
     # scores CTE (HAVING on the grouping key) so the total counts phrase
@@ -1025,7 +1091,7 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
 
     # wildcard e2e: q = dictionary expansion of 'sc%' (each term weight 1)
     # plus the literal term — same CTE body, SELECT-shaped q
-    o["bm25_wildcard"] = f"""
+    _wc_prefix_sql = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
 ),
@@ -1058,7 +1124,14 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
 """
 
     # per-index wildcard rewrites union to the whole-corpus expansion
-    o["bm25_wildcard_multi"] = o["bm25_wildcard"]
+    o["bm25_wildcard_multi"] = _wc_prefix_sql
+
+    # prefix + mid-pattern rewrites folded into ONE gate (50-gate cap)
+    o["bm25_wildcard"] = f"""
+        SELECT 'prefix' AS variant, * FROM ({_wc_prefix_sql})
+        UNION ALL
+        SELECT 'pattern' AS variant, * FROM ({_wc_pattern_sql})
+    """
 
     o["sorted_search"] = f"""
         SELECT doc_id, n_chars FROM (
@@ -1066,6 +1139,27 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
             SELECT doc_id, unnest({_TOK}) AS term FROM documents
           ) WHERE term IN ('merge', 'batch')
         ) JOIN documents USING (doc_id)
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 8
+    """
+
+    # string-field sort: NULLS FIRST mirrors Spark's asc default; DuckDB's
+    # default VARCHAR collation is binary, same as Spark UTF8 order
+    o["sorted_search_str"] = f"""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+          ) WHERE term IN ('merge', 'batch')
+        ) JOIN documents USING (doc_id)
+        ORDER BY lang ASC NULLS FIRST, n_chars DESC, doc_id ASC LIMIT 8
+    """
+
+    o["sorted_search_filtered"] = f"""
+        SELECT doc_id, n_chars FROM (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+          ) WHERE term IN ('merge', 'batch')
+        ) JOIN documents USING (doc_id)
+        WHERE n_chars % 2 = 0
         ORDER BY n_chars DESC, doc_id ASC LIMIT 8
     """
 
@@ -1186,7 +1280,7 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         FROM sh GROUP BY doc_id
     """
 
-    o["dedup_near_pairs"] = shingle_cte + """
+    _near_text_sql = shingle_cte + """
         , sig AS (
           SELECT doc_id,
                  min(md5('0|' || shingle)) h0, min(md5('1|' || shingle)) h1,
@@ -1382,7 +1476,7 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         )
     """
 
-    o["ann_cosine_top20"] = """
+    _ann_exact_sql = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
                round(
@@ -1415,7 +1509,7 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
             for p in range(6)
         )
 
-    o["ann_lsh_top10"] = f"""
+    _ann_lsh_sql = f"""
         WITH sig AS (
           SELECT vec_id, embedding, ({_bucket("embedding")})::BIGINT AS bucket
           FROM embeddings
@@ -1455,7 +1549,7 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         return f"'{bi}' || '#' || (({bits})::BIGINT)::VARCHAR"
 
     band_exprs = ", ".join(_band_bucket("embedding", bi) for bi in range(4))
-    o["dedup_embedding"] = f"""
+    _near_emb_sql = f"""
         WITH banded AS (
           SELECT vec_id, unnest([{band_exprs}]) AS band FROM embeddings
         ),
@@ -1480,6 +1574,21 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                     * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
                  4
               ) >= 0.3
+    """
+
+    # folded gates (50-gate driver cap): both near-dup modalities in one
+    # gate, both similarity paths in one gate
+    o["dedup_near_pairs"] = f"""
+        SELECT 'text' AS variant, a, b, jaccard AS sim
+        FROM ({_near_text_sql})
+        UNION ALL
+        SELECT 'embedding' AS variant, a, b, cos AS sim
+        FROM ({_near_emb_sql})
+    """
+    o["ann_cosine_top20"] = f"""
+        SELECT 'exact' AS variant, * FROM ({_ann_exact_sql})
+        UNION ALL
+        SELECT 'lsh' AS variant, * FROM ({_ann_lsh_sql})
     """
 
     return o

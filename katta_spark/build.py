@@ -127,6 +127,71 @@ _COLS = [
 FIELD_SEP = ":"
 
 
+def _pa_write_rows(
+    path: str, schema, rows: list[tuple], append: bool = False
+) -> None:
+    """Driver-side parquet write of TINY metadata tables (corpus scalars,
+    per-shard counts, lineage rows — single to dozens of rows). Each
+    avoided Spark job is ~0.3-0.5 s of fixed scheduling overhead in the
+    build's serial tail, which a 4N-core cluster pays exactly like an
+    N-core one — the tail is the measured scaling-efficiency drag. The
+    files are bit-compatible with Spark's writer (list fields named
+    'element'); a _SUCCESS marker is written like Spark's so resume
+    detection (stats_done) keeps working."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not append and os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    table = pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+        schema=pa.schema(schema),
+    )
+    pq.write_table(
+        table, os.path.join(path, f"part-{_uuid.uuid4().hex}.parquet")
+    )
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
+def _meta_schemas():
+    import pyarrow as pa
+
+    def _lst(t):
+        return pa.list_(pa.field("element", t))
+
+    corpus = [
+        pa.field("n_docs", pa.int64()),
+        pa.field("avgdl", pa.float64()),
+        pa.field("n_shards", pa.int32()),
+        pa.field("keyword_fields", _lst(pa.string())),
+        pa.field("sharding", pa.string()),
+        pa.field("positions", pa.bool_()),
+    ]
+    shards = [
+        pa.field("shard_id", pa.int32()),
+        pa.field("n_docs", pa.int64()),
+        pa.field("sum_dl", pa.int64()),
+    ]
+    lineage = [
+        pa.field("run_id", pa.string()),
+        pa.field("batch_id", pa.int32()),
+        pa.field("shard_ids", _lst(pa.int32())),
+        pa.field("status", pa.string()),
+        pa.field("terms", pa.int64()),
+        pa.field("postings", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("elapsed_ms", pa.int64()),
+    ]
+    return corpus, shards, lineage
+
+
 def _paths(index_dir: str) -> dict[str, str]:
     return {
         "corpus": os.path.join(index_dir, "corpus.parquet"),
@@ -489,20 +554,31 @@ def build_index(
     def _run_dictionary() -> int:
         # (th → term) dictionary, once per build (vocab-sized shuffle after
         # map-side partial agg), written in ONE job; the collision check —
-        # a th collision would silently merge two terms' postings — reads
-        # back only the tiny written parquet (no persist, no second pass
-        # over the corpus).
+        # a th collision would silently merge two terms' postings — rides
+        # the write as an Observation metric (min(term) != max(term)), so
+        # there is no read-back job in the serial tail.
         t0 = time.time()
+        obs_d = Observation("dict_collisions")
         (
             term_dictionary(docs, keyword_cols)
             .repartition(max(1, num_shards // 8), "th")
             .sortWithinPartitions("th")
+            .observe(
+                obs_d,
+                F.count(
+                    F.when(F.col("term") != F.col("_mx"), 1)
+                ).alias("collisions"),
+            )
             .write.mode("overwrite")
             .parquet(p["dict"])
         )
-        n = spark.read.parquet(p["dict"]).where(F.col("term") != F.col("_mx")).count()
+        try:
+            n = int(obs_d.get["collisions"] or 0)
+        except Exception:
+            # empty relation: Catalyst may fold the CollectMetrics away
+            n = 0
         phase_t["dictionary"] = round(time.time() - t0, 2)
-        return int(n)
+        return n
 
     committed: set[int] = set()
     if os.path.exists(p["lineage"]):
@@ -521,7 +597,6 @@ def build_index(
     kernel = _make_encode_kernel(block, positions)
     n_committed = n_skipped = 0
     pool = ThreadPoolExecutor(max_workers=3)
-    lineage_futs: list = []
     fut_dict = (
         pool.submit(_run_dictionary)
         if any(b not in committed for b, _ in batches)
@@ -535,9 +610,8 @@ def build_index(
             # Surface overlapped-job failures (dictionary write errors,
             # earlier lineage appends) as soon as they are known instead
             # of only after every batch has been fully written.
-            for fut in (fut_dict, *lineage_futs):
-                if fut is not None and fut.done():
-                    fut.result()
+            if fut_dict is not None and fut_dict.done():
+                fut_dict.result()
             t0 = time.time()
             batch_docs = docs
             if len(shard_ids) < num_shards:
@@ -605,28 +679,25 @@ def build_index(
             # next batch / the phase-3 jobs: deferring it only widens the
             # replay window, never corrupts (at-least-once batches).
             summary = obs.get
-
-            def _append_lineage(batch_id=batch_id, shard_ids=shard_ids,
-                                summary=summary, t0=t0):
-                spark.createDataFrame(
-                    [
-                        (
-                            run_id,
-                            batch_id,
-                            shard_ids,
-                            "committed",
-                            int(summary["terms"] or 0),
-                            int(summary["postings"] or 0),
-                            int(summary["bytes"] or 0),
-                            int((time.time() - t0) * 1000),
-                        )
-                    ],
-                    "run_id string, batch_id int, shard_ids array<int>, "
-                    "status string, terms long, postings long, bytes long, "
-                    "elapsed_ms long",
-                ).write.mode("append").parquet(p["lineage"])
-
-            lineage_futs.append(pool.submit(_append_lineage))
+            # driver-side pyarrow append — a 1-row metadata write is not
+            # worth a Spark job's fixed overhead in the serial tail
+            _pa_write_rows(
+                p["lineage"],
+                _meta_schemas()[2],
+                [
+                    (
+                        run_id,
+                        batch_id,
+                        shard_ids,
+                        "committed",
+                        int(summary["terms"] or 0),
+                        int(summary["postings"] or 0),
+                        int(summary["bytes"] or 0),
+                        int((time.time() - t0) * 1000),
+                    )
+                ],
+                append=True,
+            )
             phase_t[f"batch{batch_id}_encode_write"] = round(t1 - t0, 2)
             phase_t[f"batch{batch_id}_summary_lineage"] = round(time.time() - t1, 2)
             n_committed += 1
@@ -804,26 +875,21 @@ def build_index(
                 avgdl = 1.0
             sharding = "pmod_doc_id" if doc_id_col is None else "pmod_xxhash64"
 
-            # two single-row table writes: each is a full (tiny) Spark job
-            # of mostly fixed overhead — overlap them on the driver pool
-            def _write_shards():
-                spark.createDataFrame(
-                    shard_counts, "shard_id int, n_docs long, sum_dl long"
-                ).write.mode("overwrite").parquet(p["shards"])
-
-            fut_shards = pool.submit(_write_shards)
-            spark.createDataFrame(
+            # two tiny metadata tables: driver-side pyarrow writes (the
+            # former pair of Spark jobs was pure fixed overhead in the
+            # serial tail)
+            corpus_s, shards_s, _ = _meta_schemas()
+            _pa_write_rows(p["shards"], shards_s, shard_counts)
+            _pa_write_rows(
+                p["corpus"],
+                corpus_s,
                 [
                     (
                         n_docs, avgdl, num_shards, list(keyword_cols),
                         sharding, positions,
                     )
                 ],
-                "n_docs long, avgdl double, n_shards int, "
-                "keyword_fields array<string>, sharding string, "
-                "positions boolean",
-            ).write.mode("overwrite").parquet(p["corpus"])
-            fut_shards.result()
+            )
         else:
             # Fully-resumed build (no new batches, stats committed): the
             # scalars are already on disk — nothing to recompute.
@@ -842,8 +908,6 @@ def build_index(
 
         if fut_dv is not None:
             fut_dv.result()
-        for fut in lineage_futs:
-            fut.result()
     except BaseException:
         pool.shutdown(wait=False, cancel_futures=True)
         raise
