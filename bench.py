@@ -184,6 +184,54 @@ def main() -> None:
             "transcripts_bm25",
             lambda: ksq.search(spark, tih, "hotalpha w00011", 10).collect(),
         )
+
+        # compaction at bench scale: 4 delta indexes (disjoint quarter
+        # corpora, the incremental-update shape) merged into one — the
+        # optimize() analog. Delta builds are setup (untimed); the timed
+        # row is the compaction itself. The pass-through fraction is the
+        # share of (shard, term) groups present in exactly ONE delta —
+        # those rows move byte-identical with no decode (tested in
+        # tests/test_compact.py::test_passthrough_byte_identity).
+        from pyspark.sql import functions as F
+
+        from katta_spark.compact import compact as ks_compact
+
+        deltas = []
+        for quarter in range(4):
+            dq = os.path.join(tx_dir, f"delta{quarter}")
+            ksb.build_index(
+                spark,
+                transcripts.where(
+                    F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4))
+                    == quarter
+                ),
+                dq,
+                num_shards=max(8, CPUS),
+            )
+            deltas.append(dq)
+        cdir = os.path.join(tx_dir, "compacted")
+        timed(
+            "compact_4deltas",
+            lambda: ks_compact(spark, deltas, cdir),
+        )
+        dunion = None
+        for dq in deltas:
+            t = spark.read.parquet(os.path.join(dq, "postings.parquet"))
+            dunion = t if dunion is None else dunion.unionByName(t)
+        counts = (
+            dunion.groupBy("shard_id", "th")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("terms"),
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+                    "single"
+                ),
+            )
+            .collect()[0]
+        )
+        extra["compact_passthrough_frac"] = round(
+            counts["single"] / counts["terms"], 3
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(tx_dir, ignore_errors=True)
@@ -206,5 +254,109 @@ def main() -> None:
     )
 
 
+def ramp() -> None:
+    """Rate-ramping load test — the reference's load-test tool re-created
+    (tool/loadtest/LoadTestMasterOperation.java:99-190 steps the offered
+    query rate across worker nodes, logs achieved rate per iteration, and
+    aborts when the cluster can no longer keep up; CLI startLoadTest,
+    Katta.java:878-951).
+
+    Each step offers ``rate`` queries/sec for STEP_SEC seconds, executed
+    as one search_batch wave per second (the batch API is the aggregate-
+    QPS shape); achieved q/s is measured, and the ramp stops at the first
+    step where achieved < 0.9 x offered — the saturation point. Writes
+    BENCH/RAMP.md and prints ONE JSON line."""
+    from katta_spark.session import get_spark
+    import katta_spark.build as ksb
+    import katta_spark.query as ksq
+
+    step_sec = int(os.environ.get("KATTA_RAMP_STEP_SEC", "4"))
+    rates = [2, 4, 8, 16, 32, 64, 128]
+    spark = get_spark(
+        "katta_ramp", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    idx_dir = tempfile.mkdtemp(prefix="katta_ramp_idx_")
+    qpool = [
+        "join hash", "merge batch", "customer order", "scan filter",
+        "data join", "hash merge scan", "order data", "batch join",
+        "filter hash", "customer merge", "scan order data", "join",
+        "merge", "customer", "hash scan", "data filter batch",
+    ]
+    steps = []
+    try:
+        ksb.build_index(
+            spark, docs, idx_dir, num_shards=8, doc_id_col="doc_id"
+        )
+        ih = ksq.IndexHandle.open(spark, idx_dir)
+        # warm the query path (JIT/codegen/Arrow), untimed
+        ksq.search_batch(spark, ih, qpool[:4], k=10).collect()
+        qi = 0
+        for rate in rates:
+            n = rate * step_sec
+            t0 = time.time()
+            done = 0
+            while done < n:
+                wave = [qpool[(qi + i) % len(qpool)] for i in range(rate)]
+                qi += rate
+                ksq.search_batch(spark, ih, wave, k=10).collect()
+                done += rate
+            elapsed = time.time() - t0
+            achieved = round(n / elapsed, 1)
+            steps.append(
+                {
+                    "offered_qps": rate,
+                    "queries": n,
+                    "elapsed_sec": round(elapsed, 2),
+                    "achieved_qps": achieved,
+                }
+            )
+            if achieved < 0.9 * rate:
+                break  # saturated — the reference tool's abort rule
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+    peak = max(s["achieved_qps"] for s in steps)
+    os.makedirs("BENCH", exist_ok=True)
+    rows = "\n".join(
+        f"| {s['offered_qps']} | {s['queries']} | {s['elapsed_sec']} | "
+        f"{s['achieved_qps']} |"
+        for s in steps
+    )
+    with open(os.path.join("BENCH", "RAMP.md"), "w") as fh:
+        fh.write(
+            f"""# BENCH/RAMP — rate-ramping load test (LoadTestMasterOperation analog)
+
+`python bench.py ramp` at {SF_DIR}, local[{CPUS}], {step_sec}s per step,
+one search_batch wave per second; ramp aborts at the first step with
+achieved < 0.9 x offered (the reference tool's saturation rule,
+LoadTestMasterOperation.java:158-190).
+
+| offered q/s | queries | elapsed (s) | achieved q/s |
+|---|---|---|---|
+{rows}
+
+Peak sustained: **{peak} q/s** (single local JVM; on a cluster the batch
+waves spread across executors, the same scatter Katta's node fleet gave
+the original tool).
+"""
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "ramp peak achieved q/s",
+                "value": peak,
+                "unit": "q/s",
+                "steps": steps,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "ramp":
+        ramp()
+    else:
+        main()

@@ -219,3 +219,38 @@ def test_compact_positions_false(spark, tiny_transcripts, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="must share"):
         compact(spark, [dpos, dirs[1]], str(root / "mix"))
+
+
+def test_passthrough_byte_identity(spark, base_delta):
+    """Terms present in exactly ONE source index must pass through
+    compaction byte-identical (no decode, no re-encode): every blob and
+    stat column of the output row equals the single source row."""
+    dirs, out, _ = base_delta
+    import os
+
+    dunion = None
+    for i, d in enumerate(dirs):
+        t = spark.read.parquet(os.path.join(d, "postings.parquet"))
+        dunion = t if dunion is None else dunion.unionByName(t)
+    single = (
+        dunion.groupBy("shard_id", "th")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .select("shard_id", "th")
+    )
+    assert single.count() > 0, "fixture must contain single-source terms"
+    cols = ["doc_ids", "tfs", "doclens", "positions", "skips", "df", "cf"]
+    src = dunion.join(single, ["shard_id", "th"]).select(
+        "shard_id", "th", *cols
+    )
+    outp = (
+        spark.read.parquet(os.path.join(out, "postings.parquet"))
+        .join(single, ["shard_id", "th"])
+        .select("shard_id", "th", *[F.col(c).alias(f"o_{c}") for c in cols])
+    )
+    joined = src.join(outp, ["shard_id", "th"])
+    assert joined.count() == single.count()
+    mismatches = joined.where(
+        " OR ".join(f"{c} <> o_{c}" for c in cols)
+    ).count()
+    assert mismatches == 0
