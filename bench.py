@@ -202,7 +202,7 @@ def main() -> None:
             ksb.build_index(
                 spark,
                 transcripts.where(
-                    F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4))
+                    F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(99)), F.lit(4))
                     == quarter
                 ),
                 dq,

@@ -183,6 +183,19 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # archive every suite's raw result (tagged by shape) so the final
+    # BASELINE.md can cite headline + input-size trend + small-host runs
+    tag = os.environ.get(
+        "KATTA_SCALING_TAG",
+        f"{TURNS}t_{LOW_EXECS}x{EXEC_CORES}c",
+    )
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_{tag}.json"), "w"
+    ) as fh:
+        json.dump(result, fh, indent=1)
+    if os.environ.get("KATTA_SCALING_SKIP_MD"):
+        print(json.dumps(result))
+        return
     inv_rows = "\n".join(
         f"| {i + 1} | {r['low']['turns_per_sec']:,.0f} | "
         f"{r['high']['turns_per_sec']:,.0f} | {r['eff']:.3f} | "

@@ -25,7 +25,7 @@ def base_delta(spark, tiny_transcripts, tmp_path_factory):
         build_index(
             spark,
             tiny_transcripts.where(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == parity
             ),
             d,
             num_shards=4,
@@ -125,7 +125,7 @@ def test_compact_merges_docvalue_sidecars(
         build_index(
             spark,
             tiny_transcripts.where(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == parity
             ),
             d, num_shards=4, docvalue_cols=("turn_idx", "ts"),
         )
@@ -168,7 +168,7 @@ def test_compact_refuses_mixed_docvalues(
     build_index(
         spark,
         tiny_transcripts.where(
-            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == 1
+            F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == 1
         ),
         withdv, num_shards=4, docvalue_cols=("turn_idx",),
     )
@@ -186,7 +186,7 @@ def test_compact_positions_false(spark, tiny_transcripts, tmp_path_factory):
         build_index(
             spark,
             tiny_transcripts.where(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == parity
             ),
             d,
             num_shards=4,
@@ -212,7 +212,7 @@ def test_compact_positions_false(spark, tiny_transcripts, tmp_path_factory):
     build_index(
         spark,
         tiny_transcripts.where(
-            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == 0
+            F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == 0
         ),
         dpos,
         num_shards=4,

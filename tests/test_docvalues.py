@@ -161,7 +161,7 @@ def test_dv_multi_index_fast_path(spark, dv_corpus, tmp_path_factory):
         build_index(
             spark,
             dv_corpus.where(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == parity
             ),
             d, num_shards=4, docvalue_cols=("turn_idx", "ts"),
         )
@@ -248,7 +248,7 @@ def test_dv_filtered_multi_index(spark, dv_corpus, tmp_path_factory):
         build_index(
             spark,
             dv_corpus.where(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == parity
             ),
             d, num_shards=4, docvalue_cols=("turn_idx",),
         )
@@ -380,7 +380,7 @@ def test_string_dv_compaction_remap(spark, sdv_corpus, tmp_path_factory):
         build_index(
             spark,
             sdv_corpus.where(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == parity
             ),
             d, num_shards=4, docvalue_cols=("label", "turn_idx"),
         )
@@ -412,7 +412,7 @@ def test_dv_multi_index_scores_off(spark, dv_corpus, tmp_path_factory):
         build_index(
             spark,
             dv_corpus.where(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == parity
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2)) == parity
             ),
             d, num_shards=4, docvalue_cols=("turn_idx", "ts"),
         )
