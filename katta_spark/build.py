@@ -808,11 +808,13 @@ def build_index(
 
             # Per-shard marker sums as Observation metrics on the stats
             # write (zero extra jobs) — 3 conditional aggregates per shard.
-            # Past 256 shards that codegen footprint isn't worth it: fall
-            # back to one tiny separate JVM agg over the marker rows only
-            # (pushed In(th) predicate + row-group skipping, still no
-            # Python and no blob decode).
-            obs3 = Observation("phase3_markers") if num_shards <= 256 else None
+            # Past 8 shards that codegen footprint isn't worth it (the
+            # 96-agg Observe at 32 shards costs seconds of driver-side
+            # codegen compile, measured in the scaling tail): fall back to
+            # one tiny separate JVM agg over the marker rows only (pushed
+            # In(th) predicate + row-group skipping, still no Python and
+            # no blob decode).
+            obs3 = Observation("phase3_markers") if num_shards <= 8 else None
             try:
                 _run_stats(obs3)
             except Exception:

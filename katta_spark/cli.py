@@ -57,6 +57,16 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated NOT_ANALYZED fields indexed as field:value "
         "terms (searchable via field-qualified queries)",
     )
+    p_add.add_argument(
+        "--docvalue-cols", default="",
+        help="comma-separated sort columns written to the docvalue "
+        "sidecar (field-sorted search caps per-shard output at k)",
+    )
+    p_add.add_argument(
+        "--no-positions", action="store_true",
+        help="omit term positions (phrase queries will refuse; "
+        "faster build for phrase-free corpora)",
+    )
 
     p_search = sub.add_parser("search")
     p_search.add_argument("index_dirs")
@@ -132,6 +142,10 @@ def main(argv: list[str] | None = None) -> int:
                 keyword_cols=tuple(
                     c for c in args.keyword_cols.split(",") if c
                 ),
+                docvalue_cols=tuple(
+                    c for c in args.docvalue_cols.split(",") if c
+                ),
+                positions=not args.no_positions,
             )
             print(json.dumps(summary))
         elif args.cmd == "removeIndex":

@@ -119,8 +119,15 @@ def run_invocation(src: str, zpath: str) -> dict:
     lo = max(lo_runs, key=lambda r: r["turns_per_sec"])
     hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
     eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
-    ceil_lo = run_ceiling(LOW_EXECS)
-    ceil_hi = run_ceiling(HIGH_EXECS)
+    # ceiling: best-of-2 per level, alternated — host interference can
+    # only SLOW a run, so best-of rejects it; a single slowed 4-core
+    # ceiling otherwise reports a >1.0 "ceiling efficiency" artifact
+    ceil_lo_runs, ceil_hi_runs = [], []
+    for _ in range(2):
+        ceil_lo_runs.append(run_ceiling(LOW_EXECS))
+        ceil_hi_runs.append(run_ceiling(HIGH_EXECS))
+    ceil_lo = max(ceil_lo_runs, key=lambda r: r["rate"])
+    ceil_hi = max(ceil_hi_runs, key=lambda r: r["rate"])
     ceil_eff = ceil_hi["rate"] / (4 * ceil_lo["rate"])
     return {
         "low": lo,
