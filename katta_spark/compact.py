@@ -41,6 +41,8 @@ from katta_spark.build import (
     ENCODED_SCHEMA,
     FORMAT_VERSION,
     SENTINEL_HASHES,
+    _meta_schemas,
+    _pa_write_rows,
 )
 from katta_spark.codec import (
     decode_positions,
@@ -294,24 +296,31 @@ def compact(
             f"{n_rows} marker rows, inputs sum "
             f"{sum(h.n_docs for h in handles)}"
         )
-    spark.createDataFrame(
-        [(int(r["shard_id"]), int(r["nd"]), int(r["dl"])) for r in mrows],
-        "shard_id int, n_docs long, sum_dl long",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "shards.parquet"))
+    # Metadata tables are tiny (1..num_shards rows): write them driver-
+    # side exactly like the build does (_pa_write_rows — Spark-compatible
+    # layout), saving one fixed-overhead Spark job each.
+    corpus_s, shards_s, lineage_s = _meta_schemas()
+    _pa_write_rows(
+        os.path.join(out_dir, "shards.parquet"),
+        shards_s,
+        sorted(
+            (int(r["shard_id"]), int(r["nd"]), int(r["dl"])) for r in mrows
+        ),
+    )
     sum_dl = sum(int(r["dl"]) for r in mrows)
     avgdl = (sum_dl / n_docs) if n_docs else 1.0
     if avgdl == 0.0:
         avgdl = 1.0
-    spark.createDataFrame(
+    _pa_write_rows(
+        os.path.join(out_dir, "corpus.parquet"),
+        corpus_s,
         [
             (
                 n_docs, avgdl, h0.num_shards, list(h0.keyword_fields),
                 h0.sharding, h0.positions,
             )
         ],
-        "n_docs long, avgdl double, n_shards int, "
-        "keyword_fields array<string>, sharding string, positions boolean",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "corpus.parquet"))
+    )
 
     # ---- docvalue sidecar merge: union the per-shard bucket rows and
     # re-bucket per shard (inputs are doc-disjoint — checked above).
@@ -416,7 +425,9 @@ def compact(
 
     # lineage: one row recording the compaction (provenance, idempotent
     # re-runs refuse via the non-empty-out_dir guard)
-    spark.createDataFrame(
+    _pa_write_rows(
+        os.path.join(out_dir, "lineage.parquet"),
+        lineage_s,
         [
             (
                 "compact",
@@ -429,9 +440,7 @@ def compact(
                 int((time.time() - t0) * 1000),
             )
         ],
-        "run_id string, batch_id int, shard_ids array<int>, status string, "
-        "terms long, postings long, bytes long, elapsed_ms long",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineage.parquet"))
+    )
     return {
         "n_docs": n_docs,
         "avgdl": avgdl,

@@ -622,6 +622,27 @@ _KERNEL_COLS = [
     "max_tf", "min_dl", "block_max_tf", "block_min_dl",
 ]
 
+def _local_df(
+    spark: SparkSession, rows: list, columns: list[str] | None, schema: str
+) -> DataFrame:
+    """Arrow-backed LocalRelation from driver-side rows.
+
+    ``spark.createDataFrame(list_of_tuples)`` plans as a parallelized RDD,
+    so every job that consumes it — including a bare ``.collect()`` on a
+    10-row result — pays a Python-deserialization stage (~1-3 s on cold
+    workers). A pandas input plans as LocalTableScan: broadcast builds and
+    result collects stay JVM/driver-local with no Python tasks.
+
+    ``columns=None`` derives the names from the DDL ``schema`` string
+    (simple ``name type`` lists only — every caller here qualifies).
+    """
+    if columns is None:
+        columns = [f.strip().split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=columns), schema
+    )
+
+
 # Positions arithmetic packs (candidate doc index, adjusted position) into
 # one int64 key; adjusted positions are < 2^22 (MAX_DOCLEN 2^21 + phrase
 # length), so 2^24 per-doc key space is safe and slop is clamped to it.
@@ -1677,7 +1698,7 @@ def search(
             f"semantics; mode={mode!r} is not combinable with them"
         )
     if not qweights or k <= 0:
-        return spark.createDataFrame([], empty_schema)
+        return _local_df(spark, [], None, empty_schema)
 
     # fetch set = scoring terms ∪ excluded terms (the kernel needs the
     # excluded terms' postings to build the per-shard exclusion mask)
@@ -1700,7 +1721,9 @@ def search(
             return stats_df.where(
                 F.col("th").isin(hashes) & F.col("term").isin(terms)
             )
-        q_df = spark.createDataFrame(q_pairs, "th long, term string")
+        q_df = _local_df(
+            spark, q_pairs, ["th", "term"], "th long, term string"
+        )
         return stats_df.join(F.broadcast(q_df), ["th", "term"], "left_semi")
 
     # phrase queries additionally fetch the positions blobs; everything
@@ -1742,7 +1765,9 @@ def search(
             postings = postings.where(F.col("th").isin(hashes))
             postings = postings.select(*kcols)
         else:
-            th_df = spark.createDataFrame([(h,) for h in hashes], "th long")
+            th_df = _local_df(
+                spark, [(h,) for h in hashes], ["th"], "th long"
+            )
             postings = postings.select(*kcols).join(
                 F.broadcast(th_df), "th", "left_semi"
             )
@@ -1776,8 +1801,9 @@ def search(
     if _with_total:
         out_schema += ", shard_total long"
     if filter_docs is not None and filter_df is None:
-        filter_df = spark.createDataFrame(
-            [(int(x),) for x in filter_docs], "doc_id long"
+        filter_df = _local_df(
+            spark, [(int(x),) for x in filter_docs], ["doc_id"],
+            "doc_id long",
         )
         filter_doc_col = "doc_id"
     if _dv_sort is not None:
@@ -1909,16 +1935,19 @@ def search_with_total(
             _with_total=True,
         ).collect()
     if not rows:
-        return spark.createDataFrame([], schema)
+        return _local_df(spark, [], None, schema)
     per_shard = {r.shard_id: int(r.shard_total) for r in rows}
     total = sum(per_shard.values())
     top = sorted(rows, key=lambda r: (-r.score, r.doc_id, -r.shard_id))[:k]
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [
             (r.doc_id, r.shard_id, float(r.score), total,
              len(per_shard), shards_total)
             for r in top
         ],
+        ["doc_id", "shard_id", "score", "total_hits", "shards_hit",
+         "shards_total"],
         schema,
     )
 
@@ -2028,7 +2057,7 @@ def search_multi(
                     "rebuild with positions=True to run phrase/slop queries"
                 )
     if not qweights or k <= 0:
-        return spark.createDataFrame([], empty_schema)
+        return _local_df(spark, [], None, empty_schema)
     terms = sorted(set(qweights) | must_not)
 
     # phase 1: combined stats over all indexes
@@ -2049,9 +2078,9 @@ def search_multi(
     if not live_scoring or (
         mode == "and" and len(live_scoring) < len(set(qweights))
     ):
-        return spark.createDataFrame([], empty_schema)
+        return _local_df(spark, [], None, empty_schema)
     if must and not must <= set(live_terms):
-        return spark.createDataFrame([], empty_schema)  # a MUST term is absent
+        return _local_df(spark, [], None, empty_schema)  # a MUST term is absent
     live_hashes = [term_hash(t) for t in live_terms]
 
     # phase 2: bag union of per-index postings; shard ids are offset so the
@@ -2075,8 +2104,10 @@ def search_multi(
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.unionByName(p)
-    df_g = spark.createDataFrame(
+    df_g = _local_df(
+        spark,
         [(term_hash(t), t, int(d)) for t, d in df_tot.items()],
+        ["th", "term", "df_g"],
         "th long, term string, df_g long",
     )
     postings = postings.join(F.broadcast(df_g), "th")
@@ -2473,7 +2504,7 @@ def search_batch(
         )
     all_terms = sorted({t for plan in plans for t in _plan_terms(plan)})
     if not all_terms or k <= 0:
-        return spark.createDataFrame([], out_schema)
+        return _local_df(spark, [], None, out_schema)
     hashes = sorted(term_hash(t) for t in all_terms)
     n_docs, avgdl = float(index.n_docs), index.avgdl
 
@@ -2490,8 +2521,9 @@ def search_batch(
             .select("th", "term", F.col("df").alias("df_g"))
         )
     else:
-        q_df = spark.createDataFrame(
-            [(term_hash(t), t) for t in all_terms], "th long, term string"
+        q_df = _local_df(
+            spark, [(term_hash(t), t) for t in all_terms], ["th", "term"],
+            "th long, term string",
         )
         stats_small = (
             index.stats(spark)
