@@ -42,23 +42,54 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="katta_bench_idx_")
     tx_dir = tempfile.mkdtemp(prefix="katta_bench_tx_")
 
-    def timed(name, fn):
+    def timed(name, fn, repeats: int = 1):
+        out, best = None, None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+        return out
+
+    def timed_q(name, fn):
+        # Query rows are ~1 s each on a shared, randomly-interfered host
+        # (load spikes with no local process, see BENCH/host_probes.json):
+        # min-of-2 rejects a one-off spike without hiding real cost.
+        # Secondary build/compact rows stay single-shot (too expensive to
+        # repeat; labeled in "timing" below).
+        return timed(name, fn, repeats=2)
+
+    def timed_build(name, build_to, final_dir):
+        # min-of-2 for the two HEADLINE throughput builds (docs/sec,
+        # turns/sec). build_index is resumable — a rerun into the same
+        # dir skips committed batches and times ~nothing — so the first
+        # timing targets a throwaway scratch dir and the second builds
+        # the real one the downstream queries open.
+        scratch = tempfile.mkdtemp(prefix="katta_bench_scratch_")
+        try:
+            t0 = time.time()
+            build_to(scratch)
+            first = time.time() - t0
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
         t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 4)
+        out = build_to(final_dir)
+        timings[name] = round(min(first, time.time() - t0), 4)
         return out
 
     extra: dict[str, float] = {}
     try:
         # q0: index build over the documents table (docs/sec reported).
         n_docs = docs.count()
-        timed(
+        timed_build(
             "build_documents_index",
-            lambda: ksb.build_index(
-                spark, docs, idx_dir, num_shards=8, doc_id_col="doc_id",
+            lambda dest: ksb.build_index(
+                spark, docs, dest, num_shards=8, doc_id_col="doc_id",
                 keyword_cols=("lang", "source"),
                 docvalue_cols=("n_chars",),
             ),
+            idx_dir,
         )
         extra["documents_build_docs_per_sec"] = round(
             n_docs / timings["build_documents_index"], 1
@@ -85,32 +116,32 @@ def main() -> None:
         # query paths over the built index (handle opened once, like a
         # client holding a deployed-index view)
         ih = ksq.IndexHandle.open(spark, idx_dir)
-        timed("bm25_top10", lambda: ksq.search(spark, ih, "join hash", 10).collect())
-        timed(
+        timed_q("bm25_top10", lambda: ksq.search(spark, ih, "join hash", 10).collect())
+        timed_q(
             "bm25_multi",
             lambda: ksq.search(spark, ih, "customer order data filter", 15).collect(),
         )
-        timed(
+        timed_q(
             "bm25_conjunctive",
             lambda: ksq.search(spark, ih, "join hash scan merge", 10, mode="and").collect(),
         )
-        timed("bm25_wildcard", lambda: ksq.search(spark, ih, "s* join", 10).collect())
-        timed(
+        timed_q("bm25_wildcard", lambda: ksq.search(spark, ih, "s* join", 10).collect())
+        timed_q(
             "bm25_field",
             lambda: ksq.search(spark, ih, "lang:en merge join", 10).collect(),
         )
-        timed(
+        timed_q(
             "filtered_search",
             lambda: ksq.search(
                 spark, ih, "join hash", 10,
                 filter_df=docs.where("n_chars % 2 = 0"),
             ).collect(),
         )
-        timed(
+        timed_q(
             "bm25_total",
             lambda: ksq.search_with_total(spark, ih, "join hash", 10).collect(),
         )
-        timed("count_matches", lambda: ksq.count_matches(spark, ih, "join hash"))
+        timed_q("count_matches", lambda: ksq.count_matches(spark, ih, "join hash"))
         # batch execution: 16 queries in ONE job — the aggregate-QPS shape
         # of LuceneSearchPerformanceTest; effective per-query cost is this
         # timing / 16 (vs one full job per query above)
@@ -120,7 +151,7 @@ def main() -> None:
             "filter hash", "customer merge", "scan order data", "join",
             "merge", "customer", "hash scan", "data filter batch",
         ]
-        timed(
+        timed_q(
             "bm25_batch16",
             lambda: ksq.search_batch(spark, ih, batch_queries, k=10).collect(),
         )
@@ -129,11 +160,11 @@ def main() -> None:
         )
         # r4 surfaces: index-only phrase (positional postings) and the
         # docvalue-capped field sort (≤ k·shards rows leave the kernels)
-        timed(
+        timed_q(
             "bm25_phrase",
             lambda: ksq.search(spark, ih, '"join hash" merge', 10).collect(),
         )
-        timed(
+        timed_q(
             "sorted_search_dv",
             lambda: ksq.search_sorted(
                 spark, ih, "merge batch", docs, [("n_chars", "desc")],
@@ -142,20 +173,20 @@ def main() -> None:
         )
 
         # training-data ops
-        timed("dedup_exact", lambda: tx.exact_dedup(docs).count())
-        timed("dedup_minhash_lsh", lambda: tx.minhash_lsh_pairs(docs).count())
-        timed("dedup_near_pairs", lambda: tx.near_dup_pairs(docs, threshold=0.2).count())
-        timed("token_counts", lambda: tx.token_counts(docs).count())
-        timed("simhash", lambda: tx.simhash16(docs).count())
-        timed("quality_scores", lambda: tx.quality_scores(docs).count())
-        timed("lang_id", lambda: tx.lang_id(docs).count())
-        timed("ann_cosine_top20", lambda: sim.cosine_topk(emb, 0, 20).collect())
+        timed_q("dedup_exact", lambda: tx.exact_dedup(docs).count())
+        timed_q("dedup_minhash_lsh", lambda: tx.minhash_lsh_pairs(docs).count())
+        timed_q("dedup_near_pairs", lambda: tx.near_dup_pairs(docs, threshold=0.2).count())
+        timed_q("token_counts", lambda: tx.token_counts(docs).count())
+        timed_q("simhash", lambda: tx.simhash16(docs).count())
+        timed_q("quality_scores", lambda: tx.quality_scores(docs).count())
+        timed_q("lang_id", lambda: tx.lang_id(docs).count())
+        timed_q("ann_cosine_top20", lambda: sim.cosine_topk(emb, 0, 20).collect())
         ann_dir = os.path.join(idx_dir, "ann")
         timed(
             "build_ann_index",
             lambda: sim.build_ann_index(emb, ann_dir, dim=64, planes=6, seed=7),
         )
-        timed(
+        timed_q(
             "ann_lsh_top10",
             lambda: sim.cosine_topk_lsh(
                 emb, 0, 10, dim=64, ann_dir=ann_dir
@@ -170,17 +201,18 @@ def main() -> None:
         )
         transcripts = spark.read.parquet(tx_parquet)
         tidx = os.path.join(tx_dir, "index")
-        timed(
+        timed_build(
             "build_transcripts_index",
-            lambda: ksb.build_index(
-                spark, transcripts, tidx, num_shards=max(8, CPUS)
+            lambda dest: ksb.build_index(
+                spark, transcripts, dest, num_shards=max(8, CPUS)
             ),
+            tidx,
         )
         extra["transcripts_build_turns_per_sec"] = round(
             BENCH_TURNS / timings["build_transcripts_index"], 1
         )
         tih = ksq.IndexHandle.open(spark, tidx)
-        timed(
+        timed_q(
             "transcripts_bm25",
             lambda: ksq.search(spark, tih, "hotalpha w00011", 10).collect(),
         )
@@ -248,6 +280,9 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "bench_turns": BENCH_TURNS,
+                "timing": "query + headline-build rows min-of-2 "
+                          "(host-spike rejection); secondary build/compact "
+                          "rows single-shot",
                 **extra,
             }
         )

@@ -299,5 +299,16 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _cli_entry() -> int:
+    # User-facing errors (bad query syntax, phrase against a
+    # positions=False index, format-version mismatch) print one line and a
+    # nonzero exit, Katta.java-style — not a Python traceback.
+    try:
+        return main()
+    except ValueError as exc:
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_cli_entry())

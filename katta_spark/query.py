@@ -2282,9 +2282,16 @@ def search_sorted(
             IndexHandle.open(spark, ix) if isinstance(ix, str) else ix
             for ix in (index if isinstance(index, (list, tuple)) else [index])
         ]
+        kinds0 = ihs[0].docvalue_kinds()
         if all(
             all(n in h.docvalue_kinds() for n, _ in specs) for h in ihs
+        ) and all(
+            h.docvalue_kinds()[n] == kinds0[n] for h in ihs for n, _ in specs
         ):
+            # (a column stored as a different KIND in different indexes —
+            # string in one, long in another — has no comparable mapped
+            # key; those take the source-join path below, which sorts on
+            # the original values)
             return _search_sorted_dv(
                 spark,
                 ihs if isinstance(index, (list, tuple)) else ihs[0],
@@ -2382,11 +2389,72 @@ def _search_sorted_dv(
             _dv_sort=(specs, k),
             filter_df=filter_df, filter_doc_col=filter_doc_col,
         )
+    # Across MULTIPLE indexes a STRING column's mapped keys are per-index
+    # dictionary RANKS — internally consistent (the per-shard cap above is
+    # sound) but NOT comparable between indexes. For the global merge,
+    # resolve the ≤ k·shards surviving candidates' ranks to their actual
+    # string values through each index's persisted dictionary: one
+    # column-pruned dictionary scan per string spec, cut to the candidate
+    # ranks by a broadcast semi-join (the candidate set is tiny), then a
+    # broadcast join decorates the candidates — nothing corpus-sized
+    # shuffles. Single-index string sorts keep the pure-rank merge (one
+    # dictionary ⇒ ranks ARE the global order).
+    handles = list(index) if isinstance(index, (list, tuple)) else [index]
+    str_ix = [
+        i for i, (n, _) in enumerate(specs)
+        if handles[0].docvalue_kinds().get(n) == "string"
+    ] if len(handles) > 1 else []
+    sort_key = {i: f"__sv{i}" for i in range(len(specs))}
+    if str_ix:
+        from katta_spark.docvalues import strings_path as _dv_strings
+
+        iid_expr = None
+        offset = 0
+        for hi_, h in enumerate(handles):
+            cond = (F.col("shard_id") >= offset) & (
+                F.col("shard_id") < offset + h.num_shards
+            )
+            iid_expr = (
+                F.when(cond, F.lit(hi_))
+                if iid_expr is None
+                else iid_expr.when(cond, F.lit(hi_))
+            )
+            offset += h.num_shards
+        hits = hits.withColumn("__iid", iid_expr)
+        for i in str_ix:
+            name = specs[i][0]
+            ddf = None
+            for hi_, h in enumerate(handles):
+                part = (
+                    spark.read.parquet(
+                        os.path.join(_dv_strings(h.index_dir), f"col={name}")
+                    ).select(
+                        F.lit(hi_).alias("__iid"),
+                        F.col("rank").alias(f"__sv{i}"),
+                        F.col("value").alias(f"__svv{i}"),
+                    )
+                )
+                ddf = part if ddf is None else ddf.unionByName(part)
+            wanted = ddf.join(
+                F.broadcast(
+                    hits.select("__iid", f"__sv{i}").distinct()
+                ),
+                ["__iid", f"__sv{i}"],
+                "leftsemi",
+            )
+            # left join: NULL-valued docs carry a NULL rank and keep a
+            # NULL value — the nulls_first/nulls_last ordering below is
+            # unchanged from the rank merge
+            hits = hits.join(
+                F.broadcast(wanted), ["__iid", f"__sv{i}"], "left"
+            )
+            sort_key[i] = f"__svv{i}"
+        hits = hits.drop("__iid")
     order_cols = [
         (
-            F.col(f"__sv{i}").asc_nulls_first()
+            F.col(sort_key[i]).asc_nulls_first()
             if d == "asc"
-            else F.col(f"__sv{i}").desc_nulls_last()
+            else F.col(sort_key[i]).desc_nulls_last()
         )
         for i, (_, d) in enumerate(specs)
     ]
@@ -2401,6 +2469,7 @@ def _search_sorted_dv(
         *order_cols, F.col("doc_id").asc()
     )
     out = out.drop(*[f"__sv{i}" for i in range(len(specs))])
+    out = out.drop(*[f"__svv{i}" for i in str_ix])
     # column shape matches the join path: doc_id, shard_id, [score], source
     lead = ["doc_id", "shard_id"] + (["score"] if track_scores else [])
     rest = [c for c in out.columns if c not in lead + ["score"]]

@@ -440,3 +440,102 @@ def test_dv_multi_index_scores_off(spark, dv_corpus, tmp_path_factory):
     assert [r.doc_id for r in off_rows] == [
         r.doc_id for r in legacy.collect()
     ]
+
+
+def test_string_dv_multi_index(spark, sdv_corpus, tmp_path_factory):
+    """Sorted search over a LIST of indexes on a STRING docvalue column:
+    per-index rank dictionaries are NOT cross-index comparable, so the
+    global merge must resolve the capped candidates' ranks to their
+    actual string values through each index's dictionary (the per-shard
+    cap itself stays rank-based — sound within one index). The split
+    corpora see DISJOINT label subsets so the per-index ranks genuinely
+    diverge from global string order; a raw-rank merge returns the wrong
+    docs here."""
+    root = tmp_path_factory.mktemp("sdv_multi")
+    # label values depend on the split parity: part 0 sees only L<even>,
+    # part 1 only L<odd>, and "L0" < "L1" < "L10" < ... < "L2" < "L3"
+    # interleaves lexicographically ACROSS the parts — so the two
+    # per-index dictionaries assign the SAME rank to labels that differ
+    # in global order (a raw-rank merge pairs L0 with L1, L10 with L11,
+    # …: visibly wrong docs). Nulls stay in for null-ordering coverage.
+    half = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2))
+    corpus = sdv_corpus.withColumn(
+        "label",
+        F.when(F.col("label").isNull(), None).otherwise(
+            F.concat(
+                F.lit("L"),
+                (
+                    F.pmod(
+                        F.xxhash64("conv_id", "turn_idx", F.lit(11)),
+                        F.lit(8),
+                    ) * 2 + half
+                ).cast("string"),
+            )
+        ),
+    )
+    whole = str(root / "whole")
+    build_index(
+        spark, corpus, whole, num_shards=4,
+        docvalue_cols=("label", "turn_idx"),
+    )
+    parts = []
+    for parity in (0, 1):
+        d = str(root / f"p{parity}")
+        build_index(
+            spark, corpus.where(half == parity),
+            d, num_shards=4, docvalue_cols=("label", "turn_idx"),
+        )
+        parts.append(d)
+    for specs in (
+        [("label", "asc"), ("turn_idx", "desc")],
+        [("label", "desc"), ("turn_idx", "asc")],
+    ):
+        got = search_sorted(
+            spark, parts, "hotalpha hotbeta w00011", corpus, specs, k=15
+        ).collect()
+        want = search_sorted(
+            spark, whole, "hotalpha hotbeta w00011", corpus, specs, k=15
+        ).collect()
+        assert len(got) == len(want) > 0
+        assert [r.doc_id for r in got] == [r.doc_id for r in want]
+        assert [r.label for r in got] == [r.label for r in want]
+    # the multi-index join path (opaque Columns) agrees too
+    legacy = search_sorted(
+        spark, parts, "hotalpha hotbeta w00011", corpus,
+        [F.col("label").asc(), F.col("turn_idx").desc()], k=15,
+    ).collect()
+    fast = search_sorted(
+        spark, parts, "hotalpha hotbeta w00011", corpus,
+        [("label", "asc"), ("turn_idx", "desc")], k=15,
+    ).collect()
+    assert [r.doc_id for r in fast] == [r.doc_id for r in legacy]
+
+
+def test_mixed_kind_dv_falls_back(spark, sdv_corpus, tmp_path_factory):
+    """The same column stored as DIFFERENT docvalue kinds in different
+    indexes (string in one, long in another) has no comparable mapped key
+    — search_sorted must take the source-join path (correct on original
+    values), not merge incomparable keys."""
+    root = tmp_path_factory.mktemp("dv_mixed_kind")
+    a = str(root / "a")
+    b = str(root / "b")
+    half = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(2))
+    str_half = sdv_corpus.where(half == 0).withColumn(
+        "tag", F.col("turn_idx").cast("string")
+    )
+    long_half = sdv_corpus.where(half == 1).withColumn(
+        "tag", F.col("turn_idx").cast("long")
+    )
+    build_index(spark, str_half, a, num_shards=4, docvalue_cols=("tag",))
+    build_index(spark, long_half, b, num_shards=4, docvalue_cols=("tag",))
+    assert IndexHandle.open(spark, a).docvalue_kinds()["tag"] == "string"
+    assert IndexHandle.open(spark, b).docvalue_kinds()["tag"] == "long"
+    src = sdv_corpus.withColumn("tag", F.col("turn_idx").cast("string"))
+    got = search_sorted(
+        spark, [a, b], "hotalpha hotbeta", src, [("tag", "asc")], k=10
+    ).collect()
+    want = search_sorted(
+        spark, [a, b], "hotalpha hotbeta", src, [F.col("tag").asc()], k=10
+    ).collect()
+    assert len(got) == 10
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
