@@ -103,13 +103,19 @@ def _split_index_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     docs = _docs(spark, sf_dir)
     dirs = []
     for parity in (0, 1):
-        d = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}_p{parity}")
+        # v2: carries docvalue sidecars (the sorted_search_str gate's
+        # multi-index leg sorts across the splits); versioned name so a
+        # leftover pre-dv dir can't trip the resume parameter guard
+        d = os.path.join(
+            tempfile.gettempdir(), f"katta_idx_v2_{key}_p{parity}"
+        )
         ksb.build_index(
             spark,
             docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == parity),
             d,
             num_shards=2,
             doc_id_col="doc_id",
+            docvalue_cols=("n_chars", "lang"),
         )
         dirs.append(d)
     _SPLIT_CACHE[sf_dir] = (dirs[0], dirs[1])
@@ -583,19 +589,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         LuceneClientTest.java:330): 'lang' sorts via the in-index rank
         dictionary (docvalues.string_rank_dictionary), per-shard output
         still capped at k; rank order == UTF8 binary == DuckDB VARCHAR
-        collation. Secondary numeric key exercises the mixed-kind merge."""
+        collation. Secondary numeric key exercises the mixed-kind merge.
+
+        Tagged union of two legs: leg='single' sorts one index; leg=
+        'multi' sorts ACROSS the two half-corpus split indexes (Katta
+        sorted search spans the searched indices,
+        LuceneClientTest.java:330) — per-index string ranks are not
+        cross-index comparable, so the multi merge resolves the capped
+        candidates through each index's persisted dictionary. Combined
+        stats make both legs equal the same whole-corpus ORDER BY."""
         docs = _docs(spark, sf)
-        out = ksq.search_sorted(
-            spark,
-            _index_dir(spark, sf),
-            "merge batch",
-            docs,
+        kw = dict(
             sort_cols=[("lang", "asc"), ("n_chars", "desc")],
             k=8,
             track_scores=False,
             doc_id_col="doc_id",
         )
-        return out.select("doc_id", "lang", "n_chars")
+        single = ksq.search_sorted(
+            spark, _index_dir(spark, sf), "merge batch", docs, **kw
+        ).select(
+            F.lit("single").alias("leg"), "doc_id", "lang", "n_chars"
+        )
+        a, b = _split_index_dirs(spark, sf)
+        multi = ksq.search_sorted(
+            spark, [a, b], "merge batch", docs, **kw
+        ).select(
+            F.lit("multi").alias("leg"), "doc_id", "lang", "n_chars"
+        )
+        return single.unionByName(multi)
 
     q["sorted_search_str"] = sorted_search_str
 
@@ -1143,14 +1164,21 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
     """
 
     # string-field sort: NULLS FIRST mirrors Spark's asc default; DuckDB's
-    # default VARCHAR collation is binary, same as Spark UTF8 order
-    o["sorted_search_str"] = f"""
+    # default VARCHAR collation is binary, same as Spark UTF8 order.
+    # Both legs (single index / across the two split indexes) reduce to
+    # the same whole-corpus ORDER BY — combined stats, same match set.
+    _sorted_str_leg = f"""
         SELECT doc_id, lang, n_chars FROM (
           SELECT DISTINCT doc_id FROM (
             SELECT doc_id, unnest({_TOK}) AS term FROM documents
           ) WHERE term IN ('merge', 'batch')
         ) JOIN documents USING (doc_id)
         ORDER BY lang ASC NULLS FIRST, n_chars DESC, doc_id ASC LIMIT 8
+    """
+    o["sorted_search_str"] = f"""
+        SELECT 'single' AS leg, * FROM ({_sorted_str_leg})
+        UNION ALL
+        SELECT 'multi' AS leg, * FROM ({_sorted_str_leg})
     """
 
     o["sorted_search_filtered"] = f"""
