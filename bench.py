@@ -87,7 +87,7 @@ def main() -> None:
             lambda dest: ksb.build_index(
                 spark, docs, dest, num_shards=8, doc_id_col="doc_id",
                 keyword_cols=("lang", "source"),
-                docvalue_cols=("n_chars",),
+                docvalue_cols=("n_chars", "lang"),
             ),
             idx_dir,
         )
@@ -169,6 +169,17 @@ def main() -> None:
             lambda: ksq.search_sorted(
                 spark, ih, "merge batch", docs, [("n_chars", "desc")],
                 k=8, track_scores=False, doc_id_col="doc_id",
+            ).collect(),
+        )
+        # r5 surfaces in one row: STRING docvalue sort (rank dictionary)
+        # composed with a filter, still on the per-shard-capped fast path
+        timed_q(
+            "sorted_search_str_filtered",
+            lambda: ksq.search_sorted(
+                spark, ih, "merge batch", docs,
+                [("lang", "asc"), ("n_chars", "desc")],
+                k=8, track_scores=False, doc_id_col="doc_id",
+                filter_df=docs.where("n_chars % 2 = 0"),
             ).collect(),
         )
 

@@ -58,18 +58,30 @@ def _shape(suite: dict) -> str:
 def main() -> None:
     head_a = _load("scaling_2m_headline_a.json")
     head_b = _load("scaling_2m_headline_b.json")
+    head_c = _load("scaling_2m_headline_c.json")
     small = _load("scaling_2m_smallhost.json")
     trend4 = _load("scaling_4m_trend.json")
     probes = _load("host_probes.json")
     assert head_a and head_b, "headline suite JSONs missing"
 
     # The headline shape ran as TWO full 3-invocation campaigns in this
-    # session (run B re-measured after the ceiling best-of-2 fix); the
-    # headline is the median of ALL SIX invocations — no window-shopping.
+    # session's CLEAN windows (B re-measured after the ceiling best-of-2
+    # fix); the headline is the median of ALL SIX — no window-shopping.
+    # A third campaign (C) ran late in the session under measured
+    # external host load (load-avg 6-9 with no local process) — it is
+    # archived and fully disclosed below, with the merged median shown
+    # both ways, but excluded from the headline per the same clean-window
+    # precondition every other suite obeyed.
     import statistics
 
-    merged_invs = head_a["invocations"] + head_b["invocations"]
-    labels = [f"A{i}" for i in (1, 2, 3)] + [f"B{i}" for i in (1, 2, 3)]
+    campaigns = [c for c in (head_a, head_b) if c]
+    merged_invs = [r for c in campaigns for r in c["invocations"]]
+    labels = [
+        f"{tag}{i + 1}"
+        for tag, c in zip("AB", (head_a, head_b))
+        if c
+        for i in range(len(c["invocations"]))
+    ]
     head = {**head_b, "invocations": merged_invs}
     head["median_eff"] = round(
         statistics.median(r["eff"] for r in merged_invs), 3
@@ -110,17 +122,18 @@ previously produced a >1.0 "ceiling efficiency" artifact).
 ## Suite 1 — headline shape: {_shape(head)}, {head['turns']:,} turns
 
 TWO full 3-invocation campaigns of the identical job ran in this
-session's windows (campaign A before the ceiling-probe best-of-2 fix —
-its interfered single-probe ceilings produced the A3 >1.0-adjacent
+session's clean windows (campaign A before the ceiling-probe best-of-2
+fix — its interfered single-probe ceilings produced the A3 >1.0-adjacent
 artifact; campaign B after it). The headline merges ALL SIX invocations
 — reporting only the better campaign would be the window-shopping the
-r2/r3 reviews flagged.
+r2/r3 reviews flagged. (A third campaign, C, is disclosed below — run
+under measured external host load and excluded from the headline.)
 
 | invocation | tp(N) best | tp(4N) best | raw eff | ALU ceiling eff | normalized |
 |---|---|---|---|---|---|
 {_inv_table(head, labels=labels, med=med)}
 
-**Headline (median of 6 invocations): raw scaling efficiency =
+**Headline (median of {len(merged_invs)} invocations): raw scaling efficiency =
 tp(4N) / (4 x tp(N)) = {head['median_eff']:.3f}** (target >= 0.8:
 {'PASS' if head['median_eff'] >= 0.8 else 'FAIL'}); median normalized
 efficiency vs the concurrently-measured host ALU ceiling =
@@ -135,6 +148,38 @@ Upper-median-invocation detail: tp(N) best {max(med['all_low']):,.0f}
 (trials {', '.join(f"{t:,.0f}" for t in med['all_low'])}),
 tp(4N) best {max(med['all_high']):,.0f}
 (trials {', '.join(f"{t:,.0f}" for t in med['all_high'])}).""")
+
+    if head_c:
+        c_invs = head_c["invocations"]
+        all9 = merged_invs + c_invs
+        all9_med = round(statistics.median(r["eff"] for r in all9), 3)
+        c_rows = "\n".join(
+            f"| C{i + 1} | {max(r['all_low']):,.0f} | "
+            f"{max(r['all_high']):,.0f} | {r['eff']:.3f} | "
+            f"{r['normalized_eff']:.3f} |"
+            for i, r in enumerate(c_invs)
+        )
+        parts.append(f"""
+### Discarded campaign C (disclosed, archived: scaling_2m_headline_c.json)
+
+A third 3-invocation campaign ran late in the session (on the final
+HEAD). Its whole window violated the clean-window precondition the other
+suites obeyed: the host showed load-average 6-9 with NO local process
+running (the documented external-interference mode; measured via uptime
++ ps during and after the run), tp(4N) trials were depressed to
+25-46k/s vs 52-62k/s in campaign B — and one invocation additionally
+overlapped a local test-suite run. Shuffle bytes and task counts in C's
+event logs are identical to A/B (same work), only wall clock degraded.
+
+| invocation | tp(N) best | tp(4N) best | raw eff | normalized |
+|---|---|---|---|---|
+{c_rows}
+
+Campaign C median raw: {head_c['median_eff']:.3f}. Merged over all NINE
+invocations the median would be {all9_med:.3f} — reported here for
+completeness; the headline above excludes C because its windows fail the
+same load screen under which every other number in this file was taken
+(gate verdict unchanged either way: FAIL at this budget).""")
 
     if small:
         smed = _median_inv(small)
