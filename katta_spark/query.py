@@ -2325,12 +2325,23 @@ def search_sorted(
         src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
     else:
         src = source.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-    joined = matches.join(src, "doc_id")
+    joined = matches.join(_join_safe_source(src, matches.columns), "doc_id")
     cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
     out = joined.orderBy(*cols, F.col("doc_id").asc()).limit(k)
     if not track_scores:
         out = out.drop("score")
     return out
+
+
+def _join_safe_source(src: DataFrame, hit_cols) -> DataFrame:
+    """Drop source columns whose names collide with engine hit columns
+    (``shard_id``, ``score``, internal sort keys) before a hits↔source
+    join. The hit-side values are authoritative — Katta's HitsMapWritable
+    carries shard/score, the stored document only its fields — and a
+    duplicate name would make every later reference ambiguous (a source
+    produced by oracle.with_doc_ids carries its own ``shard_id``)."""
+    clash = [c for c in src.columns if c != "doc_id" and c in set(hit_cols)]
+    return src.drop(*clash) if clash else src
 
 
 def _norm_sort_specs(sort_cols) -> "list[tuple[str, str]] | None":
@@ -2465,6 +2476,7 @@ def _search_sorted_dv(
         )
     else:
         src = source.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    src = _join_safe_source(src, top.columns)
     out = src.join(F.broadcast(top), "doc_id").orderBy(
         *order_cols, F.col("doc_id").asc()
     )
@@ -2787,6 +2799,7 @@ def get_details(
     src = source.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
     if fields:
         src = src.select("doc_id", *fields)
+    src = _join_safe_source(src, hits.columns)
     return src.join(F.broadcast(hits), "doc_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -539,3 +539,37 @@ def test_mixed_kind_dv_falls_back(spark, sdv_corpus, tmp_path_factory):
     ).collect()
     assert len(got) == 10
     assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
+def test_source_with_engine_columns(spark, dvidx, dv_corpus):
+    """A source frame that already carries shard_id/score — exactly what
+    oracle.with_doc_ids produces — must not make the hits↔source join
+    ambiguous on either sorted path or get_details (AMBIGUOUS_REFERENCE
+    regression). The engine's hit columns are authoritative: Katta's
+    HitsMapWritable carries shard/score, the stored document only its
+    fields (LuceneServer.java:390-410)."""
+    from katta_spark.query import get_details
+
+    src = dv_corpus.withColumn("shard_id", F.lit(99)).withColumn(
+        "score", F.lit(-1.0)
+    )
+    plain = search_sorted(
+        spark, dvidx, "hotalpha hotbeta", dv_corpus,
+        [("turn_idx", "desc")], k=8,
+    ).collect()
+    got = search_sorted(
+        spark, dvidx, "hotalpha hotbeta", src, [("turn_idx", "desc")], k=8
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in plain]
+    assert all(r.shard_id != 99 and r.score > 0 for r in got)
+    # opaque Column spec forces the source-join fallback path
+    got_j = search_sorted(
+        spark, dvidx, "hotalpha hotbeta", src,
+        [F.col("turn_idx").desc()], k=8,
+    ).collect()
+    assert [r.doc_id for r in got_j] == [r.doc_id for r in plain]
+    assert all(r.shard_id != 99 and r.score > 0 for r in got_j)
+    hits = search(spark, dvidx, "hotalpha", k=5)
+    det = get_details(spark, hits, src).collect()
+    assert len(det) == 5
+    assert all(r.shard_id != 99 and r.score > 0 for r in det)
