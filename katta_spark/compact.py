@@ -168,6 +168,121 @@ def _merge_kernel(block: int, positions: bool = True):
     return kernel
 
 
+def _merge_dv_sidecars(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    h0: IndexHandle,
+    dv_metas: list,
+    phase_t: dict,
+) -> None:
+    """Docvalue sidecar merge — reads only the INPUT sidecars, so it runs
+    overlapped with the postings merge on a driver thread.
+
+    Union the per-shard bucket rows and re-bucket per shard (inputs are
+    doc-disjoint — compact() checked that). Numeric kinds merge
+    in-kernel; STRING kinds carry per-index dictionary ranks that are
+    not comparable across indexes, so each string column's dictionaries
+    are merged and re-ranked first, then its sidecar rows decode →
+    remap-join (old rank → new rank, fully distributed) → re-encode per
+    shard.
+    """
+    t_v = time.time()
+    from katta_spark.docvalues import (
+        DV_ROWS_SCHEMA,
+        DV_SCHEMA,
+        dv_path,
+        encode_dv_rows_kernel,
+        explode_dv_rows_kernel,
+        merge_docvalues_kernel,
+        string_rank_dictionary,
+        strings_path,
+    )
+
+    kinds = dv_metas[0]["cols"]
+    num_cols = sorted(c for c, kd in kinds.items() if kd != "string")
+    str_cols = sorted(c for c, kd in kinds.items() if kd == "string")
+    merged_parts = []
+    if num_cols:
+        dv_union = None
+        for d in index_dirs:
+            t = spark.read.parquet(dv_path(d)).where(
+                F.col("col").isin(num_cols)
+            )
+            dv_union = t if dv_union is None else dv_union.unionByName(t)
+        merged_parts.append(
+            dv_union.repartition(h0.num_shards, "shard_id")
+            .groupBy("shard_id")
+            .applyInPandas(merge_docvalues_kernel(num_cols), DV_SCHEMA)
+        )
+    for c in str_cols:
+        # merged dictionary: union of source values, re-ranked
+        vunion = None
+        for d in index_dirs:
+            t = spark.read.parquet(
+                os.path.join(strings_path(d), f"col={c}")
+            ).select("value")
+            vunion = t if vunion is None else vunion.unionByName(t)
+        ranks, cache = string_rank_dictionary(
+            spark, vunion, h0.num_shards
+        )
+        ranks.write.mode("overwrite").parquet(
+            os.path.join(strings_path(out_dir), f"col={c}")
+        )
+        cache.unpersist()
+        new_dict = spark.read.parquet(
+            os.path.join(strings_path(out_dir), f"col={c}")
+        ).select("value", F.col("rank").alias("new_rank"))
+        # per-source remap (old rank → new rank) and decoded rows
+        remap = None
+        rows = None
+        for i, d in enumerate(index_dirs):
+            rm = (
+                spark.read.parquet(
+                    os.path.join(strings_path(d), f"col={c}")
+                )
+                .select("value", F.col("rank").alias("rank"))
+                .join(new_dict, "value")
+                .select(F.lit(i).alias("src"), "rank", "new_rank")
+            )
+            remap = rm if remap is None else remap.unionByName(rm)
+            rw = (
+                spark.read.parquet(dv_path(d))
+                .where(F.col("col") == c)
+                .mapInPandas(explode_dv_rows_kernel(c), DV_ROWS_SCHEMA)
+                .withColumn("src", F.lit(i))
+            )
+            rows = rw if rows is None else rows.unionByName(rw)
+        remapped = (
+            rows.join(remap, ["src", "rank"], "left")
+            .select(
+                "shard_id",
+                "doc_id",
+                # NULL docs store a placeholder rank 0 whose value may
+                # be absent from the merged dictionary — keep 0, the
+                # isnull mask overrides it at sort time
+                F.coalesce("new_rank", F.lit(0)).alias("rank"),
+                "isnull",
+            )
+        )
+        merged_parts.append(
+            remapped.repartition(h0.num_shards, "shard_id")
+            .groupBy("shard_id")
+            .applyInPandas(encode_dv_rows_kernel(c), DV_SCHEMA)
+        )
+    merged_dv = merged_parts[0]
+    for mp in merged_parts[1:]:
+        merged_dv = merged_dv.unionByName(mp)
+    (
+        merged_dv.write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(dv_path(out_dir))
+    )
+    with open(os.path.join(out_dir, "docvalues_meta.json"), "w") as fh:
+        json.dump(dv_metas[0], fh)
+    phase_t["docvalues"] = round(time.time() - t_v, 2)
+
+
 def compact(
     spark: SparkSession,
     index_dirs: list[str],
@@ -224,204 +339,185 @@ def compact(
     with open(os.path.join(out_dir, "FORMAT_VERSION"), "w") as fh:
         fh.write(str(FORMAT_VERSION))
 
-    # ---- postings merge: one postings-sized job
-    union = None
-    for h in handles:
-        p = h.postings(spark)
-        union = p if union is None else union.unionByName(p)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    merged = (
-        union.repartition(
-            n_parts, F.col("shard_id"), F.pmod(F.col("th"), F.lit(slices))
-        )
-        .sortWithinPartitions("shard_id", "th")
-        .mapInPandas(_merge_kernel(block, h0.positions), ENCODED_SCHEMA)
-        .repartition(
-            h0.num_shards, F.col("shard_id"), F.pmod(F.col("th"), F.lit(16))
-        )
-        .sortWithinPartitions("shard_id", "th")
-    )
-    merged.write.mode("overwrite").partitionBy("shard_id").parquet(
-        os.path.join(out_dir, "postings.parquet")
-    )
+    # The vocab-sized follow-ups (dictionary, stats) and the docvalue
+    # sidecar merge read only the INPUT indexes — none depends on the
+    # merged postings write, so they run on driver threads overlapped
+    # with the one postings-sized merge job (the same overlap pattern the
+    # build uses for its dictionary phase; each was a serial 1-3 s
+    # fixed-overhead tail job before).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # ---- dictionary union + cross-index hash-collision check
-    dunion = None
-    for h in handles:
-        t = spark.read.parquet(os.path.join(h.index_dir, "dict.parquet"))
-        dunion = t if dunion is None else dunion.unionByName(t)
-    (
-        dunion.groupBy("th")
-        .agg(F.min("term").alias("term"), F.max("_mx").alias("_mx"))
-        .repartition(max(1, h0.num_shards // 8), "th")
-        .sortWithinPartitions("th")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "dict.parquet"))
-    )
-    ddf = spark.read.parquet(os.path.join(out_dir, "dict.parquet"))
-    n_coll = ddf.where(F.col("term") != F.col("_mx")).count()
-    if n_coll:
-        raise RuntimeError(
-            f"xxhash64 term collision(s) across input indexes: {n_coll}"
-        )
+    from pyspark.sql import Observation
 
-    # ---- stats + marker-derived scalars (vocab-sized, blob-pruned)
-    post = spark.read.parquet(os.path.join(out_dir, "postings.parquet"))
-    tdict = ddf.select("th", "term")
-    (
-        post.select("th", "df", "cf")
-        .groupBy("th")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .join(tdict, "th")
-        .select("term", "df", "cf", "th")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "stats.parquet"))
-    )
-    marker = F.col("th").isin(list(SENTINEL_HASHES))
-    mrows = (
-        post.where(marker)
-        .groupBy("shard_id")
-        .agg(
-            F.sum("df").alias("nd"),
-            F.sum("cf").alias("nr"),
-            F.sum("sum_dl").alias("dl"),
-        )
-        .collect()
-    )
-    n_docs = sum(int(r["nd"]) for r in mrows)
-    n_rows = sum(int(r["nr"]) for r in mrows)
-    if n_docs != sum(h.n_docs for h in handles) or n_rows != n_docs:
-        raise RuntimeError(
-            f"compacted doc accounting mismatch: {n_docs} marker docs, "
-            f"{n_rows} marker rows, inputs sum "
-            f"{sum(h.n_docs for h in handles)}"
-        )
-    # Metadata tables are tiny (1..num_shards rows): write them driver-
-    # side exactly like the build does (_pa_write_rows — Spark-compatible
-    # layout), saving one fixed-overhead Spark job each.
-    corpus_s, shards_s, lineage_s = _meta_schemas()
-    _pa_write_rows(
-        os.path.join(out_dir, "shards.parquet"),
-        shards_s,
-        sorted(
-            (int(r["shard_id"]), int(r["nd"]), int(r["dl"])) for r in mrows
-        ),
-    )
-    sum_dl = sum(int(r["dl"]) for r in mrows)
-    avgdl = (sum_dl / n_docs) if n_docs else 1.0
-    if avgdl == 0.0:
-        avgdl = 1.0
-    _pa_write_rows(
-        os.path.join(out_dir, "corpus.parquet"),
-        corpus_s,
-        [
-            (
-                n_docs, avgdl, h0.num_shards, list(h0.keyword_fields),
-                h0.sharding, h0.positions,
-            )
-        ],
-    )
+    phase_t: dict[str, float] = {}
+    pool = ThreadPoolExecutor(max_workers=3)
 
-    # ---- docvalue sidecar merge: union the per-shard bucket rows and
-    # re-bucket per shard (inputs are doc-disjoint — checked above).
-    # Numeric kinds merge in-kernel; STRING kinds carry per-index
-    # dictionary ranks that are not comparable across indexes, so each
-    # string column's dictionaries are merged and re-ranked first, then
-    # its sidecar rows decode → remap-join (old rank → new rank, fully
-    # distributed) → re-encode per shard.
-    if dv_metas[0] is not None:
-        from katta_spark.docvalues import (
-            DV_ROWS_SCHEMA,
-            DV_SCHEMA,
-            dv_path,
-            encode_dv_rows_kernel,
-            explode_dv_rows_kernel,
-            merge_docvalues_kernel,
-            string_rank_dictionary,
-            strings_path,
-        )
-
-        kinds = dv_metas[0]["cols"]
-        num_cols = sorted(c for c, kd in kinds.items() if kd != "string")
-        str_cols = sorted(c for c, kd in kinds.items() if kd == "string")
-        merged_parts = []
-        if num_cols:
-            dv_union = None
-            for d in index_dirs:
-                t = spark.read.parquet(dv_path(d)).where(
-                    F.col("col").isin(num_cols)
-                )
-                dv_union = t if dv_union is None else dv_union.unionByName(t)
-            merged_parts.append(
-                dv_union.repartition(h0.num_shards, "shard_id")
-                .groupBy("shard_id")
-                .applyInPandas(merge_docvalues_kernel(num_cols), DV_SCHEMA)
-            )
-        for c in str_cols:
-            # merged dictionary: union of source values, re-ranked
-            vunion = None
-            for d in index_dirs:
-                t = spark.read.parquet(
-                    os.path.join(strings_path(d), f"col={c}")
-                ).select("value")
-                vunion = t if vunion is None else vunion.unionByName(t)
-            ranks, cache = string_rank_dictionary(
-                spark, vunion, h0.num_shards
-            )
-            ranks.write.mode("overwrite").parquet(
-                os.path.join(strings_path(out_dir), f"col={c}")
-            )
-            cache.unpersist()
-            new_dict = spark.read.parquet(
-                os.path.join(strings_path(out_dir), f"col={c}")
-            ).select("value", F.col("rank").alias("new_rank"))
-            # per-source remap (old rank → new rank) and decoded rows
-            remap = None
-            rows = None
-            for i, d in enumerate(index_dirs):
-                rm = (
-                    spark.read.parquet(
-                        os.path.join(strings_path(d), f"col={c}")
-                    )
-                    .select("value", F.col("rank").alias("rank"))
-                    .join(new_dict, "value")
-                    .select(F.lit(i).alias("src"), "rank", "new_rank")
-                )
-                remap = rm if remap is None else remap.unionByName(rm)
-                rw = (
-                    spark.read.parquet(dv_path(d))
-                    .where(F.col("col") == c)
-                    .mapInPandas(explode_dv_rows_kernel(c), DV_ROWS_SCHEMA)
-                    .withColumn("src", F.lit(i))
-                )
-                rows = rw if rows is None else rows.unionByName(rw)
-            remapped = (
-                rows.join(remap, ["src", "rank"], "left")
-                .select(
-                    "shard_id",
-                    "doc_id",
-                    # NULL docs store a placeholder rank 0 whose value may
-                    # be absent from the merged dictionary — keep 0, the
-                    # isnull mask overrides it at sort time
-                    F.coalesce("new_rank", F.lit(0)).alias("rank"),
-                    "isnull",
-                )
-            )
-            merged_parts.append(
-                remapped.repartition(h0.num_shards, "shard_id")
-                .groupBy("shard_id")
-                .applyInPandas(encode_dv_rows_kernel(c), DV_SCHEMA)
-            )
-        merged_dv = merged_parts[0]
-        for mp in merged_parts[1:]:
-            merged_dv = merged_dv.unionByName(mp)
+    def _run_dict() -> int:
+        """Dictionary union; returns the cross-index th-collision count
+        (riding the write as an Observation metric, like the build)."""
+        t_d = time.time()
+        dunion = None
+        for h in handles:
+            t = spark.read.parquet(os.path.join(h.index_dir, "dict.parquet"))
+            dunion = t if dunion is None else dunion.unionByName(t)
+        obs_d = Observation("compact_dict_collisions")
         (
-            merged_dv.write.mode("overwrite")
-            .partitionBy("shard_id")
-            .parquet(dv_path(out_dir))
+            dunion.groupBy("th")
+            .agg(F.min("term").alias("term"), F.max("_mx").alias("_mx"))
+            .observe(
+                obs_d,
+                F.count(
+                    F.when(F.col("term") != F.col("_mx"), F.lit(1))
+                ).alias("n"),
+            )
+            .repartition(max(1, h0.num_shards // 8), "th")
+            .sortWithinPartitions("th")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "dict.parquet"))
         )
-        with open(os.path.join(out_dir, "docvalues_meta.json"), "w") as fh:
-            json.dump(dv_metas[0], fh)
+        phase_t["dictionary"] = round(time.time() - t_d, 2)
+        return int(obs_d.get["n"] or 0)
+
+    def _run_stats() -> None:
+        """df/cf are additive over doc-disjoint inputs, so the merged
+        stats table is the SUM of the input stats tables — a vocab-sized
+        union instead of re-aggregating the freshly-written postings
+        (markers were already excluded from every input's stats by its
+        build, so the sum carries that exclusion for free)."""
+        t_s = time.time()
+        sunion = None
+        for h in handles:
+            t = spark.read.parquet(
+                os.path.join(h.index_dir, "stats.parquet")
+            )
+            sunion = t if sunion is None else sunion.unionByName(t)
+        (
+            sunion.groupBy("th")
+            .agg(
+                F.min("term").alias("term"),
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+            )
+            .select("term", "df", "cf", "th")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "stats.parquet"))
+        )
+        phase_t["stats"] = round(time.time() - t_s, 2)
+
+    fut_dict = pool.submit(_run_dict)
+    fut_stats = pool.submit(_run_stats)
+    fut_dv = (
+        pool.submit(_merge_dv_sidecars, spark, index_dirs, out_dir, h0,
+                    dv_metas, phase_t)
+        if dv_metas[0] is not None
+        else None
+    )
+    try:
+        # ---- postings merge: one postings-sized job
+        t_m = time.time()
+        union = None
+        for h in handles:
+            p = h.postings(spark)
+            union = p if union is None else union.unionByName(p)
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        merged = (
+            union.repartition(
+                n_parts, F.col("shard_id"), F.pmod(F.col("th"), F.lit(slices))
+            )
+            .sortWithinPartitions("shard_id", "th")
+            .mapInPandas(_merge_kernel(block, h0.positions), ENCODED_SCHEMA)
+            .repartition(
+                h0.num_shards, F.col("shard_id"), F.pmod(F.col("th"), F.lit(16))
+            )
+            .sortWithinPartitions("shard_id", "th")
+        )
+        merged.write.mode("overwrite").partitionBy("shard_id").parquet(
+            os.path.join(out_dir, "postings.parquet")
+        )
+        phase_t["postings_merge"] = round(time.time() - t_m, 2)
+
+        n_coll = fut_dict.result()
+        if n_coll:
+            raise RuntimeError(
+                f"xxhash64 term collision(s) across input indexes: {n_coll}"
+            )
+
+        # ---- marker-derived scalars read back from the WRITTEN postings
+        # (deliberately not derived from the inputs: comparing against
+        # the input handles' sums below verifies the merge preserved the
+        # doc accounting). Pushed In(th) over the 256 sentinel hashes +
+        # th-sorted row groups keep this scan tiny.
+        post = spark.read.parquet(os.path.join(out_dir, "postings.parquet"))
+        marker = F.col("th").isin(list(SENTINEL_HASHES))
+        mrows = (
+            post.where(marker)
+            .groupBy("shard_id")
+            .agg(
+                F.sum("df").alias("nd"),
+                F.sum("cf").alias("nr"),
+                F.sum("sum_dl").alias("dl"),
+            )
+            .collect()
+        )
+        n_docs = sum(int(r["nd"]) for r in mrows)
+        n_rows = sum(int(r["nr"]) for r in mrows)
+        if n_docs != sum(h.n_docs for h in handles) or n_rows != n_docs:
+            raise RuntimeError(
+                f"compacted doc accounting mismatch: {n_docs} marker docs, "
+                f"{n_rows} marker rows, inputs sum "
+                f"{sum(h.n_docs for h in handles)}"
+            )
+        # Metadata tables are tiny (1..num_shards rows): write them driver-
+        # side exactly like the build does (_pa_write_rows — Spark-compatible
+        # layout), saving one fixed-overhead Spark job each.
+        corpus_s, shards_s, lineage_s = _meta_schemas()
+        _pa_write_rows(
+            os.path.join(out_dir, "shards.parquet"),
+            shards_s,
+            sorted(
+                (int(r["shard_id"]), int(r["nd"]), int(r["dl"])) for r in mrows
+            ),
+        )
+        sum_dl = sum(int(r["dl"]) for r in mrows)
+        avgdl = (sum_dl / n_docs) if n_docs else 1.0
+        if avgdl == 0.0:
+            avgdl = 1.0
+        _pa_write_rows(
+            os.path.join(out_dir, "corpus.parquet"),
+            corpus_s,
+            [
+                (
+                    n_docs, avgdl, h0.num_shards, list(h0.keyword_fields),
+                    h0.sharding, h0.positions,
+                )
+            ],
+        )
+
+        fut_stats.result()
+        if fut_dv is not None:
+            fut_dv.result()
+    except BaseException:
+        # The overlapped side jobs may already have committed their
+        # outputs even though the merge failed (e.g. a duplicate-doc
+        # refusal) — and out_dir was required empty at entry, so every
+        # file under it belongs to THIS invocation. Wait the running
+        # futures out (vocab-sized jobs; queued ones are cancelled), then
+        # clear the partial artifacts so a retry isn't refused by the
+        # non-empty-out_dir guard.
+        pool.shutdown(wait=True, cancel_futures=True)
+        import shutil as _shutil
+
+        for name in os.listdir(out_dir):
+            p_art = os.path.join(out_dir, name)
+            if os.path.isdir(p_art):
+                _shutil.rmtree(p_art, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(p_art)
+                except OSError:
+                    pass
+        raise
+    pool.shutdown()
 
     # lineage: one row recording the compaction (provenance, idempotent
     # re-runs refuse via the non-empty-out_dir guard)
@@ -446,5 +542,6 @@ def compact(
         "avgdl": avgdl,
         "num_shards": h0.num_shards,
         "inputs": list(index_dirs),
+        "phase_timings": phase_t,
         "elapsed_sec": round(time.time() - t0, 2),
     }

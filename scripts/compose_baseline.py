@@ -310,7 +310,13 @@ dataflow. (A map-side combine of repeated (term, doc) occurrences was
 evaluated to cut shuffle bytes further: the measured token duplication
 factor on this corpus is 1.31x, so it saves <=24% of shuffle rows while
 adding a corpus-sized hash-aggregation pass — net more bus traffic,
-rejected.)""")
+rejected. A map-side sort by term hash to raise zstd shuffle
+compressibility was likewise evaluated: simulating the per-reducer wire
+streams byte-exactly shows the natural posexplode order already
+compresses ~1.9x — matching the measured 1,535 MB wire volume — because
+term duplication survives hash bucketing, and a full sort recovers only
+~8% more wire bytes while adding a corpus-sized JVM sort pass; net more
+bus traffic, rejected.)""")
 
     parts.append("""
 ## Design properties that carry the scaling onto a real cluster

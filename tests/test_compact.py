@@ -88,8 +88,17 @@ def test_compacted_counts_and_stats(spark, base_delta, tiny_transcripts):
 
 def test_compact_refuses_duplicate_docs(spark, base_delta, tmp_path):
     dirs, _, _ = base_delta
+    dup = tmp_path / "dup"
     with pytest.raises(Exception, match="duplicate doc_id"):
-        compact(spark, [dirs[0], dirs[0]], str(tmp_path / "dup"))
+        compact(spark, [dirs[0], dirs[0]], str(dup))
+    # the overlapped dictionary/stats jobs may have committed before the
+    # merge refused — a failed compact must clean its partial artifacts
+    # so the retry isn't blocked by the non-empty-out_dir guard
+    import os
+
+    assert os.listdir(dup) == []
+    summary = compact(spark, dirs, str(dup))
+    assert summary["n_docs"] > 0
 
 
 def test_compact_refuses_shape_mismatch(
