@@ -382,7 +382,14 @@ def term_dictionary(
     min/max instead of countDistinct keeps the aggregate single-level
     (no Expand, one shuffle)."""
     toks = docs_with_ids.select(tokenize_col(F.col("text")).alias("tokens"))
-    terms = toks.select(F.explode("tokens").alias("term"))
+    # explode_outer: InferFiltersFromGenerate would otherwise duplicate
+    # the tokenize into an interpreted pre-Generate size() filter — a
+    # second regex split over the whole corpus (measured 2.2x the
+    # dictionary scan). Outer generates skip the rule; the NULL row an
+    # empty doc adds is dropped before the aggregate.
+    terms = toks.select(F.explode_outer("tokens").alias("term")).where(
+        F.col("term").isNotNull()
+    )
     for fld in keyword_cols:
         kw = (
             docs_with_ids.where(F.col(fld).isNotNull())

@@ -41,7 +41,12 @@ def corpus_tokens(docs: DataFrame, id_col: str = "doc_id",
         tokenize_col(F.col(text_col)).alias("tokens"),
     ).withColumn("doclen", F.size("tokens"))
     return (
-        toks.select("doc_id", "doclen", F.explode("tokens").alias("term"))
+        # explode_outer + isNotNull: keeps InferFiltersFromGenerate from
+        # duplicating the tokenize into an interpreted pre-Generate filter
+        toks.select(
+            "doc_id", "doclen", F.explode_outer("tokens").alias("term")
+        )
+        .where(F.col("term").isNotNull())
         .groupBy("doc_id", "doclen", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

