@@ -59,6 +59,7 @@ def main() -> None:
     head_a = _load("scaling_2m_headline_a.json")
     head_b = _load("scaling_2m_headline_b.json")
     head_c = _load("scaling_2m_headline_c.json")
+    head_d = _load("scaling_2m_headline_d.json")
     small = _load("scaling_2m_smallhost.json")
     trend4 = _load("scaling_4m_trend.json")
     probes = _load("host_probes.json")
@@ -180,6 +181,30 @@ invocations the median would be {all9_med:.3f} — reported here for
 completeness; the headline above excludes C because its windows fail the
 same load screen under which every other number in this file was taken
 (gate verdict unchanged either way: FAIL at this budget).""")
+
+    if head_d:
+        dmed = _median_inv(head_d)
+        parts.append(f"""
+### Suite 1c — the SAME shape re-measured on the final round-5 HEAD (campaign D)
+
+Campaigns A/B measured the mid-round code. After them the build changed
+materially — the dictionary phase lost a duplicated corpus tokenize
+(an inferred pre-Generate filter re-ran the regex split per row; the
+explode_outer fix halved that job) — so the shape was re-measured as a
+full fresh 3-invocation campaign on the shipped HEAD in a clean window.
+It is reported separately, not merged into the A+B median: a different
+job's invocations cannot share a median with the old one.
+
+| invocation | tp(N) best | tp(4N) best | raw eff | ALU ceiling eff | normalized |
+|---|---|---|---|---|---|
+{_inv_table(head_d, labels=[f"D{i + 1}" for i in range(len(head_d['invocations']))])}
+
+**Final-HEAD median raw scaling efficiency =
+{head_d['median_eff']:.3f} (target >= 0.8:
+{'PASS' if head_d['median_eff'] >= 0.8 else 'FAIL'}); median
+normalized = {head_d['median_normalized_eff']:.3f}.** Median-invocation
+detail: tp(N) best {max(dmed['all_low']):,.0f}, tp(4N) best
+{max(dmed['all_high']):,.0f}.""")
 
     if small:
         smed = _median_inv(small)
@@ -316,7 +341,10 @@ streams byte-exactly shows the natural posexplode order already
 compresses ~1.9x — matching the measured 1,535 MB wire volume — because
 term duplication survives hash bucketing, and a full sort recovers only
 ~8% more wire bytes while adding a corpus-sized JVM sort pass; net more
-bus traffic, rejected.)""")
+bus traffic, rejected. A larger zstd stream buffer — 512k vs the 32k
+default — was A/B-probed at 1M turns: wire bytes IDENTICAL at both
+settings (scaling_probe_zbuf*.json; the buffer chunks the stream, it is
+not the compression match window), no change kept.)""")
 
     parts.append("""
 ## Design properties that carry the scaling onto a real cluster

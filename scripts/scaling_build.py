@@ -86,11 +86,17 @@ def main() -> None:
     # cluster ~8% while leaving the 4-core one flat (measured), and on a
     # real cluster it is the standard network-relief choice.
     codec = os.environ.get("KATTA_SCALING_CODEC", "zstd")
+    # zstd stream buffer: probed 512k vs the 32k default (BENCH/
+    # scaling_probe_zbuf*.json) — wire bytes IDENTICAL at both (the
+    # buffer chunks the stream; it is not the compression match window),
+    # so the default stays. The knob remains for future probes.
+    zbuf = os.environ.get("KATTA_SCALING_ZSTD_BUF", "32k")
     evlog = tempfile.mkdtemp(prefix="katta_evlog_")
     spark = (
         SparkSession.builder.appName("katta_scaling_build")
         .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.io.compression.codec", codec)
+        .config("spark.io.compression.zstd.bufferSize", zbuf)
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evlog)
         .config("spark.eventLog.compress", "false")
