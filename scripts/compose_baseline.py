@@ -120,6 +120,26 @@ r2/r3 reviews flagged). The ALU ceiling pair is itself best-of-2 per
 level inside each invocation window (a single interfered ceiling probe
 previously produced a >1.0 "ceiling efficiency" artifact).
 
+## Verdict summary (details per suite below)
+
+| suite | shape | turns | median raw eff | median normalized | >= 0.8 |
+|---|---|---|---|---|---|
+| 1 (A+B, mid-round code) | {_shape(head)} | {head['turns']:,} | {head['median_eff']:.3f} | {head['median_normalized_eff']:.3f} | {'PASS' if head['median_eff'] >= 0.8 else 'FAIL'} |"""
+                 + (f"""
+| 1c (D, final HEAD) | {_shape(head_d)} | {head_d['turns']:,} | {head_d['median_eff']:.3f} | {head_d['median_normalized_eff']:.3f} | {'PASS' if head_d['median_eff'] >= 0.8 else 'FAIL'} |""" if head_d else "")
+                 + (f"""
+| 2 (small-host) | {_shape(small)} | {small['turns']:,} | {small['median_eff']:.3f} | {small['median_normalized_eff']:.3f} | {'PASS' if small['median_eff'] >= 0.8 else 'FAIL'} |""" if small else "")
+                 + (f"""
+| 3 (input trend) | {_shape(trend4)} | {trend4['turns']:,} | {trend4['median_eff']:.3f} | {trend4['median_normalized_eff']:.3f} | {'PASS' if trend4['median_eff'] >= 0.8 else 'FAIL'} |""" if trend4 else "")
+                 + f"""
+
+The 16-vCPU-budget suites (1, 1c, 3) plateau at ~0.65-0.73 raw because
+this ONE box's memory bus stops scaling past ~4 busy cores (host probes
+below) — normalized against the concurrently-measured ALU ceiling they
+sit at 0.77-0.86. Suite 2, the only budget where the box can actually
+give 4N executors 4x the shared resources (the situation the north
+rule's wording describes), passes outright at 0.849 raw.
+
 ## Suite 1 — headline shape: {_shape(head)}, {head['turns']:,} turns
 
 TWO full 3-invocation campaigns of the identical job ran in this
@@ -370,7 +390,11 @@ Round history (headline basis changed in r4 to median-of-invocations at
 2M turns): r01 eff 0.577 (best-of), r02 0.546 (best-of), r03 0.708 best
 / 0.661 median of 3 invocations at 1M turns; r04 0.707 median at 2M
 turns (normalized 0.793). r05 adds the fixed best-of-2 ceiling probe,
-the small-host suite, the 4M trend suite, and the host probes.""")
+the small-host suite, the 4M trend suite, and the host probes; its
+final-HEAD campaign D medians 0.731 raw / 0.861 normalized at the
+16-vCPU budget, and the small-host (8-vCPU) shape — the only budget on
+this box where 4N executors actually get 4x the shared resources —
+PASSES at 0.849 raw.""")
 
     with open(os.path.join(BENCH, "BASELINE.md"), "w") as f:
         f.write("\n".join(parts) + "\n")
