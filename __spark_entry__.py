@@ -705,8 +705,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures"] = lambda s, sf: tx.minhash_signatures(_docs(s, sf), num_hashes=4)
     q["simhash"] = lambda s, sf: tx.simhash16(_docs(s, sf))
     q["lang_id"] = lambda s, sf: tx.lang_id(_docs(s, sf))
-    q["quality_scores"] = lambda s, sf: tx.quality_scores(_docs(s, sf))
-    q["token_counts"] = lambda s, sf: tx.token_counts(_docs(s, sf))
+
+    def quality(spark, sf):
+        """Tagged union of the two per-doc quality-signal families (one
+        gate under the 50-gate cap): variant='quality' = the classic
+        cheap signals (n=n_tokens, r1=avg_token_len, r2=stopword_ratio,
+        r3=alnum_ratio); variant='repetition' = Gopher/MassiveText
+        repetition signals (Rae et al. 2021 A1.1; n=n_2grams,
+        r1=dup_2gram_frac, r2=dup_3gram_frac, r3=top_2gram_frac), all
+        in-row codegen — the repetition leg adds ZERO exchanges."""
+        docs = _docs(spark, sf)
+        ql = tx.quality_scores(docs).select(
+            F.lit("quality").alias("variant"), "doc_id",
+            F.col("n_tokens").alias("n"),
+            F.col("avg_token_len").alias("r1"),
+            F.col("stopword_ratio").alias("r2"),
+            F.col("alnum_ratio").alias("r3"),
+        )
+        rep = tx.repetition_scores(docs).select(
+            F.lit("repetition").alias("variant"), "doc_id",
+            F.col("n_2grams").alias("n"),
+            F.col("dup_2gram_frac").alias("r1"),
+            F.col("dup_3gram_frac").alias("r2"),
+            F.col("top_2gram_frac").alias("r3"),
+        )
+        return ql.unionByName(rep)
+
+    q["quality_scores"] = quality
+
+    def tokens_and_decontam(spark, sf):
+        """Tagged union (50-gate cap): variant='counts' = token counting
+        (c1=n_ws_tokens, c2=n_bpe_tokens); variant='decontam' = eval-set
+        decontamination — the benchmark set is a deterministic 1-in-41
+        slice of the corpus itself (doc_id % 41 = 0), so hits are
+        guaranteed and the oracle needs no external data (c1=
+        n_hit_shingles, c2=contaminated 0/1). The benchmark side
+        broadcasts; the corpus side never shuffles for the probe."""
+        docs = _docs(spark, sf)
+        counts = tx.token_counts(docs).select(
+            F.lit("counts").alias("variant"), "doc_id",
+            F.col("n_ws_tokens").cast("long").alias("c1"),
+            F.col("n_bpe_tokens").cast("long").alias("c2"),
+        )
+        bench = docs.where(F.col("doc_id") % 41 == 0)
+        dec = tx.decontaminate(docs, bench, n=3).select(
+            F.lit("decontam").alias("variant"), "doc_id",
+            F.col("n_hit_shingles").alias("c1"),
+            F.col("contaminated").cast("long").alias("c2"),
+        )
+        return counts.unionByName(dec)
+
+    q["token_counts"] = tokens_and_decontam
     q["doc_fingerprint"] = lambda s, sf: tx.doc_fingerprint(_docs(s, sf))
     # rolling-hash winnowing (MOSS): k=16-char grams, window w=8
     q["winnow_fingerprints"] = lambda s, sf: tx.winnow_fingerprints(
@@ -1453,30 +1502,75 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
     """
 
     en_sw = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
+    # quality_scores gate = tagged union: classic signals + Gopher
+    # repetition signals (variant column tags the leg; generic n/r1-r3
+    # names keep the union schema shared — the gate docstring maps them).
     o["quality_scores"] = f"""
-        SELECT doc_id,
-               len(t) AS n_tokens,
+        WITH toksq AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 2 THEN
+              [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+            ELSE []::VARCHAR[] END AS g2,
+            CASE WHEN len(t) >= 3 THEN
+              [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+            ELSE []::VARCHAR[] END AS g3
+          FROM toksq
+        ),
+        topg AS (
+          SELECT doc_id, max(c) AS topc FROM (
+            SELECT doc_id, gram, count(*) AS c FROM (
+              SELECT doc_id, unnest(g2) AS gram FROM grams
+            ) GROUP BY doc_id, gram
+          ) GROUP BY doc_id
+        )
+        SELECT 'quality' AS variant, doc_id,
+               len(t) AS n,
                round(CASE WHEN len(t) > 0 THEN tc / len(t) ELSE 0.0 END, 4)
-                 AS avg_token_len,
+                 AS r1,
                round(CASE WHEN len(t) > 0 THEN ns / len(t) ELSE 0.0 END, 4)
-                 AS stopword_ratio,
+                 AS r2,
                round(CASE WHEN length(text) > 0 THEN tc / length(text) ELSE 0.0 END, 4)
-                 AS alnum_ratio
+                 AS r3
         FROM (
           SELECT doc_id, text, t,
                  coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE AS tc,
                  len(list_filter(t, x -> x IN ({en_sw})))::DOUBLE AS ns
-          FROM (SELECT doc_id, text, {_TOK} AS t FROM documents)
+          FROM toksq
         )
+        UNION ALL
+        SELECT 'repetition' AS variant, g.doc_id,
+               len(g2) AS n,
+               round(CASE WHEN len(g2) > 0 THEN
+                 1.0::DOUBLE - len(list_distinct(g2))::DOUBLE / len(g2)
+               ELSE 0.0 END, 4) AS r1,
+               round(CASE WHEN len(g3) > 0 THEN
+                 1.0::DOUBLE - len(list_distinct(g3))::DOUBLE / len(g3)
+               ELSE 0.0 END, 4) AS r2,
+               round(CASE WHEN len(g2) > 0 THEN
+                 coalesce(topc, 0)::DOUBLE / len(g2)
+               ELSE 0.0 END, 4) AS r3
+        FROM grams g LEFT JOIN topg USING (doc_id)
     """
 
-    o["token_counts"] = f"""
-        SELECT doc_id,
+    # token_counts gate = tagged union: token counting + eval-set
+    # decontamination (benchmark = the deterministic doc_id % 41 = 0
+    # corpus slice; a doc is contaminated when any of its distinct
+    # 3-gram shingles appears in the benchmark's shingle set).
+    o["token_counts"] = shingle_cte + f"""
+        , bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0)
+        SELECT 'counts' AS variant, doc_id,
                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
-                 AS n_ws_tokens,
+                 AS c1,
                len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))
-                 AS n_bpe_tokens
+                 AS c2
         FROM documents
+        UNION ALL
+        SELECT 'decontam' AS variant, s.doc_id,
+               count(b.shingle) AS c1,
+               CASE WHEN count(b.shingle) >= 1 THEN 1 ELSE 0 END::BIGINT AS c2
+        FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        GROUP BY s.doc_id
     """
 
     o["doc_fingerprint"] = shingle_cte + """

@@ -190,6 +190,15 @@ def main() -> None:
         timed_q("token_counts", lambda: tx.token_counts(docs).count())
         timed_q("simhash", lambda: tx.simhash16(docs).count())
         timed_q("quality_scores", lambda: tx.quality_scores(docs).count())
+        timed_q("repetition_scores", lambda: tx.repetition_scores(docs).count())
+        # eval-set decontamination: benchmark = deterministic 1-in-41
+        # corpus slice (broadcast side), corpus probe shuffle-free
+        timed_q(
+            "decontaminate",
+            lambda: tx.decontaminate(
+                docs, docs.where("doc_id % 41 = 0")
+            ).count(),
+        )
         timed_q("lang_id", lambda: tx.lang_id(docs).count())
         timed_q("ann_cosine_top20", lambda: sim.cosine_topk(emb, 0, 20).collect())
         ann_dir = os.path.join(idx_dir, "ann")

@@ -272,3 +272,94 @@ def test_redact_text(spark):
     assert out[1] == "write to <EMAIL> or visit <URL> at <IP> ok"
     assert out[2] == "nothing here"
     assert out[3] == "two mails <EMAIL> <EMAIL> and <IP> is not clamped but matches"
+
+
+def test_decontaminate_hand_checked(spark):
+    """Benchmark 3-gram overlap: exact hit counts, zero-hit docs kept,
+    min_hits threshold honored."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "alpha beta gamma delta"),
+            (3, "one two"),  # < n tokens -> whole-text fallback shingle
+            (4, "quick brown fox quick brown fox runs"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox something else",), ("one two",)], ["text"]
+    )
+    got = {
+        r.doc_id: (r.n_hit_shingles, r.contaminated)
+        for r in tx.decontaminate(docs, bench, n=3).collect()
+    }
+    # doc 1: distinct doc shingle "quick brown fox" hits; doc 4 has the
+    # same shingle (distinct per doc, so it counts ONCE) plus
+    # "brown fox quick"/"fox quick brown" which don't appear in bench.
+    assert got == {
+        1: (1, True),
+        2: (0, False),
+        3: (1, True),  # whole-text fallback "one two" == bench fallback? no:
+        # bench "one two" has 2 tokens -> fallback shingle "one two" matches.
+        4: (1, True),
+    }
+    # min_hits=2: nobody reaches two distinct hit shingles
+    got2 = {
+        r.doc_id: r.contaminated
+        for r in tx.decontaminate(docs, bench, n=3, min_hits=2).collect()
+    }
+    assert got2 == {1: False, 2: False, 3: False, 4: False}
+
+
+def test_decontaminate_plan_broadcasts_bench(docs):
+    """100-TB shape: the benchmark side broadcasts (BroadcastHashJoin, no
+    SortMergeJoin) — the corpus never shuffles for the probe; the only
+    exchange is the per-doc count collapse."""
+    bench = docs.limit(20)
+    out = tx.decontaminate(docs, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every doc with a non-empty shingle is in the verdict
+    assert out.count() == docs.where(F.length("text") > 0).count()
+
+
+def test_repetition_scores_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+            (2, "all distinct tokens here now"),
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in tx.repetition_scores(docs).collect()}
+    # doc 1: 8 2-gram occurrences, 3 distinct -> dup 1-3/8; top gram
+    # "alpha beta" occurs 3 times -> 3/8; 7 3-grams, 3 distinct.
+    assert got[1].n_2grams == 8
+    assert got[1].dup_2gram_frac == pytest.approx(round(1 - 3 / 8, 4))
+    assert got[1].dup_3gram_frac == pytest.approx(round(1 - 3 / 7, 4))
+    assert got[1].top_2gram_frac == pytest.approx(round(3 / 8, 4))
+    # doc 2: no repetition; top gram is any single occurrence 1/4
+    assert got[2].dup_2gram_frac == 0.0
+    assert got[2].top_2gram_frac == pytest.approx(0.25)
+    # doc 3: no 2-grams at all -> all zeros
+    assert (got[3].n_2grams, got[3].dup_2gram_frac, got[3].top_2gram_frac) == (
+        0, 0.0, 0.0,
+    )
+
+
+def test_repetition_scores_no_exchange(docs):
+    """Pure in-row codegen: the operator adds ZERO exchanges at any
+    corpus size, and bounds hold on real data."""
+    out = tx.repetition_scores(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.dup_2gram_frac <= 1.0
+        assert 0.0 <= r.dup_3gram_frac <= 1.0
+        assert 0.0 <= r.top_2gram_frac <= 1.0
+        if r.n_2grams > 0:
+            assert r.top_2gram_frac >= round(1.0 / r.n_2grams, 4) - 1e-9
