@@ -707,13 +707,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, sf: tx.lang_id(_docs(s, sf))
 
     def quality(spark, sf):
-        """Tagged union of the two per-doc quality-signal families (one
+        """Tagged union of the four per-doc quality-signal families (one
         gate under the 50-gate cap): variant='quality' = the classic
         cheap signals (n=n_tokens, r1=avg_token_len, r2=stopword_ratio,
         r3=alnum_ratio); variant='repetition' = Gopher/MassiveText
-        repetition signals (Rae et al. 2021 A1.1; n=n_2grams,
+        WITHIN-doc repetition (Rae et al. 2021 A1.1; n=n_2grams,
         r1=dup_2gram_frac, r2=dup_3gram_frac, r3=top_2gram_frac), all
-        in-row codegen — the repetition leg adds ZERO exchanges."""
+        in-row codegen — adds ZERO exchanges; variant='unigram_lm' =
+        CCNet-style LM-perplexity filter over a corpus-derived unigram LM
+        (n=n_tokens, r1=cross_entropy nats, r2=perplexity, r3=min_logp);
+        variant='boilerplate' = CROSS-doc frequent-3-gram signals, Lee et
+        al. 2021 (n=n_grams, r1=frequent_frac at min_df=2, r2=max_df_frac,
+        r3=avg_df_frac). The two two-pass legs broadcast their vocab-sized
+        stats table back onto the corpus, so the corpus side never
+        shuffles and each per-doc collapse combines map-side."""
         docs = _docs(spark, sf)
         ql = tx.quality_scores(docs).select(
             F.lit("quality").alias("variant"), "doc_id",
@@ -729,7 +736,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("dup_3gram_frac").alias("r2"),
             F.col("top_2gram_frac").alias("r3"),
         )
-        return ql.unionByName(rep)
+        lm = tx.unigram_lm_scores(docs).select(
+            F.lit("unigram_lm").alias("variant"), "doc_id",
+            F.col("n_tokens").cast("int").alias("n"),
+            F.col("cross_entropy").alias("r1"),
+            F.col("perplexity").alias("r2"),
+            F.col("min_logp").alias("r3"),
+        )
+        bp = tx.boilerplate_scores(docs).select(
+            F.lit("boilerplate").alias("variant"), "doc_id",
+            F.col("n_grams").cast("int").alias("n"),
+            F.col("frequent_frac").alias("r1"),
+            F.col("max_df_frac").alias("r2"),
+            F.col("avg_df_frac").alias("r3"),
+        )
+        return ql.unionByName(rep).unionByName(lm).unionByName(bp)
 
     q["quality_scores"] = quality
 
@@ -1523,7 +1544,17 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
               SELECT doc_id, unnest(g2) AS gram FROM grams
             ) GROUP BY doc_id, gram
           ) GROUP BY doc_id
-        )
+        ),
+        toku AS (SELECT doc_id, unnest(t) AS tok FROM toksq),
+        uni AS (SELECT tok, count(*)::DOUBLE AS c FROM toku GROUP BY tok),
+        tot AS (SELECT sum(c) AS total FROM uni),
+        lp AS (SELECT tok, ln(c / total) AS logp FROM uni CROSS JOIN tot),
+        g3occ AS (SELECT doc_id, unnest(g3) AS gram FROM grams),
+        dftab AS (
+          SELECT gram, count(DISTINCT doc_id)::DOUBLE AS df
+          FROM g3occ GROUP BY gram
+        ),
+        nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS ndocs FROM g3occ)
         SELECT 'quality' AS variant, doc_id,
                len(t) AS n,
                round(CASE WHEN len(t) > 0 THEN tc / len(t) ELSE 0.0 END, 4)
@@ -1551,6 +1582,22 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                  coalesce(topc, 0)::DOUBLE / len(g2)
                ELSE 0.0 END, 4) AS r3
         FROM grams g LEFT JOIN topg USING (doc_id)
+        UNION ALL
+        SELECT 'unigram_lm' AS variant, doc_id,
+               count(*) AS n,
+               round(-avg(logp), 4) AS r1,
+               round(exp(-avg(logp)), 4) AS r2,
+               round(min(logp), 4) AS r3
+        FROM toku JOIN lp USING (tok)
+        GROUP BY doc_id
+        UNION ALL
+        SELECT 'boilerplate' AS variant, doc_id,
+               count(*) AS n,
+               round(avg(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END), 4) AS r1,
+               round(max(df) / max(ndocs), 4) AS r2,
+               round(avg(df) / max(ndocs), 4) AS r3
+        FROM g3occ JOIN dftab USING (gram) CROSS JOIN nd
+        GROUP BY doc_id
     """
 
     # token_counts gate = tagged union: token counting + eval-set

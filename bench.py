@@ -191,6 +191,8 @@ def main() -> None:
         timed_q("simhash", lambda: tx.simhash16(docs).count())
         timed_q("quality_scores", lambda: tx.quality_scores(docs).count())
         timed_q("repetition_scores", lambda: tx.repetition_scores(docs).count())
+        timed_q("unigram_lm", lambda: tx.unigram_lm_scores(docs).count())
+        timed_q("boilerplate", lambda: tx.boilerplate_scores(docs).count())
         # eval-set decontamination: benchmark = deterministic 1-in-41
         # corpus slice (broadcast side), corpus probe shuffle-free
         timed_q(

@@ -536,6 +536,132 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _exploded_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, tok): one row per token OCCURRENCE (non-distinct).
+
+    explode_outer + filter, not explode: InferFiltersFromGenerate would
+    otherwise duplicate the tokenize regex into an interpreted
+    pre-Generate filter (see shingles()). Empty docs vanish (no tokens).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
+    )
+    return toks.select("doc_id", F.explode_outer("t").alias("tok")).where(
+        F.col("tok") != ""
+    )
+
+
+def unigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy, perplexity, min_logp).
+
+    LM-perplexity quality filtering — the CCNet / LLaMA-pipeline signal
+    (Wenzek et al. 2019 train a KenLM and keep the low-perplexity tail) —
+    re-expressed with a corpus-derived UNIGRAM LM, the strongest model
+    expressible without an external artifact: p(t) = corpus_count(t) /
+    corpus_total; per document over its token OCCURRENCES,
+    cross_entropy = -mean ln p(t) (nats), perplexity = exp(ce), and
+    min_logp = the most surprising token's ln p. Rare-token-heavy or
+    garbled documents score high; repetitive boilerplate scores low.
+
+    100-TB shape: the classic two-pass train/apply split. Pass 1 is a
+    vocab-sized groupBy(token) count — partial aggregation collapses the
+    corpus-sized explode map-side, so the exchange carries ~vocab rows;
+    the corpus total rides a broadcast 1-row aggregate (no driver
+    round-trip). Pass 2 joins token→logp — broadcast by default
+    (natural-language vocab is millions of rows, well under executor
+    memory; set broadcast_vocab=False past ~1e8 terms to let AQE pick a
+    shuffle-hash join) — so the corpus side keeps its partitioning and
+    the per-doc collapse again combines map-side: one row per document
+    enters the final exchange. Documents with zero tokens are dropped
+    (a perplexity of nothing is undefined, matching CCNet which skips
+    empty lines).
+    """
+    tok = _exploded_tokens(docs, id_col, text_col)
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").cast("double").alias("tot"))
+    lp = uni.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("c") / F.col("tot")).alias("logp")
+    )
+    if broadcast_vocab:
+        lp = F.broadcast(lp)
+    return (
+        tok.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.avg("logp")).alias("_ce"),
+            F.min("logp").alias("_min_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_ce", 4).alias("cross_entropy"),
+            F.round(F.exp("_ce"), 4).alias("perplexity"),
+            F.round("_min_logp", 4).alias("min_logp"),
+        )
+    )
+
+
+def boilerplate_scores(
+    docs: DataFrame, n: int = 3, min_df: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, frequent_frac, max_df_frac, avg_df_frac).
+
+    CROSS-document repetition — the boilerplate signal behind dedup-style
+    filtering (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": substrings shared by many documents are
+    headers/footers/templates). Complements repetition_scores, which is
+    WITHIN-document. Per document over its n-gram token occurrences:
+    frequent_frac = fraction of occurrences whose gram appears in
+    >= min_df distinct documents; max_df_frac / avg_df_frac = the
+    max/mean document-frequency of the doc's grams as a fraction of the
+    gram-bearing corpus. A doc that is mostly template scores near 1.
+
+    100-TB shape: same two-pass train/apply split as unigram_lm_scores —
+    pass 1 builds the gram→df table (count_distinct(doc_id) per gram;
+    grams explode in doc order so the partial distinct collapses
+    map-side), pass 2 broadcast-joins df back onto the occurrences and
+    the per-doc collapse combines map-side. Gram space is vocab^n-ish but
+    Zipf-truncated in practice; for corpora where it outgrows broadcast,
+    the join degrades to shuffle-hash, never all-pairs. Documents with
+    fewer than n tokens have no grams and are dropped.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
+    )
+    g = toks.select(
+        "doc_id", _grams_col(F.col("t"), n).alias("g")
+    ).select("doc_id", F.explode_outer("g").alias("gram")).where(
+        F.col("gram") != ""
+    )
+    df_tab = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    ndocs = g.agg(F.count_distinct("doc_id").cast("double").alias("nd"))
+    return (
+        g.join(F.broadcast(df_tab), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.avg((F.col("df") >= min_df).cast("double")).alias("_ff"),
+            F.max("df").alias("_maxdf"),
+            F.avg("df").alias("_avgdf"),
+        )
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round("_ff", 4).alias("frequent_frac"),
+            F.round(F.col("_maxdf") / F.col("nd"), 4).alias("max_df_frac"),
+            F.round(F.col("_avgdf") / F.col("nd"), 4).alias("avg_df_frac"),
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): min-shingle-hash document fingerprint —

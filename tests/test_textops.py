@@ -363,3 +363,77 @@ def test_repetition_scores_no_exchange(docs):
         assert 0.0 <= r.top_2gram_frac <= 1.0
         if r.n_2grams > 0:
             assert r.top_2gram_frac >= round(1.0 / r.n_2grams, 4) - 1e-9
+
+
+def test_unigram_lm_hand_checked(spark):
+    """Corpus counts a:2 b:2 c:1 (total 5) -> p(a)=p(b)=0.4, p(c)=0.2;
+    exact cross-entropy / perplexity / min_logp; empty doc dropped."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in tx.unigram_lm_scores(docs).collect()}
+    assert set(got) == {1, 2}
+    ce1 = -math.log(0.4)
+    assert got[1].n_tokens == 3
+    assert got[1].cross_entropy == pytest.approx(round(ce1, 4))
+    assert got[1].perplexity == pytest.approx(round(math.exp(ce1), 4))
+    assert got[1].min_logp == pytest.approx(round(math.log(0.4), 4))
+    ce2 = -(math.log(0.4) + math.log(0.2)) / 2
+    assert got[2].n_tokens == 2
+    assert got[2].cross_entropy == pytest.approx(round(ce2, 4))
+    # exp(ce2) == 1/sqrt(0.08)
+    assert got[2].perplexity == pytest.approx(round(0.08 ** -0.5, 4))
+    assert got[2].min_logp == pytest.approx(round(math.log(0.2), 4))
+
+
+def test_unigram_lm_plan_broadcasts_vocab(docs):
+    """100-TB shape: the vocab-sized logp table broadcasts back onto the
+    corpus — no SortMergeJoin anywhere; the per-doc collapse combines
+    map-side."""
+    out = tx.unigram_lm_scores(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = out.collect()
+    for r in rows:
+        assert r.cross_entropy >= 0.0
+        assert r.perplexity >= 1.0  # exp of a non-negative mean
+        assert r.min_logp <= 0.0
+
+
+def test_boilerplate_hand_checked(spark):
+    """Shared 3-gram 'header foo bar' has df=2 of ndocs=3; exact
+    fractions; sub-3-token docs dropped."""
+    docs = spark.createDataFrame(
+        [
+            (1, "header foo bar one two three"),
+            (2, "header foo bar four five six"),
+            (3, "totally different words here"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in tx.boilerplate_scores(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_grams == 4
+    assert got[1].frequent_frac == pytest.approx(0.25)
+    assert got[1].max_df_frac == pytest.approx(round(2 / 3, 4))
+    assert got[1].avg_df_frac == pytest.approx(round(1.25 / 3, 4))
+    assert got[3].n_grams == 2
+    assert got[3].frequent_frac == 0.0
+    assert got[3].max_df_frac == pytest.approx(round(1 / 3, 4))
+    assert got[3].avg_df_frac == pytest.approx(round(1 / 3, 4))
+
+
+def test_boilerplate_plan_broadcasts_df_table(docs):
+    """100-TB shape: the gram->df table broadcasts; no SortMergeJoin."""
+    out = tx.boilerplate_scores(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for r in out.collect():
+        assert 0.0 <= r.frequent_frac <= 1.0
+        assert 0.0 < r.max_df_frac <= 1.0
+        assert 0.0 < r.avg_df_frac <= r.max_df_frac + 1e-9
