@@ -437,3 +437,113 @@ def test_boilerplate_plan_broadcasts_df_table(docs):
         assert 0.0 <= r.frequent_frac <= 1.0
         assert 0.0 < r.max_df_frac <= 1.0
         assert 0.0 < r.avg_df_frac <= r.max_df_frac + 1e-9
+
+
+def test_new_quality_ops_random_cross_check(spark):
+    """Seeded randomized corpus (120 docs, skewed Zipf-ish vocab, empty/
+    short/duplicate-heavy docs mixed in) cross-checked against pure-Python
+    references for all four round-5 ops — the net beyond hand-picked
+    cases."""
+    import math
+    import random
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from katta_spark.tokenizer import tokenize_str
+
+    def r4(x):
+        # Spark's round() is BigDecimal HALF_UP on the double's shortest
+        # decimal repr (ties away from zero; DuckDB matches) — Python's
+        # built-in round is banker's, so 21/32=0.65625 would diverge.
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(120):
+        kind = i % 6
+        if kind == 0:
+            texts.append("")  # empty
+        elif kind == 1:
+            texts.append(" ".join(rng.choices(vocab[:3], k=2)))  # short
+        elif kind == 2:  # loop-y
+            base = " ".join(rng.choices(vocab, k=4))
+            texts.append(" ".join([base] * rng.randint(2, 5)))
+        else:  # Zipf-ish prose
+            w = [vocab[min(int(rng.paretovariate(1.2)), 29)] for _ in
+                 range(rng.randint(5, 60))]
+            texts.append(" ".join(w))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = {i: tokenize_str(t) for i, t in rows}
+
+    def grams(ts, n):
+        return [" ".join(ts[j:j + n]) for j in range(len(ts) - n + 1)]
+
+    # --- repetition_scores ---
+    got = {r.doc_id: r for r in tx.repetition_scores(docs).collect()}
+    assert set(got) == set(toks)
+    for i, ts in toks.items():
+        g2, g3 = grams(ts, 2), grams(ts, 3)
+        r = got[i]
+        assert r.n_2grams == len(g2)
+        exp_d2 = r4(1 - len(set(g2)) / len(g2)) if g2 else 0.0
+        exp_d3 = r4(1 - len(set(g3)) / len(g3)) if g3 else 0.0
+        exp_top = (r4(Counter(g2).most_common(1)[0][1] / len(g2))
+                   if g2 else 0.0)
+        assert (r.dup_2gram_frac, r.dup_3gram_frac, r.top_2gram_frac) == (
+            exp_d2, exp_d3, exp_top), i
+
+    # --- unigram_lm_scores ---
+    uni = Counter(t for ts in toks.values() for t in ts)
+    total = sum(uni.values())
+    got = {r.doc_id: r for r in tx.unigram_lm_scores(docs).collect()}
+    assert set(got) == {i for i, ts in toks.items() if ts}
+    for i, r in got.items():
+        lps = [math.log(uni[t] / total) for t in toks[i]]
+        ce = -sum(lps) / len(lps)
+        assert r.n_tokens == len(lps)
+        assert r.cross_entropy == pytest.approx(r4(ce), abs=1e-9)
+        assert r.perplexity == pytest.approx(r4(math.exp(ce)), abs=1e-9)
+        assert r.min_logp == pytest.approx(r4(min(lps)), abs=1e-9)
+
+    # --- boilerplate_scores (min_df=2) ---
+    df = Counter()
+    for ts in toks.values():
+        for gm in set(grams(ts, 3)):
+            df[gm] += 1
+    ndocs = sum(1 for ts in toks.values() if len(ts) >= 3)
+    got = {r.doc_id: r for r in tx.boilerplate_scores(docs).collect()}
+    assert set(got) == {i for i, ts in toks.items() if len(ts) >= 3}
+    for i, r in got.items():
+        g3 = grams(toks[i], 3)
+        dfs = [df[gm] for gm in g3]
+        assert r.n_grams == len(g3)
+        assert r.frequent_frac == pytest.approx(
+            r4(sum(1 for d in dfs if d >= 2) / len(dfs)), abs=1e-9)
+        assert r.max_df_frac == pytest.approx(
+            r4(max(dfs) / ndocs), abs=1e-9)
+        assert r.avg_df_frac == pytest.approx(
+            r4(sum(dfs) / len(dfs) / ndocs), abs=1e-9)
+
+    # --- decontaminate (bench = every 7th doc) ---
+    bench_ids = [i for i in toks if i % 7 == 0]
+    bench_sh = set()
+    for i in bench_ids:
+        ts = toks[i]
+        if len(ts) >= 3:
+            bench_sh.update(grams(ts, 3))
+        elif ts:
+            bench_sh.add(" ".join(ts))
+    got = {r.doc_id: r for r in tx.decontaminate(
+        docs, docs.where(F.col("doc_id") % 7 == 0), n=3).collect()}
+    assert set(got) == {i for i, ts in toks.items() if ts}
+    for i, r in got.items():
+        ts = toks[i]
+        mine = set(grams(ts, 3)) if len(ts) >= 3 else {" ".join(ts)}
+        hits = len(mine & bench_sh)
+        assert (r.n_hit_shingles, r.contaminated) == (hits, hits >= 1), i
