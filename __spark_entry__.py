@@ -761,7 +761,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         slice of the corpus itself (doc_id % 41 = 0), so hits are
         guaranteed and the oracle needs no external data (c1=
         n_hit_shingles, c2=contaminated 0/1). The benchmark side
-        broadcasts; the corpus side never shuffles for the probe."""
+        broadcasts; the corpus side never shuffles for the probe.
+        variant='curate' = the END-TO-END curation verdict composing the
+        whole pipeline (c1=keep 0/1, c2=reason: 1 short / 2 repetitive /
+        3 near-dup non-canonical / 4 contaminated / 0 keep, first match
+        wins) — thresholds min_tokens=16 (~p5), top2>0.09 (~p95), dedup
+        jaccard>=0.2 + transitive closure (the dedup_near_canonical
+        family), the same %41 benchmark slice."""
         docs = _docs(spark, sf)
         counts = tx.token_counts(docs).select(
             F.lit("counts").alias("variant"), "doc_id",
@@ -774,7 +780,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_hit_shingles").alias("c1"),
             F.col("contaminated").cast("long").alias("c2"),
         )
-        return counts.unionByName(dec)
+        cur = tx.curate(
+            docs, bench, min_tokens=16, max_top2_frac=0.09,
+            dedup_threshold=0.2,
+        ).select(
+            F.lit("curate").alias("variant"), "doc_id",
+            F.col("keep").cast("long").alias("c1"),
+            F.col("reason").cast("long").alias("c2"),
+        )
+        return counts.unionByName(dec).unionByName(cur)
 
     q["token_counts"] = tokens_and_decontam
     q["doc_fingerprint"] = lambda s, sf: tx.doc_fingerprint(_docs(s, sf))
@@ -1603,9 +1617,84 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
     # token_counts gate = tagged union: token counting + eval-set
     # decontamination (benchmark = the deterministic doc_id % 41 = 0
     # corpus slice; a doc is contaminated when any of its distinct
-    # 3-gram shingles appears in the benchmark's shingle set).
-    o["token_counts"] = shingle_cte + f"""
-        , bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0)
+    # 3-gram shingles appears in the benchmark's shingle set) + the
+    # END-TO-END curate verdict (rule chain over the same components:
+    # length cut, top-2gram repetition cut, near-dup transitive-closure
+    # canonical keep — the dedup_near_canonical recursive CTE — then
+    # benchmark overlap; first match wins).
+    o["token_counts"] = (
+        shingle_cte.replace("WITH toks", "WITH RECURSIVE toks")
+        + f"""
+        , bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+        sig AS (
+          SELECT doc_id,
+                 min(md5('0|' || shingle)) h0, min(md5('1|' || shingle)) h1,
+                 min(md5('2|' || shingle)) h2, min(md5('3|' || shingle)) h3,
+                 min(md5('4|' || shingle)) h4, min(md5('5|' || shingle)) h5,
+                 min(md5('6|' || shingle)) h6, min(md5('7|' || shingle)) h7
+          FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id, unnest([
+            '0' || '#' || h0 || '#' || h1, '1' || '#' || h2 || '#' || h3,
+            '2' || '#' || h4 || '#' || h5, '3' || '#' || h6 || '#' || h7
+          ]) AS band FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.a, c.b, count(*) i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a, b
+          FROM inter JOIN sizes sa ON sa.doc_id = a
+                     JOIN sizes sb ON sb.doc_id = b
+          WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2
+        ),
+        edges AS (
+          SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        ),
+        reach(node, other) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+        ),
+        canon AS (
+          SELECT node AS doc_id, min(other) <> node AS is_dup
+          FROM reach GROUP BY node
+        ),
+        g2c AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 2 THEN
+              [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+            ELSE []::VARCHAR[] END AS g2
+          FROM toks
+        ),
+        top2 AS (
+          SELECT g.doc_id,
+                 round(CASE WHEN any_value(len(g.g2)) > 0
+                       THEN coalesce(max(x.c), 0)::DOUBLE
+                            / any_value(len(g.g2))
+                       ELSE 0.0 END, 4) AS top2f
+          FROM g2c g LEFT JOIN (
+            SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, unnest(g2) AS gram FROM g2c)
+            GROUP BY doc_id, gram
+          ) x USING (doc_id)
+          GROUP BY g.doc_id
+        ),
+        dhits AS (
+          SELECT s.doc_id, count(b.shingle) AS nh
+          FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+          GROUP BY s.doc_id
+        )
         SELECT 'counts' AS variant, doc_id,
                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
                  AS c1,
@@ -1613,12 +1702,28 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                  AS c2
         FROM documents
         UNION ALL
-        SELECT 'decontam' AS variant, s.doc_id,
-               count(b.shingle) AS c1,
-               CASE WHEN count(b.shingle) >= 1 THEN 1 ELSE 0 END::BIGINT AS c2
-        FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
-        GROUP BY s.doc_id
+        SELECT 'decontam' AS variant, doc_id,
+               nh AS c1,
+               CASE WHEN nh >= 1 THEN 1 ELSE 0 END::BIGINT AS c2
+        FROM dhits
+        UNION ALL
+        SELECT 'curate' AS variant, doc_id,
+               CASE WHEN reason = 0 THEN 1 ELSE 0 END::BIGINT AS c1,
+               reason::BIGINT AS c2
+        FROM (
+          SELECT tk.doc_id,
+                 CASE WHEN len(tk.t) < 16 THEN 1
+                      WHEN tp.top2f > 0.09 THEN 2
+                      WHEN cn.is_dup THEN 3
+                      WHEN coalesce(dh.nh, 0) >= 1 THEN 4
+                      ELSE 0 END AS reason
+          FROM toks tk
+          JOIN top2 tp USING (doc_id)
+          JOIN canon cn USING (doc_id)
+          LEFT JOIN dhits dh USING (doc_id)
+        )
     """
+    )
 
     o["doc_fingerprint"] = shingle_cte + """
         SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id

@@ -202,6 +202,14 @@ def main() -> None:
             ).count(),
         )
         timed_q("lang_id", lambda: tx.lang_id(docs).count())
+        # end-to-end curation verdict (length + repetition + near-dup
+        # closure + decontamination in one composed job)
+        timed_q(
+            "curate",
+            lambda: tx.curate(
+                docs, docs.where("doc_id % 41 = 0"), dedup_threshold=0.2
+            ).count(),
+        )
         timed_q("ann_cosine_top20", lambda: sim.cosine_topk(emb, 0, 20).collect())
         ann_dir = os.path.join(idx_dir, "ann")
         timed(

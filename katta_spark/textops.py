@@ -662,6 +662,69 @@ def boilerplate_scores(
     )
 
 
+def curate(
+    docs: DataFrame, bench: DataFrame | None = None,
+    min_tokens: int = 16, max_top2_frac: float = 0.09,
+    dedup_threshold: float = 0.8, num_hashes: int = 8, bands: int = 4,
+    n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, keep, reason): the end-to-end curation verdict — the
+    composed pipeline every training corpus runs before a model sees it,
+    as ONE declarative job. Fixed rule order, first match wins (the order
+    real pipelines apply them):
+
+      1 = too short        (n_tokens < min_tokens — Gopher word-count cut)
+      2 = repetitive       (top_2gram_frac > max_top2_frac — Gopher A1.1)
+      3 = near-duplicate   (non-canonical in the transitive closure of
+                            verified LSH∩Jaccard pairs; min doc_id kept)
+      4 = contaminated     (>=1 distinct n-gram shingle in the benchmark
+                            set; skipped when bench is None)
+      0 = keep
+
+    Every doc gets a verdict row — curation REPORTS, the caller filters
+    (`.where("keep")`), so audit trails and reason histograms are free.
+
+    100-TB shape: a composition of the already-scaling parts —
+    repetition_scores is in-row codegen (zero exchanges), dedup_near is
+    band-bucketed LSH + candidate-only Jaccard + diameter-bounded label
+    propagation, decontaminate broadcasts the eval set — stitched by
+    doc_id equi-joins of per-doc (not corpus-sized) aggregates. Each
+    stage re-scans the corpus once; a production run over cold storage
+    would persist the token arrays up front and hand them to each stage.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize_col(F.col(text_col))).alias("n_tokens"),
+    )
+    rep = repetition_scores(docs, id_col, text_col).select(
+        "doc_id", "top_2gram_frac"
+    )
+    dd = dedup_near(
+        docs, dedup_threshold, num_hashes, bands, n, id_col, text_col
+    ).select("doc_id", "is_dup")
+    j = base.join(rep, "doc_id").join(dd, "doc_id", "left")
+    if bench is not None:
+        dec = decontaminate(
+            docs, bench, n, 1, id_col, text_col, bench_text_col
+        ).select("doc_id", "contaminated")
+        j = j.join(dec, "doc_id", "left")
+    else:
+        j = j.withColumn("contaminated", F.lit(False))
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, 1)
+        .when(F.col("top_2gram_frac") > max_top2_frac, 2)
+        .when(F.coalesce(F.col("is_dup"), F.lit(False)), 3)
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), 4)
+        .otherwise(0)
+    )
+    return j.select(
+        "doc_id",
+        (reason == 0).alias("keep"),
+        reason.cast("int").alias("reason"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): min-shingle-hash document fingerprint —

@@ -547,3 +547,48 @@ def test_new_quality_ops_random_cross_check(spark):
         mine = set(grams(ts, 3)) if len(ts) >= 3 else {" ".join(ts)}
         hits = len(mine & bench_sh)
         assert (r.n_hit_shingles, r.contaminated) == (hits, hits >= 1), i
+
+
+def test_curate_hand_checked(spark):
+    """End-to-end verdict: every reason code on a constructed corpus,
+    first-match-wins priority, canonical doc kept."""
+    long_clean = " ".join(f"tok{i}" for i in range(30))
+    near_a = " ".join(f"word{i}" for i in range(25))
+    near_b = near_a + " tail"                     # jaccard >> 0.5 with a
+    repetitive = "spam ham " * 15                 # top 2-gram dominates
+    bench_text = " ".join(f"eval{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, long_clean),        # keep
+            (2, "too short"),       # 1
+            (3, repetitive.strip()),  # 2 (30 tokens, passes length)
+            (4, near_a),            # canonical of {4,5} -> keep
+            (5, near_b),            # 3
+            (6, bench_text),        # 4 (verbatim eval doc in corpus)
+            (7, ""),                # 1 (0 tokens)
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    got = {r.doc_id: (r.keep, r.reason) for r in tx.curate(
+        docs, bench, min_tokens=5, max_top2_frac=0.3,
+        dedup_threshold=0.5,
+    ).collect()}
+    assert got == {
+        1: (True, 0), 2: (False, 1), 3: (False, 2),
+        4: (True, 0), 5: (False, 3), 6: (False, 4), 7: (False, 1),
+    }
+    # priority: a doc that is BOTH repetitive and a near-dup reports 2
+    docs2 = spark.createDataFrame(
+        [(1, repetitive.strip()), (2, repetitive.strip() + " x")],
+        ["doc_id", "text"],
+    )
+    got2 = {r.doc_id: r.reason for r in tx.curate(
+        docs2, None, min_tokens=5, max_top2_frac=0.3, dedup_threshold=0.5,
+    ).collect()}
+    assert got2 == {1: 2, 2: 2}
+    # bench=None skips rule 4 entirely
+    got3 = {r.doc_id: r.reason for r in tx.curate(
+        docs, None, min_tokens=5, max_top2_frac=0.3, dedup_threshold=0.5,
+    ).collect()}
+    assert got3[6] == 0
