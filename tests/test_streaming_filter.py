@@ -240,3 +240,24 @@ def test_stream_windowed_counts_watermark(spark, tmp_path):
         ).collect()
     }
     assert batch[h0] == got[h0] and batch[h1] == got[h1]
+
+
+def test_read_transcripts_formats(spark, tmp_path):
+    """Declared schema enforced on the default parquet path; unknown
+    format refused (the Iceberg branch needs the runtime jar, absent
+    here — its schema enforcement is a post-load cast of the same
+    declared schema)."""
+    import pytest as _pytest
+
+    from katta_spark.schema import TRANSCRIPTS_SCHEMA
+    from katta_spark.synth import synth_transcripts
+
+    p = str(tmp_path / "t.parquet")
+    synth_transcripts(spark, 50, seed=3).write.parquet(p)
+    df = read_transcripts(spark, p)
+    # parquet scans surface everything nullable; names+types are the contract
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in TRANSCRIPTS_SCHEMA.fields
+    ]
+    with _pytest.raises(ValueError, match="unknown transcripts format"):
+        read_transcripts(spark, p, fmt="orc")
