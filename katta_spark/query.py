@@ -157,6 +157,26 @@ class IndexHandle:
         return {t: cache[t] for t in terms}
 
 
+_SPACED_FIELD_RE = None
+
+
+def fold_spaced_fields(query: str) -> str:
+    """Lucene's QueryParser accepts whitespace between a field's ``:`` and
+    its term — the reference's own tests query exactly that shape
+    (``"foo: bar"`` LuceneServerTest, ``"content: the"``
+    LuceneClientTest.java, wildcard ``"foo: b*"``) — so fold the gap
+    BEFORE any whitespace-splitting or rewrite routing. Idempotent. For
+    analyzed fallbacks the fold is a no-op (the tokenizer splits on ':'
+    anyway); a colon directly before a quote is left alone so the fold
+    never manufactures a field-scoped phrase."""
+    global _SPACED_FIELD_RE
+    if _SPACED_FIELD_RE is None:
+        import re as _re
+
+        _SPACED_FIELD_RE = _re.compile(r'([A-Za-z_][\w.]*):\s+(?=[^\s)"])')
+    return _SPACED_FIELD_RE.sub(r"\1:", query)
+
+
 def parse_query(
     query: str, keyword_fields: tuple[str, ...] | None = None
 ) -> dict[str, float]:
@@ -170,6 +190,7 @@ def parse_query(
     to the standard analyzer, like Lucene analyzing an unknown-field text
     query, so e.g. 'http://x.com' matches [http, x, com] instead of
     becoming an unmatchable verbatim term."""
+    query = fold_spaced_fields(query)
     fields = set(keyword_fields or ())
     qw: dict[str, float] = {}
     for raw in query.split():
@@ -232,6 +253,7 @@ def parse_bool_query(
     """
     import re as _re
 
+    query = fold_spaced_fields(query)
     fields = set(keyword_fields or ())
     qw: dict[str, float] = {}
     must: set[str] = set()
@@ -301,6 +323,7 @@ def parse_tree_query(
     leaf)."""
     import re as _re
 
+    query = fold_spaced_fields(query)
     toks = _re.findall(r"\(|\)|[^\s()]+", query)
     fields = set(keyword_fields or ())
     qw: dict[str, float] = {}
@@ -463,10 +486,75 @@ def expand_wildcards(
         for r in rows:
             qw[r["term"]] = qw.get(r["term"], 0.0) + boost
 
+    kw = set(index.keyword_fields or ())
     for raw in query.split():
         # strip a '^boost' suffix FIRST so 'ab*^2' boosts the expansion
         # instead of silently falling through to the plain-term parser
         raw_clause, boost = split_boost(raw)
+        fld, sep, val = raw_clause.partition(":")
+        if sep and fld in kw and val and any(c in val for c in "*?~"):
+            # Field-qualified rewrites — the reference's own test shape
+            # ('foo: b*', LuceneServerTest.java; Lucene rewrites
+            # WildcardQuery/FuzzyQuery per field): expand against THIS
+            # field's verbatim keyword terms. Values keep their case,
+            # consistent with parse_query's KeywordAnalyzer semantics
+            # (a documented divergence from Lucene 3.5's
+            # lowercaseExpandedTerms default).
+            pfx = fld + ":"
+            fz_f = _re.fullmatch(r"([\w.-]+)~([0-2]?)", val)
+            if fz_f:
+                word, dist = fz_f.group(1), int(fz_f.group(2) or 2)
+                _collect_capped(
+                    index.stats(spark)
+                    .where(F.col("term").startswith(pfx))
+                    .where(
+                        F.abs(
+                            F.length("term") - F.lit(len(pfx) + len(word))
+                        ) <= F.lit(dist)
+                    )
+                    .where(
+                        F.levenshtein(
+                            F.col("term").substr(
+                                F.lit(len(pfx) + 1), F.length("term")
+                            ),
+                            F.lit(word),
+                            dist,
+                        ) >= 0
+                    ),
+                    raw,
+                    boost,
+                )
+            elif _re.fullmatch(r"[\w.*?-]+", val):
+                if val[0] in "*?":
+                    raise ValueError(
+                        f"leading wildcard in {raw!r} is not allowed "
+                        "(Lucene QueryParser default) — anchor the pattern"
+                    )
+                parts = _re.split(r"([*?])", val)
+                rx_val = "".join(
+                    "[^:]*" if p == "*" else "[^:]" if p == "?"
+                    else _re.escape(p)
+                    for p in parts
+                )
+                lit_pre = pfx + (parts[0] if parts[0] not in "*?" else "")
+                _collect_capped(
+                    index.stats(spark)
+                    .where(F.col("term").startswith(lit_pre))
+                    .where(
+                        F.col("term").rlike(
+                            "^" + _re.escape(fld) + ":" + rx_val + "$"
+                        )
+                    ),
+                    raw,
+                    boost,
+                )
+            else:
+                raise ValueError(
+                    f"invalid field-qualified rewrite {raw!r}: fuzzy "
+                    "distance must be 0-2 (field:value~N), wildcard "
+                    "values must be [\\w.*?-]+ with no leading wildcard"
+                )
+            continue
         low = raw_clause.lower()
         fz = _re.fullmatch(r"([a-z0-9]+)~([0-2]?)", low)
         if _re.fullmatch(r"[a-z0-9]+\*", low):
@@ -1646,6 +1734,7 @@ def search(
     # Route on the UNQUOTED remainder: '~' inside '"a b"~3' is a phrase
     # slop, not a fuzzy operator, and quoted spans must never reach the
     # dictionary-expansion paths.
+    query = fold_spaced_fields(query)
     unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
     has_phrase = unquoted != query
     tree = None
@@ -2000,6 +2089,7 @@ def search_multi(
     # model, where Lucene rewrites the query against each shard's own
     # dictionary (LuceneServer.java:602-624) — and the expansions union
     # with combined stats, so results equal one merged index.
+    query = fold_spaced_fields(query)
     unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
     has_phrase = unquoted != query
     tree = None
@@ -2526,6 +2616,7 @@ def search_batch(
     # rewrite paths).
     plans: list[tuple] = []
     for qstr in queries:
+        qstr = fold_spaced_fields(qstr)
         unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", qstr)
         has_phrase = unquoted != qstr
         if (
@@ -2731,6 +2822,7 @@ def count_matches(
         else [IndexHandle.open(spark, index) if isinstance(index, str) else index]
     )
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
+    query = fold_spaced_fields(query)
     if (
         '"' in query
         or _TREE_RE.search(query)

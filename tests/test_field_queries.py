@@ -260,3 +260,70 @@ def test_field_grouping_refused(spark, fidx):
 
     with pytest.raises(ValueError, match="field grouping"):
         search(spark, fidx, "role:(user admin)")
+
+
+def test_spaced_field_colon_lucene_parity(spark, fidx):
+    """Lucene's QueryParser accepts whitespace after the field colon — the
+    reference's own tests query exactly "foo: bar" / "content: the" /
+    "foo: b*" (LuceneServerTest.java, LuceneClientTest.java) — so every
+    spaced form must parse and rank identically to the folded one."""
+    from katta_spark.query import fold_spaced_fields, parse_bool_query
+
+    # parser-level
+    assert parse_query("role: user hotalpha", KW) == parse_query(
+        "role:user hotalpha", KW
+    )
+    assert parse_bool_query("+role: user -tool: web", KW) == parse_bool_query(
+        "+role:user -tool:web", KW
+    )
+    # unknown field: fold then analyzed fallback == unfolded tokens
+    assert parse_query("nosuch: thing", KW) == {"nosuch": 1.0, "thing": 1.0}
+    # a colon before a quote is NOT folded (no manufactured field phrase)
+    assert fold_spaced_fields('say: "a b"') == 'say: "a b"'
+    # idempotent
+    q = "role: user tool: web*"
+    assert fold_spaced_fields(fold_spaced_fields(q)) == fold_spaced_fields(q)
+
+    # end-to-end rank identity: spaced == unspaced through search()
+    spaced = search(spark, fidx, "role: user hotalpha", k=10).collect()
+    tight = search(spark, fidx, "role:user hotalpha", k=10).collect()
+    assert [(r.doc_id, r.score) for r in spaced] == [
+        (r.doc_id, r.score) for r in tight
+    ]
+    # wildcard rewrite through the spaced form ("foo: b*" shape)
+    sp = search(spark, fidx, "role: use*", k=10).collect()
+    ti = search(spark, fidx, "role:use*", k=10).collect()
+    assert [(r.doc_id, r.score) for r in sp] == [(r.doc_id, r.score) for r in ti]
+    # count path
+    assert count_matches(spark, fidx, "role: user") == count_matches(
+        spark, fidx, "role:user"
+    )
+
+
+def test_field_qualified_wildcard_fuzzy(spark, fidx, docs):
+    """Field-qualified rewrites — the reference's own 'foo: b*' shape
+    (LuceneServerTest.java): prefix, pattern, and fuzzy expansion over
+    one keyword field's verbatim terms, rank-identical to querying the
+    expanded terms directly."""
+    want = search(spark, fidx, "role:user hotalpha", k=10).collect()
+
+    for q in ("role:use* hotalpha", "role: use* hotalpha",
+              "role:us?r hotalpha", "role:usr~1 hotalpha",
+              "role:user~0 hotalpha"):
+        got = search(spark, fidx, q, k=10).collect()
+        assert [(r.doc_id, r.score) for r in got] == [
+            (r.doc_id, r.score) for r in want
+        ], q
+
+    # expansion is scoped to the field: role:* must not leak tool: terms
+    from katta_spark.query import IndexHandle, expand_wildcards
+
+    h = IndexHandle.open(spark, fidx)
+    qw = expand_wildcards(spark, h, "role:u*")
+    assert qw and all(t.startswith("role:") for t in qw)
+    # leading wildcard in the value refused, like the analyzed branch
+    with pytest.raises(ValueError, match="leading wildcard"):
+        expand_wildcards(spark, h, "role:*ser")
+    # malformed fuzzy distance refused
+    with pytest.raises(ValueError, match="invalid field-qualified"):
+        expand_wildcards(spark, h, "role:user~3")
