@@ -167,13 +167,14 @@ def fold_spaced_fields(query: str) -> str:
     LuceneClientTest.java, wildcard ``"foo: b*"``) — so fold the gap
     BEFORE any whitespace-splitting or rewrite routing. Idempotent. For
     analyzed fallbacks the fold is a no-op (the tokenizer splits on ':'
-    anyway); a colon directly before a quote is left alone so the fold
-    never manufactures a field-scoped phrase."""
+    anyway); folding onto a quote feeds parse_bool_query's
+    field-quoted-value branch (``tool: "web search"`` ≡
+    ``tool:"web search"``, both one verbatim keyword term)."""
     global _SPACED_FIELD_RE
     if _SPACED_FIELD_RE is None:
         import re as _re
 
-        _SPACED_FIELD_RE = _re.compile(r'([A-Za-z_][\w.]*):\s+(?=[^\s)"])')
+        _SPACED_FIELD_RE = _re.compile(r"([A-Za-z_][\w.]*):\s+(?=[^\s)])")
     return _SPACED_FIELD_RE.sub(r"\1:", query)
 
 
@@ -267,21 +268,53 @@ def parse_bool_query(
         return tokenize_str(raw)
 
     def _phrase(m: "_re.Match") -> str:
-        if m.group(1) == "-":
+        sign, fldpfx, body, slop_g, boost_g = m.groups()
+        if fldpfx and fldpfx[:-1] in fields:
+            # Keyword-field quoted value — KeywordAnalyzer semantics
+            # (Katta parses with a KeywordAnalyzer QueryParser,
+            # Katta.java:825-826): ``tool:"web search"`` is ONE verbatim
+            # term on that field (value case+spaces preserved), NOT a
+            # positional phrase — the only way to query keyword values
+            # containing whitespace, and it needs no positions.
+            if slop_g:
+                raise ValueError(
+                    f"slop on keyword field value {m.group(0)!r} is not "
+                    "supported (KeywordAnalyzer indexes the value "
+                    "verbatim; there are no positions to slop over)"
+                )
+            term = fldpfx + body
+            if sign == "-":
+                must_not.add(term)
+                return " "
+            boost = float(boost_g[1:]) if boost_g else 1.0
+            qw[term] = qw.get(term, 0.0) + boost
+            if sign == "+":
+                must.add(term)
+            return " "
+        if fldpfx:
+            # undeclared field: keep the analyzed fallback exactly as if
+            # the prefix were a separate token (it re-enters `rest`)
+            out = f" {sign}{fldpfx} "
+            sign = ""
+        else:
+            out = " "
+        if sign == "-":
             raise ValueError("negated phrases are not supported")
-        slop = int(m.group(3)[1:]) if m.group(3) else 0
+        slop = int(slop_g[1:]) if slop_g else 0
         # '"a b"^2' boosts every phrase token (Lucene boosts the clause)
-        boost = float(m.group(4)[1:]) if m.group(4) else 1.0
-        toks = tokenize_str(m.group(2))
+        boost = float(boost_g[1:]) if boost_g else 1.0
+        toks = tokenize_str(body)
         if toks:
             phrases.append((toks, slop))
             for t in toks:
                 qw[t] = qw.get(t, 0.0) + boost
                 must.add(t)
-        return " "
+        return out
 
     rest = _re.sub(
-        r'([+-]?)"([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?', _phrase, query
+        r'([+-]?)([A-Za-z_][\w.]*:)?"([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?',
+        _phrase,
+        query,
     )
     for raw in rest.split():
         if raw.startswith("+") and len(raw) > 1:

@@ -278,8 +278,15 @@ def test_spaced_field_colon_lucene_parity(spark, fidx):
     )
     # unknown field: fold then analyzed fallback == unfolded tokens
     assert parse_query("nosuch: thing", KW) == {"nosuch": 1.0, "thing": 1.0}
-    # a colon before a quote is NOT folded (no manufactured field phrase)
-    assert fold_spaced_fields('say: "a b"') == 'say: "a b"'
+    # folding onto a quote feeds the field-quoted-value branch; for an
+    # UNDECLARED field the fallback re-emits the prefix, so semantics are
+    # unchanged vs the unfolded parse
+    assert fold_spaced_fields('say: "a b"') == 'say:"a b"'
+    assert parse_bool_query('say:"a b"', KW) == parse_bool_query(
+        'say: "a b"', KW
+    )
+    qw, must, must_not, phrases = parse_bool_query('say:"a b"', KW)
+    assert "say" in qw and phrases == [(["a", "b"], 0)]
     # idempotent
     q = "role: user tool: web*"
     assert fold_spaced_fields(fold_spaced_fields(q)) == fold_spaced_fields(q)
@@ -327,3 +334,53 @@ def test_field_qualified_wildcard_fuzzy(spark, fidx, docs):
     # malformed fuzzy distance refused
     with pytest.raises(ValueError, match="invalid field-qualified"):
         expand_wildcards(spark, h, "role:user~3")
+
+
+def test_keyword_quoted_value(spark, tmp_path_factory):
+    """KeywordAnalyzer semantics for quoted field values — the only way
+    to query keyword values containing whitespace: tool:"web search" is
+    ONE verbatim term (no positions needed), +/- occur flags apply, and
+    undeclared-field quotes keep the analyzed-phrase fallback."""
+    from pyspark.sql import functions as F
+
+    from katta_spark.oracle import with_doc_ids
+    from katta_spark.query import parse_bool_query
+    from katta_spark.synth import synth_transcripts
+
+    base = synth_transcripts(spark, 60, seed=11)
+    docs = base.withColumn(
+        "tool",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("web search")).otherwise(
+            F.lit("calc"),
+        ),
+    )
+    d = str(tmp_path_factory.mktemp("kwq_idx"))
+    build_index(spark, docs, d, num_shards=2, keyword_cols=("tool",))
+
+    ids = with_doc_ids(docs, 2)
+    want = {r.doc_id for r in ids.where("tool = 'web search'").collect()}
+
+    # parser: one verbatim term, spaces+case preserved
+    qw, must, must_not, ph = parse_bool_query('tool:"web search"', ("tool",))
+    assert qw == {"tool:web search": 1.0} and not must and not ph
+
+    hits = {r.doc_id for r in search(
+        spark, d, 'tool:"web search"', k=100).collect()}
+    assert hits == want
+    # spaced form identical
+    hits2 = {r.doc_id for r in search(
+        spark, d, 'tool: "web search"', k=100).collect()}
+    assert hits2 == want
+    # MUST_NOT excludes exactly those docs
+    neg = {r.doc_id for r in search(
+        spark, d, 'hotalpha -tool:"web search"', k=1000).collect()}
+    assert neg and not (neg & want)
+    # MUST composes with text terms
+    pos = {r.doc_id for r in search(
+        spark, d, '+tool:"web search" hotalpha', k=1000).collect()}
+    assert pos <= want
+    # slop on a keyword value is refused
+    with pytest.raises(ValueError, match="slop on keyword field value"):
+        search(spark, d, 'tool:"web search"~2', k=10)
+    # count path agrees
+    assert count_matches(spark, d, 'tool:"web search"') == len(want)
