@@ -158,6 +158,7 @@ class IndexHandle:
 
 
 _SPACED_FIELD_RE = None
+_FIELD_GROUP_RE = None
 
 
 def fold_spaced_fields(query: str) -> str:
@@ -169,13 +170,41 @@ def fold_spaced_fields(query: str) -> str:
     analyzed fallbacks the fold is a no-op (the tokenizer splits on ':'
     anyway); folding onto a quote feeds parse_bool_query's
     field-quoted-value branch (``tool: "web search"`` ≡
-    ``tool:"web search"``, both one verbatim keyword term)."""
-    global _SPACED_FIELD_RE
+    ``tool:"web search"``, both one verbatim keyword term).
+
+    Field GROUPS distribute afterwards — Lucene QueryParser's
+    ``role:(user assistant)`` ≡ ``(role:user role:assistant)`` sugar,
+    occur flags and group boosts carried onto each member (a member's own
+    boost wins over the group's); groups containing quotes or nested
+    parens are left alone. The distributed form keeps its parens, so it
+    routes through the tree grammar — combining a field group with
+    wildcard members therefore surfaces the documented tree-vs-rewrite
+    refusal rather than silently mis-parsing."""
+    global _SPACED_FIELD_RE, _FIELD_GROUP_RE
     if _SPACED_FIELD_RE is None:
         import re as _re
 
         _SPACED_FIELD_RE = _re.compile(r"([A-Za-z_][\w.]*):\s+(?=[^\s)])")
-    return _SPACED_FIELD_RE.sub(r"\1:", query)
+        _FIELD_GROUP_RE = _re.compile(
+            r'([A-Za-z_][\w.]*):\(([^()"]*)\)(\^\d+(?:\.\d+)?)?'
+        )
+    query = _SPACED_FIELD_RE.sub(r"\1:", query)
+
+    def _dist(m: "object") -> str:
+        fld, body, boost = m.group(1), m.group(2), m.group(3) or ""
+        out = []
+        for tok in body.split():
+            if tok in ("AND", "OR", "NOT"):
+                out.append(tok)
+                continue
+            sign = ""
+            if tok[0] in "+-" and len(tok) > 1:
+                sign, tok = tok[0], tok[1:]
+            b = "" if "^" in tok else boost
+            out.append(f"{sign}{fld}:{tok}{b}")
+        return "(" + " ".join(out) + ")"
+
+    return _FIELD_GROUP_RE.sub(_dist, query)
 
 
 def parse_query(
@@ -434,12 +463,15 @@ def parse_tree_query(
             take()
             return node
         leaf_tok = take()
-        # Lucene field-grouping syntax 'role:(user admin)': the tokenizer
-        # splits it into 'role:' '(' …, and analyzing 'role:' as a default-
-        # field term would silently score the WORD 'role' — refuse instead.
+        # Plain field groups 'role:(user admin)' distribute in
+        # fold_spaced_fields before reaching this grammar; what still
+        # lands here is the undistributed residue (quoted bodies, nested
+        # groups) — analyzing the dangling 'role:' as a default-field
+        # term would silently score the WORD 'role', so refuse instead.
         if leaf_tok.endswith(":") and peek() == "(":
             raise ValueError(
-                f"field grouping {leaf_tok}(...) is not supported — write "
+                f"field grouping {leaf_tok}(...) with quoted or nested "
+                f"members is not supported — write "
                 f"({leaf_tok}a OR {leaf_tok}b) instead"
             )
         return _leaf(leaf_tok)

@@ -253,13 +253,14 @@ def test_range_remainder_inherits_cap(spark, fidx):
         expand_ranges(spark, ix, "role:[user TO user] w*", max_expansions=1)
 
 
-def test_field_grouping_refused(spark, fidx):
-    """ADVICE r3: Lucene field-grouping 'role:(user admin)' is unsupported
-    and must raise — not score the WORD 'role' as a term."""
-    from katta_spark.query import search
+def test_field_grouping_residue_refused(spark, fidx):
+    """Plain field groups distribute (test_field_group_distribution);
+    the UNDISTRIBUTED residue — nested-group members — must still raise,
+    not score the WORD 'role' as a term (ADVICE r3 guard, narrowed)."""
+    from katta_spark.query import parse_tree_query
 
     with pytest.raises(ValueError, match="field grouping"):
-        search(spark, fidx, "role:(user admin)")
+        parse_tree_query("role:((user) admin)", KW)
 
 
 def test_spaced_field_colon_lucene_parity(spark, fidx):
@@ -384,3 +385,40 @@ def test_keyword_quoted_value(spark, tmp_path_factory):
         search(spark, d, 'tool:"web search"~2', k=10)
     # count path agrees
     assert count_matches(spark, d, 'tool:"web search"') == len(want)
+
+
+def test_field_group_distribution(spark, fidx, docs):
+    """Lucene field grouping: role:(user assistant) distributes the field
+    over the group, flags and group boosts carried onto each member."""
+    from katta_spark.query import fold_spaced_fields
+
+    assert fold_spaced_fields("role:(user assistant)") == (
+        "(role:user role:assistant)"
+    )
+    assert fold_spaced_fields("role:(user OR assistant)^2") == (
+        "(role:user^2 OR role:assistant^2)"
+    )
+    assert fold_spaced_fields("role:(+user -tool)") == (
+        "(+role:user -role:tool)"
+    )
+    # member's own boost wins over the group's
+    assert fold_spaced_fields("role:(user^3 assistant)^2") == (
+        "(role:user^3 role:assistant^2)"
+    )
+    # quoted bodies and nested parens are left alone
+    assert fold_spaced_fields('role:("a b" c)') == 'role:("a b" c)'
+    # spaced colon before the group folds first
+    assert fold_spaced_fields("role: (user assistant)") == (
+        "(role:user role:assistant)"
+    )
+
+    # end-to-end: group == explicit OR tree == flat two-term query ranks
+    want = search(spark, fidx, "(role:user OR role:assistant)", k=10).collect()
+    got = search(spark, fidx, "role:(user assistant)", k=10).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+    got2 = search(spark, fidx, "role:(user OR assistant)", k=10).collect()
+    assert [(r.doc_id, r.score) for r in got2] == [
+        (r.doc_id, r.score) for r in want
+    ]
