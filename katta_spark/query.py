@@ -2960,3 +2960,55 @@ def get_details(
     return src.join(F.broadcast(hits), "doc_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
+
+
+def snippet_col(
+    terms: list[str], text_col: str = "text",
+    before: int = 3, after: int = 3,
+):
+    """Column: a keyword-in-context snippet — up to ``before`` tokens, the
+    first occurrence of any query term, up to ``after`` tokens after it;
+    empty string when no term matches. The client-side highlighting step
+    every Lucene consumer runs on getDetails output (the reference returns
+    stored fields and leaves this to the caller), as ONE whole-stage-
+    codegen regexp_extract — no Python in the row path. Analyzed terms
+    only (keyword field:value terms match nothing in running text)."""
+    import re as _re
+
+    words = sorted(
+        {t for t in terms if ":" not in t and t}, key=len, reverse=True
+    )
+    if not words:
+        return F.lit("")
+    alt = "|".join(_re.escape(w) for w in words)
+    pat = (
+        r"(?i)((?:[A-Za-z0-9]+[^A-Za-z0-9]+){0," + str(before) + r"}"
+        r"\b(?:" + alt + r")\b"
+        r"(?:[^A-Za-z0-9]+[A-Za-z0-9]+){0," + str(after) + r"})"
+    )
+    return F.regexp_extract(F.col(text_col), pat, 1)
+
+
+def get_snippets(
+    spark: SparkSession,
+    index: "IndexHandle | str",
+    query: str,
+    hits: DataFrame,
+    source: DataFrame,
+    text_col: str = "text",
+    before: int = 3,
+    after: int = 3,
+    id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """get_details + a ``snippet`` column for the query's analyzed terms
+    — hits stay the broadcast build side, the snippet evaluates in the
+    same codegen stage as the probe, nothing extra shuffles."""
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
+    terms = sorted(parse_query(query, index.keyword_fields))
+    out = get_details(
+        spark, hits, source, fields=None, id_cols=id_cols
+    )
+    return out.withColumn(
+        "snippet", snippet_col(terms, text_col, before, after)
+    )

@@ -422,3 +422,41 @@ def test_field_group_distribution(spark, fidx, docs):
     assert [(r.doc_id, r.score) for r in got2] == [
         (r.doc_id, r.score) for r in want
     ]
+
+
+def test_snippets_kwic(spark, fidx, tiny_transcripts):
+    """Keyword-in-context snippets on getDetails output — hand-checked
+    window, case-insensitivity, no-match empty, end-to-end join shape."""
+    from katta_spark.query import get_snippets, snippet_col, search
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four TARGET five six seven eight"),
+            (2, "TaRgEt leads here"),
+            (3, "no match at all"),
+            (4, "tail words then target"),
+        ],
+        ["i", "text"],
+    )
+    out = {r.i: r.s for r in df.select(
+        "i", snippet_col(["target"], before=2, after=2).alias("s")
+    ).collect()}
+    assert out[1] == "three four TARGET five six"
+    assert out[2] == "TaRgEt leads here"
+    assert out[3] == ""
+    assert out[4] == "words then target"
+
+    # keyword field terms are ignored; empty term list -> empty column
+    assert df.select(
+        snippet_col(["role:user"]).alias("s")
+    ).collect()[0].s == ""
+
+    # end-to-end: snippet contains a query term for every hit
+    hits = search(spark, fidx, "hotalpha w00011", k=5)
+    snip = get_snippets(
+        spark, fidx, "hotalpha w00011", hits, tiny_transcripts
+    ).collect()
+    assert len(snip) == 5
+    for r in snip:
+        low = r.snippet.lower()
+        assert "hotalpha" in low or "w00011" in low
