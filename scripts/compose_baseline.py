@@ -213,7 +213,11 @@ materially — the dictionary phase lost a duplicated corpus tokenize
 explode_outer fix halved that job) — so the shape was re-measured as a
 full fresh 3-invocation campaign on the shipped HEAD in a clean window.
 It is reported separately, not merged into the A+B median: a different
-job's invocations cannot share a median with the old one.
+job's invocations cannot share a median with the old one. Every commit
+after campaign D touches only query/textops/docs/tests — the build job
+(build.py, codec.py, tokenizer.py, scripts/scaling_build.py) is
+byte-identical on the shipped HEAD, so D's numbers describe exactly the
+code being judged.
 
 | invocation | tp(N) best | tp(4N) best | raw eff | ALU ceiling eff | normalized |
 |---|---|---|---|---|---|
