@@ -912,6 +912,71 @@ def stratum_quota(
     )
 
 
+def temperature_quotas(
+    docs: DataFrame, strata_col: str = "source", alpha: float = 0.5,
+    total: int | None = None,
+) -> DataFrame:
+    """(stratum, n_docs, quota): temperature-flattened mixture quotas —
+    quota_c ∝ n_c^alpha, normalized to ``total`` (default: the corpus
+    size). The Gopher/PaLM domain-mixing rule: alpha < 1 upweights small
+    domains relative to raw proportion (alpha=1 = proportional, alpha=0 =
+    uniform). Feed the result into :func:`stratum_quota` to materialize
+    the sample deterministically.
+
+    Largest-remainder rounding makes the integer quotas sum EXACTLY to
+    ``total`` (floor each share, then hand the leftover units to the
+    largest fractional remainders, ties by stratum name) — so a
+    downstream token-budget plan lands on its budget instead of drifting
+    by one per domain. A small stratum's quota may exceed its n_docs at
+    low alpha; stratum_quota then keeps all available rows (sampling
+    without replacement — the Gopher tables cap there too).
+
+    100-TB shape: one stratum-sized aggregate (map-side combined); the
+    weighting, normalization, and remainder ranking run over the
+    stratum-count-sized result (a window over domains, not rows).
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    weighted = counts.withColumn("_w", w)
+    tot = weighted.agg(
+        F.sum("_w").alias("_tw"),
+        F.sum("n_docs").alias("_tn"),
+    )
+    t_expr = (
+        F.lit(int(total)).cast("double") if total is not None
+        else F.col("_tn").cast("double")
+    )
+    raw = weighted.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n_docs",
+        (F.col("_w") / F.col("_tw") * t_expr).alias("_raw"),
+        t_expr.alias("_t"),
+    )
+    base = raw.select(
+        "stratum", "n_docs", "_t",
+        F.floor("_raw").cast("long").alias("_base"),
+        (F.col("_raw") - F.floor("_raw")).alias("_frac"),
+    )
+    leftover = base.agg(
+        (F.first("_t") - F.sum("_base")).cast("long").alias("_left")
+    )
+    rk = Window.orderBy(F.col("_frac").desc(), F.col("stratum").asc())
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(rk))
+        .select(
+            "stratum", "n_docs",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+
+
 # Kept RE2-and-Java-compatible (no backreferences, no lookaround) so the
 # exact patterns run identically in Spark and the DuckDB oracle.
 REDACT_PATTERNS = (

@@ -592,3 +592,46 @@ def test_curate_hand_checked(spark):
         docs, None, min_tokens=5, max_top2_frac=0.3, dedup_threshold=0.5,
     ).collect()}
     assert got3[6] == 0
+
+
+def test_temperature_quotas(spark):
+    """Gopher/PaLM mixture rule: quota ∝ n^alpha with largest-remainder
+    rounding summing EXACTLY to total; alpha=1 proportional, alpha=0
+    uniform; integrates with stratum_quota."""
+    rows = (
+        [(i, "big") for i in range(80)]
+        + [(i + 100, "mid") for i in range(16)]
+        + [(i + 200, "small") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    # alpha=1: exactly proportional (all raw shares integral here)
+    q1 = {r.stratum: r.quota for r in
+          tx.temperature_quotas(docs, "source", alpha=1.0).collect()}
+    assert q1 == {"big": 80, "mid": 16, "small": 4}
+
+    # alpha=0: uniform weights, total 100 over 3 strata -> 34/33/33 with
+    # the remainder unit going to the lexicographically first stratum
+    q0 = {r.stratum: r.quota for r in
+          tx.temperature_quotas(docs, "source", alpha=0.0).collect()}
+    assert sum(q0.values()) == 100 and sorted(q0.values()) == [33, 33, 34]
+    assert q0["big"] == 34  # tie on fraction 1/3 -> stratum name asc
+
+    # alpha=0.5 with explicit total: hand-computed largest remainder
+    # weights: sqrt(80)=8.9443, sqrt(16)=4, sqrt(4)=2 -> sum 14.9443
+    # shares of 50: 29.923, 13.383, 6.6926 -> floors 29/13/6 (48), two
+    # leftover units go to the two largest fractions (.923, .6926)
+    qh = {r.stratum: r.quota for r in
+          tx.temperature_quotas(docs, "source", alpha=0.5, total=50).collect()}
+    assert qh == {"big": 30, "mid": 13, "small": 7}
+    assert sum(qh.values()) == 50
+
+    # flattening: alpha<1 gives small strata a larger share than raw
+    assert qh["small"] / 50 > 4 / 100
+
+    # end-to-end: materialize via stratum_quota — exact sizes, capped by
+    # availability
+    out = tx.stratum_quota(docs, qh, strata_col="source")
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {"big": 30, "mid": 13, "small": 4}  # small capped at 4
