@@ -222,6 +222,23 @@ def main() -> None:
                 emb, 0, 10, dim=64, ann_dir=ann_dir
             ).collect(),
         )
+        # IVF scale path: spherical-k-means lists, nprobe partition-pruned
+        from katta_spark.ivf import build_ivf_index as ks_build_ivf
+        from katta_spark.ivf import cosine_topk_ivf
+
+        ivf_dir = os.path.join(idx_dir, "ivf")
+        timed(
+            "build_ivf_index",
+            lambda: ks_build_ivf(
+                emb, ivf_dir, dim=64, n_clusters=16, iters=4, seed=7
+            ),
+        )
+        timed_q(
+            "ann_ivf_top10",
+            lambda: cosine_topk_ivf(
+                emb, 0, 10, nprobe=4, ivf_dir=ivf_dir
+            ).collect(),
+        )
 
         # north-star: transcripts index-build throughput (turns/sec).
         # Input written once (excluded from timing), build timed.

@@ -299,6 +299,39 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(vec_id, canonical_id, is_dup): SemDeDup-shaped semantic dedup —
+    canonical assignment over the TRANSITIVE CLOSURE of verified
+    embedding-cosine near-dup pairs (embedding_near_dup_pairs: banded-LSH
+    candidates, exact-cosine verify), components via the same min-label
+    propagation engine as text near-dup (textops.min_label_components).
+    Keep rule: min vec_id per component survives — deterministic, so a
+    downstream `where(~is_dup)` is reproducible."""
+    from katta_spark.textops import min_label_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold, dim, bands, planes_per_band, seed, id_col, vec_col
+    ).select("a", "b")
+    labels = min_label_components(
+        embeddings.select(F.col(id_col).alias("doc_id")), pairs, max_iters
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,

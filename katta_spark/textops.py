@@ -226,30 +226,22 @@ def near_dup_pairs(
     )
 
 
-def dedup_near(
-    docs: DataFrame, threshold: float = 0.8, num_hashes: int = 8, bands: int = 4,
-    n: int = 3, id_col: str = "doc_id", text_col: str = "text",
-    max_iters: int = 20,
+def min_label_components(
+    ids: DataFrame, pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
-    """(doc_id, canonical_id, is_dup): canonical assignment over the
-    TRANSITIVE CLOSURE of verified near-dup pairs (connected components by
-    iterative min-label propagation — converges in graph-diameter rounds,
-    small for dup clusters; each round is one join + one min-agg).
-
-    The closure is iterative dataflow DuckDB SQL can't express with plain
-    aggregates, so the gate covers near_dup_pairs and the closure is
-    property-tested against a union-find oracle (tests/test_textops.py).
-    """
-    spark = docs.sparkSession
-    pairs = near_dup_pairs(
-        docs, threshold, num_hashes, bands, n, id_col, text_col
-    ).select("a", "b")
+    """(doc_id, canonical_id): connected components of the undirected graph
+    ``pairs`` (columns a, b — node ids) over the node set ``ids`` (column
+    doc_id), by iterative min-label propagation — converges in
+    graph-diameter rounds (small for dup clusters; each round is one join +
+    one min-agg; lineage cut per round via localCheckpoint). The shared
+    closure engine behind text near-dup (dedup_near) and embedding
+    near-dup (similarity.embedding_dedup) canonicalization."""
     # undirected edges, both directions
-    edges = pairs.unionByName(
+    edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
-    labels = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(id_col).alias("canonical_id")
+    labels = ids.select(
+        F.col("doc_id"), F.col("doc_id").alias("canonical_id")
     ).cache()
     for _ in range(max_iters):
         # candidate label per node = min(own, min over neighbors' labels)
@@ -285,6 +277,28 @@ def dedup_near(
         if changed == 0:
             break
     edges.unpersist()
+    return labels.select("doc_id", "canonical_id")
+
+
+def dedup_near(
+    docs: DataFrame, threshold: float = 0.8, num_hashes: int = 8, bands: int = 4,
+    n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, canonical_id, is_dup): canonical assignment over the
+    TRANSITIVE CLOSURE of verified near-dup pairs (connected components via
+    min_label_components).
+
+    The closure is iterative dataflow DuckDB SQL can't express with plain
+    aggregates, so the gate covers near_dup_pairs and the closure is
+    property-tested against a union-find oracle (tests/test_textops.py).
+    """
+    pairs = near_dup_pairs(
+        docs, threshold, num_hashes, bands, n, id_col, text_col
+    ).select("a", "b")
+    labels = min_label_components(
+        docs.select(F.col(id_col).alias("doc_id")), pairs, max_iters
+    )
     return labels.select(
         "doc_id",
         "canonical_id",

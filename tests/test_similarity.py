@@ -107,6 +107,65 @@ def test_pairs_are_verified_exact(spark, skewed_embeddings):
         assert abs(round(cos, 4) - r.cos) < 2e-4
 
 
+def test_embedding_dedup_transitive_closure(spark):
+    """SemDeDup-shaped canonicalization: a chain a~b~c where cos(a,c) is
+    BELOW threshold still collapses to one component (transitive closure),
+    and every component's canonical matches a union-find oracle over the
+    exact verified pairs."""
+    from katta_spark.similarity import embedding_dedup, embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=DIM)
+    base /= np.linalg.norm(base)
+    orth = rng.normal(size=DIM)
+    orth -= orth @ base * base
+    orth /= np.linalg.norm(orth)
+
+    def rot(theta):
+        return np.cos(theta) * base + np.sin(theta) * orth
+
+    # chain at ~0.93 cos between neighbors, ~0.73 end-to-end (threshold .9)
+    step = np.arccos(0.93)
+    chain = [rot(i * step) for i in range(3)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(chain)]
+    vid = 3
+    for _ in range(40):  # background far from the chain
+        v = rng.normal(size=DIM)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {
+        r.vec_id: (r.canonical_id, r.is_dup)
+        for r in embedding_dedup(
+            df, threshold=0.9, dim=DIM, bands=4, planes_per_band=4
+        ).collect()
+    }
+    assert len(out) == len(rows)  # every vector labeled
+    assert out[0] == (0, False)
+    assert out[1] == (0, True) and out[2] == (0, True)
+
+    # union-find oracle over the exact verified pairs
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.9, dim=DIM, bands=4, planes_per_band=4
+    ).collect()
+    parent = {i: i for i in out}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for vid_, (canon, is_dup) in out.items():
+        assert find(vid_) == canon
+        assert is_dup == (canon != vid_)
+
+
 def test_ann_exact_baseline_unchanged(spark, skewed_embeddings):
     """cosine_topk (the exact baseline) finds a planted near-dup as the
     top neighbor of its twin."""
