@@ -844,11 +844,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = packing
 
     def windowed_events(spark, sf):
-        """Tumbling-window event aggregation (the same F.window expression
-        runs under Structured Streaming with a watermark —
-        streaming.stream_windowed_counts; tested in test_streaming_filter)."""
+        """Tagged union (50-gate cap): variant='tumbling' = fixed
+        event-time windows (the same F.window expression runs under
+        Structured Streaming with a watermark —
+        streaming.stream_windowed_counts; tested in test_streaming_filter);
+        variant='session' = gap-based sessionization (textops.sessionize:
+        a new session when a user's inter-event gap exceeds 12 h; lag +
+        running sum sharing ONE window exchange) aggregated to session
+        level — window_start = session start, event_type = user id,
+        n_events/sum_value per session."""
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
-        return tx.windowed_event_counts(ev, "1 hour")
+        tumbling = tx.windowed_event_counts(ev, "1 hour").select(
+            F.lit("tumbling").alias("variant"),
+            "window_start", "event_type", "n_events", "sum_value",
+        )
+        sessions = (
+            tx.sessionize(ev, gap="12 hours", keep_cols=("value",))
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("session_start").alias("window_start"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.lit("session").alias("variant"),
+                "window_start",
+                F.col("user_id").cast("string").alias("event_type"),
+                "n_events", "sum_value",
+            )
+        )
+        return tumbling.unionByName(sessions)
 
     q["windowed_events"] = windowed_events
 
@@ -1340,12 +1365,33 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         FROM (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents)
     """
 
-    # tumbling-window aggregation: time_bucket is the SQL twin of F.window
+    # tumbling-window aggregation: time_bucket is the SQL twin of F.window;
+    # session leg: the same lag + running-sum sessionization as
+    # textops.sessionize, as DuckDB window functions
     o["windowed_events"] = """
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        SELECT 'tumbling' AS variant,
+               time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
-        FROM events GROUP BY 1, 2
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'session', min(ts), CAST(user_id AS VARCHAR),
+               count(*), round(sum(value), 4)
+        FROM (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w + INTERVAL '12 hours'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        )
+        GROUP BY user_id, session_id
     """
 
     o["dedup_exact"] = """

@@ -263,6 +263,14 @@ def main() -> None:
             "transcripts_bm25",
             lambda: ksq.search(spark, tih, "hotalpha w00011", 10).collect(),
         )
+        # conversation assembly: turns -> one training doc per conversation
+        # (stable turn order restored in-row; one conv_id shuffle)
+        from katta_spark.transcripts import assemble_conversations
+
+        timed_q(
+            "assemble_conversations",
+            lambda: assemble_conversations(transcripts).count(),
+        )
 
         # compaction at bench scale: 4 delta indexes (disjoint quarter
         # corpora, the incremental-update shape) merged into one — the

@@ -891,6 +891,57 @@ def windowed_event_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(event_id, user_id, ts, session_id, session_start, *keep_cols):
+    gap-based sessionization — a new session starts when a user's
+    inter-event gap exceeds ``gap`` (the classic web-analytics/
+    training-log primitive). ``keep_cols`` ride through unchanged so a
+    session-level aggregation needs no join back to the source.
+
+    session_id is the per-user ordinal (1-based) of the session;
+    session_start its first event's timestamp, so downstream session-level
+    aggregation is a plain groupBy(user_id, session_id).
+
+    Scale shape: ONE shuffle by user_id; both windows (the lag and the
+    running sum) share the exact same partitioning + ordering, so Catalyst
+    plans them in a single Window exchange+sort. Per-user data is bounded
+    by that user's event count — a hot user bounds the task, the corpus
+    size does not. Ordering ties on ts are broken by event_id so the
+    assignment is deterministic under any input order.
+    """
+    from pyspark.sql import Window
+
+    base = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        *[F.col(c) for c in keep_cols],
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_sid = base.withColumn("_new", new_s).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sid.withColumn(
+        "session_start",
+        F.min("ts").over(Window.partitionBy("user_id", "session_id")),
+    ).select(
+        "event_id", "user_id", "ts", "session_id", "session_start", *keep_cols
+    )
+
+
 def stratum_quota(
     docs: DataFrame,
     quotas: dict[str, int],
