@@ -60,6 +60,68 @@ def assemble_conversations(
     )
 
 
+def conversation_windows(
+    transcripts: DataFrame,
+    window_turns: int = 8,
+    stride: int = 4,
+    role_prefix: bool = True,
+    sep: str = TURN_SEP,
+    drop_partial: bool = False,
+) -> DataFrame:
+    """(conv_id, window_idx, start_turn, n_turns, text): sliding context
+    windows over each conversation — the training-sample cutter for
+    long multi-turn data (window_turns per sample, advancing by stride).
+
+    Window w covers the turns at sorted positions [w*stride,
+    w*stride + window_turns); with drop_partial=True trailing windows
+    shorter than window_turns are dropped (except a conversation shorter
+    than one window, which keeps its single full-coverage window — every
+    conversation yields at least one sample).
+
+    Entirely in-row after the one conv_id shuffle: array_sort restores
+    turn order, sequence() enumerates starts, slice() cuts each window —
+    no second explode-shuffle, no Python. start_turn is the POSITION in
+    the sorted turn order (0-based), robust to non-contiguous turn_idx.
+    """
+    if window_turns < 1 or stride < 1:
+        raise ValueError("window_turns and stride must be >= 1")
+    turn = F.struct(F.col("turn_idx"), F.col("role"), F.col("text"))
+    rendered = (
+        (lambda t: F.concat(t["role"], F.lit(": "), t["text"]))
+        if role_prefix
+        else (lambda t: t["text"])
+    )
+    grouped = transcripts.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(turn)).alias("turns")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("turns") - 1, F.lit(0)), F.lit(stride)
+    )
+    out = grouped.select(
+        "conv_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("start_turn"),
+                    F.slice("turns", s + 1, window_turns).alias("w"),
+                ),
+            )
+        ).alias("window_idx", "win"),
+    ).select(
+        "conv_id",
+        "window_idx",
+        F.col("win.start_turn").alias("start_turn"),
+        F.size("win.w").alias("n_turns"),
+        F.array_join(F.transform("win.w", rendered), sep).alias("text"),
+    )
+    if drop_partial:
+        out = out.where(
+            (F.col("n_turns") == window_turns) | (F.col("window_idx") == 0)
+        )
+    return out
+
+
 def conversation_stats(transcripts: DataFrame) -> DataFrame:
     """(conv_id, n_turns, n_roles, n_tool_calls, n_chars, started_at,
     duration_sec): per-conversation profile — the grouping pass a curation

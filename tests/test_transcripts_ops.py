@@ -67,6 +67,66 @@ def test_assemble_role_prefix(spark):
     assert got.text == "user: hello\nassistant: hi there\nuser: "
 
 
+def test_conversation_windows_hand_checked(spark):
+    from katta_spark.transcripts import conversation_windows
+
+    rows = [
+        ("c1", i, "user", f"t{i}", "-", dt.datetime(2024, 1, 1, 0, i))
+        for i in range(5)
+    ] + [("c2", 0, "user", "solo", "-", dt.datetime(2024, 1, 1))]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {
+        (r.conv_id, r.window_idx): (r.start_turn, r.n_turns, r.text)
+        for r in conversation_windows(
+            df, window_turns=3, stride=2, role_prefix=False
+        ).collect()
+    }
+    # c1 (5 turns): starts 0,2,4 -> windows [0,1,2], [2,3,4], [4]
+    assert got[("c1", 0)] == (0, 3, "t0\nt1\nt2")
+    assert got[("c1", 1)] == (2, 3, "t2\nt3\nt4")
+    assert got[("c1", 2)] == (4, 1, "t4")
+    assert got[("c2", 0)] == (0, 1, "solo")
+    assert len(got) == 4
+
+    # drop_partial removes the short tail but keeps short conversations
+    kept = {
+        (r.conv_id, r.window_idx)
+        for r in conversation_windows(
+            df, window_turns=3, stride=2, drop_partial=True
+        ).collect()
+    }
+    assert kept == {("c1", 0), ("c1", 1), ("c2", 0)}
+
+
+def test_conversation_windows_cover_every_turn(spark, tiny_transcripts):
+    """With stride <= window_turns every turn appears in >= 1 window
+    (reconstructed by position), and window starts advance by stride."""
+    from katta_spark.transcripts import conversation_windows
+
+    w = conversation_windows(
+        tiny_transcripts, window_turns=8, stride=8, role_prefix=False
+    )
+    covered = w.select(
+        "conv_id",
+        F.explode(
+            F.sequence(
+                F.col("start_turn"),
+                F.col("start_turn") + F.col("n_turns") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
+    n_turns_per_conv = tiny_transcripts.groupBy("conv_id").count()
+    got = {
+        r.conv_id: r.n for r in covered.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    want = {r.conv_id: r["count"] for r in n_turns_per_conv.collect()}
+    assert got == want
+
+
 def test_conversation_stats_hand_checked(spark):
     rows = [
         ("c1", 0, "user", "abc", "-", dt.datetime(2024, 1, 1, 10, 0, 0)),
