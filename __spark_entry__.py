@@ -914,7 +914,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), query_vec_id=0, k=10, dim=64,
             ann_dir=_ann_dir(spark, sf),
         ).withColumn("variant", F.lit("lsh"))
-        return exact.unionByName(lsh)
+        # 'hybrid': BM25 + cosine reciprocal-rank fusion (doc_id==vec_id);
+        # both legs' rounded scores are engine-reproducible, so the fused
+        # ranking has an exact SQL oracle too
+        hybrid = sim.hybrid_search(
+            spark, _index_dir(spark, sf), "join hash", _emb(spark, sf),
+            query_vec_id=0, k=10, k_each=25,
+        ).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("fused").alias("cos"),
+        ).withColumn("variant", F.lit("hybrid"))
+        return exact.unionByName(lsh).unionByName(hybrid)
 
     q["ann_cosine_top20"] = ann_topk
 
@@ -1905,10 +1915,36 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         SELECT 'embedding' AS variant, a, b, cos AS sim
         FROM ({_near_emb_sql})
     """
+    # 'hybrid' leg: BM25 top-25 and cosine top-25 fused by reciprocal
+    # rank (1/(60+rank), Cormack et al. 2009) — ranks over the ROUNDED
+    # scores both engines produce identically, so the fusion is exact.
+    _cos25_sql = _ann_exact_sql.replace("LIMIT 20", "LIMIT 25")
+    _bm25_25 = _bm25_sql([("join", 1.0), ("hash", 1.0)], 25)
+    _hybrid_sql = f"""
+        WITH bm AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score_r DESC, doc_id ASC)
+                   AS bm25_rank
+          FROM ({_bm25_25})
+        ),
+        ce AS (
+          SELECT vec_id AS doc_id,
+                 row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+                   AS cos_rank
+          FROM ({_cos25_sql})
+        )
+        SELECT doc_id AS vec_id,
+               round(coalesce(1.0 / (60 + bm25_rank), 0)
+                     + coalesce(1.0 / (60 + cos_rank), 0), 6) AS cos
+        FROM bm FULL OUTER JOIN ce USING (doc_id)
+        ORDER BY 2 DESC, 1 ASC LIMIT 10
+    """
     o["ann_cosine_top20"] = f"""
         SELECT 'exact' AS variant, * FROM ({_ann_exact_sql})
         UNION ALL
         SELECT 'lsh' AS variant, * FROM ({_ann_lsh_sql})
+        UNION ALL
+        SELECT 'hybrid' AS variant, * FROM ({_hybrid_sql})
     """
 
     return o

@@ -239,6 +239,15 @@ def main() -> None:
                 emb, 0, 10, nprobe=4, ivf_dir=ivf_dir
             ).collect(),
         )
+        # hybrid lexical+semantic retrieval: BM25 + cosine legs fused by
+        # reciprocal rank (both legs bounded top-k jobs, tiny fusion join)
+        timed_q(
+            "hybrid_rrf_top10",
+            lambda: sim.hybrid_search(
+                spark, idx_dir, "join hash", emb, query_vec_id=0,
+                k=10, k_each=50,
+            ).collect(),
+        )
 
         # north-star: transcripts index-build throughput (turns/sec).
         # Input written once (excluded from timing), build timed.

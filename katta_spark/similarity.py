@@ -299,6 +299,68 @@ def embedding_near_dup_pairs(
     )
 
 
+def hybrid_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, fused, bm25_rank, cos_rank): hybrid lexical+semantic
+    retrieval — BM25 top-``k_each`` (the inverted index) and cosine
+    top-``k_each`` (the embedding column, doc_id == vec_id) combined by
+    reciprocal-rank fusion: fused = Σ_legs 1/(rrf_k + rank), the standard
+    score-free fusion rule (Cormack et al. 2009; rrf_k=60 is the paper's
+    constant). A doc absent from one leg simply contributes nothing for
+    it; ranks are 1-based over (rounded score DESC, doc_id ASC) so the
+    fusion is deterministic AND engine-reproducible (both legs' rounded
+    scores are exactly reproducible in DuckDB — this whole operator has
+    an exact SQL oracle).
+
+    Scale shape: each leg is the engine's own top-k job (bounded output);
+    the fusion joins two ≤ k_each-row relations — driver-tiny, one
+    broadcast join, TakeOrderedAndProject for the final k.
+    """
+    from pyspark.sql import Window
+
+    from katta_spark import query as ksq
+
+    hits = ksq.search(
+        spark, index_dir, query, k=k_each, score_dtype="float64"
+    ).select("doc_id", F.round("score", 4).alias("s"))
+    w_bm = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    bm = hits.select(
+        "doc_id", F.row_number().over(w_bm).alias("bm25_rank")
+    )
+    cos = cosine_topk(embeddings, query_vec_id, k_each, id_col, vec_col)
+    w_cos = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    ce = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).alias("cos_rank"),
+    )
+    fused = (
+        bm.join(ce, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)),
+                6,
+            ).alias("fused"),
+            "bm25_rank",
+            "cos_rank",
+        )
+        .orderBy(F.col("fused").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return fused
+
+
 def embedding_dedup(
     embeddings: DataFrame,
     threshold: float = 0.9,

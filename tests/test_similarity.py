@@ -166,6 +166,66 @@ def test_embedding_dedup_transitive_closure(spark):
         assert is_dup == (canon != vid_)
 
 
+def test_hybrid_search_rrf(spark, tmp_path):
+    """Reciprocal-rank fusion: fused scores equal 1/(60+r) summed over the
+    legs each doc appears in (computed independently from the two legs'
+    own rankings), docs in both legs outrank same-rank singletons, and
+    the result caps at k."""
+    import katta_spark.build as ksb
+    import katta_spark.query as ksq
+    from katta_spark.similarity import hybrid_search
+
+    rng = np.random.default_rng(5)
+    texts = [
+        "apple apple banana", "apple cherry", "banana cherry date",
+        "apple banana", "date date date", "cherry apple apple",
+        "banana", "apple date cherry banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    emb_rows = [
+        (i, [float(x) for x in rng.normal(size=DIM)]) for i in range(len(texts))
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "idx")
+    ksb.build_index(spark, docs, d, num_shards=2, doc_id_col="doc_id")
+
+    k_each = 5
+    hits = ksq.search(spark, d, "apple banana", k=k_each, score_dtype="float64")
+    bm_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(hits.collect(), key=lambda r: (-round(r.score, 4), r.doc_id))
+        )
+    }
+    from katta_spark.similarity import cosine_topk
+
+    cos_rank = {
+        r.vec_id: i + 1
+        for i, r in enumerate(cosine_topk(emb, 0, k=k_each).collect())
+    }
+    want = {}
+    for did in set(bm_rank) | set(cos_rank):
+        f = 0.0
+        if did in bm_rank:
+            f += 1.0 / (60 + bm_rank[did])
+        if did in cos_rank:
+            f += 1.0 / (60 + cos_rank[did])
+        want[did] = round(f, 6)
+
+    out = hybrid_search(
+        spark, d, "apple banana", emb, query_vec_id=0, k=4, k_each=k_each
+    ).collect()
+    assert len(out) == 4
+    got = [(r.doc_id, r.fused) for r in out]
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got == expect
+    for r in out:
+        assert (r.bm25_rank is None) == (r.doc_id not in bm_rank)
+        assert (r.cos_rank is None) == (r.doc_id not in cos_rank)
+
+
 def test_ann_exact_baseline_unchanged(spark, skewed_embeddings):
     """cosine_topk (the exact baseline) finds a planted near-dup as the
     top neighbor of its twin."""
