@@ -277,6 +277,61 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    spark: SparkSession,
+    ivf_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched ANN: many queries amortized over ONE partition-pruned scan
+    (the search_batch analog for vectors — at scale queries arrive in
+    batches and per-query jobs waste the scan).
+
+    ``queries``: (query_id, vector) pairs — driver-known by nature (a
+    query batch, not a corpus; bounded like search_batch's query list).
+    Probe clusters are ranked driver-side per query (C tiny dots), the
+    scan reads only the UNION of all probed clusters' partitions, each
+    query joins (broadcast) just its own probed clusters, and the
+    per-query top-k is a rank-k window partitioned by query_id — fully
+    parallel, no single-partition funnel.
+
+    Returns (query_id, vec_id, cos, rnk) with rnk 1..k per query,
+    row-identical per query to ivf_topk at the same nprobe.
+    """
+    with open(os.path.join(ivf_dir, _META)) as fh:
+        meta = json.load(fh)
+    rows = []
+    for qid, qv in queries:
+        for c in _probe_clusters(qv, meta, nprobe):
+            rows.append((int(qid), c, list(map(float, qv))))
+    probe_df = spark.createDataFrame(
+        rows, "query_id long, cluster int, qvec array<double>"
+    )
+    all_probes = sorted({c for _, c, _ in rows})
+    vecs = spark.read.parquet(os.path.join(ivf_dir, "vectors.parquet")).where(
+        F.col("cluster").isin(all_probes)
+    )
+    from pyspark.sql import Window
+
+    scored = vecs.join(F.broadcast(probe_df), "cluster").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_similarity_col(F.col(vec_col), F.col("qvec")), 4
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -199,3 +199,68 @@ def stream_windowed_counts(
         q.awaitTermination()
         return None
     return writer.start()
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Session-window aggregation under Structured Streaming — the
+    streaming twin of the batch sessionizer (textops.sessionize →
+    session-level groupBy): F.session_window(ts, gap) merges a user's
+    events whose inter-event gap stays under ``gap`` into one
+    Spark-managed session; the watermark closes a session (and emits its
+    single append-mode row) once event time moves ``watermark`` past its
+    end, and later-than-watermark stragglers are dropped by state
+    eviction.
+
+    Boundary semantics: session_window treats a gap EXACTLY equal to
+    ``gap`` as a new session (an event joins while ts < last_ts + gap),
+    while the batch sessionize keeps it (new only when ts > prev + gap)
+    — they agree on every strict inequality, i.e. everywhere except the
+    measure-zero exact-boundary tie.
+
+    Output rows: (session_start, session_end, user_id, n_events,
+    sum_value).
+    """
+    from pyspark.sql import functions as F
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()

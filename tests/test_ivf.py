@@ -149,6 +149,28 @@ def test_query_is_partition_pruned(spark, clustered_embeddings, ivf_dir):
     assert n_dirs > 2
 
 
+def test_batch_equals_per_query(spark, clustered_embeddings, ivf_dir):
+    """ivf_topk_batch is row-identical per query to the per-query path at
+    the same nprobe, and ranks run 1..k."""
+    from katta_spark.ivf import ivf_topk_batch
+
+    emb = {r.vec_id: list(r.embedding) for r in clustered_embeddings.collect()}
+    qids = [5, 130, 399, 615]
+    batch = ivf_topk_batch(
+        spark, ivf_dir, [(q, emb[q]) for q in qids], k=8, nprobe=3
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rnk)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cos))
+    assert set(by_q) == set(qids)
+    for q in qids:
+        single = [
+            (r.vec_id, r.cos)
+            for r in ivf_topk(spark, ivf_dir, emb[q], k=8, nprobe=3).collect()
+        ]
+        assert by_q[q] == single, q
+
+
 def test_empty_cluster_keeps_previous_centroid(spark):
     """With n_clusters == n_vectors and a duplicate vector, one cluster
     goes empty mid-training — training must not NaN out or drop rows."""

@@ -242,6 +242,68 @@ def test_stream_windowed_counts_watermark(spark, tmp_path):
     assert batch[h0] == got[h0] and batch[h1] == got[h1]
 
 
+def test_stream_session_counts(spark, tmp_path):
+    """Session-window agg under Structured Streaming matches the batch
+    sessionizer's session-level aggregate on boundary-free data, and the
+    watermark finalizes (emits) only sessions it has passed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from katta_spark.streaming import stream_session_counts
+    from katta_spark.textops import sessionize
+
+    ind = str(tmp_path / "se_in")
+    outd = str(tmp_path / "se_out")
+    ck = str(tmp_path / "se_ck")
+    os.makedirs(ind)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        (1, t(0, 0), 1, "c", 1.0, "{}"),
+        (2, t(0, 10), 1, "c", 2.0, "{}"),   # u1 session A (gaps < 30m)
+        (3, t(1, 0), 1, "c", 4.0, "{}"),    # u1 session B (gap 50m)
+        (4, t(0, 5), 2, "c", 8.0, "{}"),    # u2 session A
+        (5, t(9, 0), 1, "c", 16.0, "{}"),   # advances the watermark
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("append").parquet(ind)
+    stream_session_counts(spark, ind, outd, ck, gap="30 minutes",
+                          watermark="1 hour")
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(outd).collect()
+    }
+    # watermark = 09:00 - 1h = 08:00 → the three early sessions are final;
+    # the 09:00 session is still open (not emitted in append mode).
+    assert got[(1, t(0, 0))] == (t(0, 40), 2, 3.0)   # end = last + gap
+    assert got[(1, t(1, 0))] == (t(1, 30), 1, 4.0)
+    assert got[(2, t(0, 5))] == (t(0, 35), 1, 8.0)
+    assert (1, t(9, 0)) not in got
+
+    # batch twin agrees on the emitted sessions (boundary-free data)
+    batch = (
+        sessionize(df, gap="30 minutes", keep_cols=("value",))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    bt = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    for (uid, start), (_end, n, sv) in got.items():
+        assert bt[(uid, start)] == (n, sv)
+
+
 def test_read_transcripts_formats(spark, tmp_path):
     """Declared schema enforced on the default parquet path; unknown
     format refused (the Iceberg branch needs the runtime jar, absent
