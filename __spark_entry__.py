@@ -767,7 +767,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         3 near-dup non-canonical / 4 contaminated / 0 keep, first match
         wins) — thresholds min_tokens=16 (~p5), top2>0.09 (~p95), dedup
         jaccard>=0.2 + transitive closure (the dedup_near_canonical
-        family), the same %41 benchmark slice."""
+        family), the same %41 benchmark slice. variant='substring' = the
+        ExactSubstr profile of Lee et al. 2021 (textops.
+        substring_dup_spans, k=8 on this short-doc corpus; production
+        default k=50): c1 = tokens covered by the union of duplicated
+        k-gram spans (occurrences >= 2 corpus-wide, within-doc repeats
+        included), c2 = merged maximal span count."""
         docs = _docs(spark, sf)
         counts = tx.token_counts(docs).select(
             F.lit("counts").alias("variant"), "doc_id",
@@ -788,7 +793,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("keep").cast("long").alias("c1"),
             F.col("reason").cast("long").alias("c2"),
         )
-        return counts.unionByName(dec).unionByName(cur)
+        sub = tx.substring_dup_spans(docs, k=8).select(
+            F.lit("substring").alias("variant"), "doc_id",
+            F.col("n_dup_tokens").alias("c1"),
+            F.col("n_dup_spans").alias("c2"),
+        )
+        return counts.unionByName(dec).unionByName(cur).unionByName(sub)
 
     q["token_counts"] = tokens_and_decontam
     q["doc_fingerprint"] = lambda s, sf: tx.doc_fingerprint(_docs(s, sf))
@@ -1750,6 +1760,31 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
           SELECT s.doc_id, count(b.shingle) AS nh
           FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
           GROUP BY s.doc_id
+        ),
+        sgrams AS (
+          SELECT doc_id, gi.i::BIGINT AS pos,
+                 array_to_string(t[gi.i + 1 : gi.i + 8], ' ') AS gram
+          FROM toks, unnest(range(0, len(t) - 7)) AS gi(i)
+          WHERE len(t) >= 8
+        ),
+        sdup AS (SELECT gram FROM sgrams GROUP BY gram HAVING count(*) >= 2),
+        socc AS (SELECT DISTINCT doc_id, pos FROM sgrams JOIN sdup USING (gram)),
+        scov AS (
+          SELECT doc_id, count(DISTINCT pos + s.s) AS cov
+          FROM socc, unnest(range(0, 8)) AS s(s)
+          GROUP BY doc_id
+        ),
+        sspan AS (
+          SELECT doc_id,
+                 sum(CASE WHEN prev_end IS NULL OR pos >= prev_end
+                     THEN 1 ELSE 0 END)::BIGINT AS ns
+          FROM (
+            SELECT doc_id, pos,
+                   max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM socc
+          ) GROUP BY doc_id
         )
         SELECT 'counts' AS variant, doc_id,
                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
@@ -1778,6 +1813,13 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
           JOIN canon cn USING (doc_id)
           LEFT JOIN dhits dh USING (doc_id)
         )
+        UNION ALL
+        SELECT 'substring' AS variant, d.doc_id,
+               coalesce(c.cov, 0)::BIGINT AS c1,
+               coalesce(p.ns, 0)::BIGINT AS c2
+        FROM documents d
+        LEFT JOIN scov c USING (doc_id)
+        LEFT JOIN sspan p USING (doc_id)
     """
     )
 

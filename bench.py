@@ -193,6 +193,12 @@ def main() -> None:
         timed_q("repetition_scores", lambda: tx.repetition_scores(docs).count())
         timed_q("unigram_lm", lambda: tx.unigram_lm_scores(docs).count())
         timed_q("boilerplate", lambda: tx.boilerplate_scores(docs).count())
+        # ExactSubstr dedup profile (Lee et al. 2021): duplicated k-gram
+        # span union per doc; k=16 at this doc length (production k=50)
+        timed_q(
+            "substring_dedup",
+            lambda: tx.substring_dup_spans(docs, k=16).count(),
+        )
         # eval-set decontamination: benchmark = deterministic 1-in-41
         # corpus slice (broadcast side), corpus probe shuffle-free
         timed_q(

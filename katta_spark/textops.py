@@ -306,6 +306,125 @@ def dedup_near(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame, k: int = 50, min_count: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_tokens, dup_token_frac, n_dup_spans):
+    exact SUBSTRING-duplication profile — the ExactSubstr rule of Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models Better"):
+    any token span of length >= k whose content occurs >= min_count times
+    anywhere in the corpus (across documents OR repeated within one) is
+    duplicated. Complements the whole-document families (exact_dedup /
+    minhash / simhash): it catches the document that is unique overall but
+    half boilerplate.
+
+    Per doc: n_dup_tokens = |union of [pos, pos+k) over duplicated k-gram
+    starts| (overlapping hits merge — each token is counted once),
+    n_dup_spans = number of merged maximal spans, dup_token_frac =
+    n_dup_tokens / n_tokens. Every document gets a row (zero-hit docs
+    included) — the output is a per-doc verdict feeding a drop/trim rule.
+    Span REMOVAL is deliberately not done here: the paper edits raw bytes,
+    while this engine's analysis chain is token-level (tokenize_col is
+    lossy), so the honest operator reports exact token spans and lets the
+    caller drop or trim.
+
+    100-TB shape (suffix arrays don't distribute; positional k-gram
+    hashing is the standard Spark re-expression): one row per token
+    position (doc_id, pos, h=xxhash64(k-gram)) — grams materialize as
+    8-byte hashes, never strings, so the exchanges move fixed-width rows
+    exactly like the index build's token shuffle. The gram relation is
+    computed once and persisted; corpus-wide occurrence counts collapse
+    map-side before their exchange (partial agg on h); the join back is a
+    hash join on h (both sides corpus-sized — no broadcast assumption);
+    the interval union + span count is ONE in-row aggregate() sweep over
+    the per-doc sorted start array (O(hits log hits) per doc, no
+    explode-by-k blowup of covered positions). Hash collisions
+    (~grams²/2⁶⁴ birthday risk) can only over-mark, same exposure as the
+    index term dictionary, where it is measured and checked.
+    """
+    from pyspark import StorageLevel
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    gram_structs = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - k),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.xxhash64(
+                    F.array_join(F.slice(F.col("t"), i + 1, k), " ")
+                ).alias("h"),
+            ),
+        ),
+    )
+    # explode_outer + isNotNull: see shingles() — avoids the inferred
+    # pre-Generate filter re-running the tokenize + transform per row.
+    g = (
+        toks.select("doc_id", F.explode_outer(gram_structs).alias("g"))
+        .where(F.col("g").isNotNull())
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup_h = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+    occ = g.join(dup_h, "h").select("doc_id", "pos")
+    kl = F.lit(k).cast("long")
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(-1).cast("long").alias("end"),
+        zero.alias("cov"),
+        zero.alias("spans"),
+    )
+
+    def _step(acc, s):
+        # intervals are [s, s+k); a start at exactly acc.end begins a NEW
+        # span (no token overlap); covered adds only the part past acc.end
+        return F.struct(
+            F.greatest(acc["end"], s + kl).alias("end"),
+            (
+                acc["cov"]
+                + F.greatest(zero, s + kl - F.greatest(acc["end"], s))
+            ).alias("cov"),
+            (
+                acc["spans"]
+                + F.when(s >= acc["end"], F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ).alias("spans"),
+        )
+
+    prof = (
+        occ.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
+        .select("doc_id", F.aggregate("starts", acc0, _step).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.cov").alias("n_dup_tokens"),
+            F.col("p.spans").alias("n_dup_spans"),
+        )
+    )
+    return base.join(prof, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_tokens", zero).alias("n_dup_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("n_dup_tokens", zero).cast("double")
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_token_frac"),
+        F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash as a bitstring.
 

@@ -635,3 +635,90 @@ def test_temperature_quotas(spark):
     got = {r["source"]: r["cnt"] for r in
            out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
     assert got == {"big": 30, "mid": 13, "small": 4}  # small capped at 4
+
+
+def test_substring_dup_spans_hand_checked(spark):
+    """ExactSubstr profile (Lee et al. 2021), k=3: cross-doc AND within-doc
+    repeats count toward min_count; overlapping hits merge into one span;
+    a hit starting exactly at the previous span's end opens a NEW span;
+    short (< k) and empty docs keep a zero row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d"),   # abc@0,5 bcd@1,6 dup -> [0,4)+[5,9)
+            (2, "x y z w v"),            # all grams unique
+            (3, "a b c q r s"),          # abc@0 (count 3 w/ doc 1)
+            (4, "hi"),                   # < k tokens -> no grams
+            (5, ""),                     # empty
+            (6, "p q r p q r"),          # pqr@0,3: adjacent spans [0,3)[3,6)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_token_frac, r.n_dup_spans)
+        for r in tx.substring_dup_spans(docs, k=3).collect()
+    }
+    assert got == {
+        1: (9, 8, 0.8889, 2),
+        2: (5, 0, 0.0, 0),
+        3: (6, 3, 0.5, 1),
+        4: (1, 0, 0.0, 0),
+        5: (0, 0, 0.0, 0),
+        6: (6, 6, 1.0, 2),
+    }
+    # min_count=3: only the abc gram (2 occurrences in doc 1 + 1 in doc 3)
+    # survives; bcd and pqr (2 each) drop out.
+    got3 = {
+        r.doc_id: (r.n_dup_tokens, r.n_dup_spans)
+        for r in tx.substring_dup_spans(docs, k=3, min_count=3).collect()
+    }
+    assert got3 == {
+        1: (6, 2),  # abc@0 -> [0,3), abc@5 -> [5,8)
+        2: (0, 0), 3: (3, 1), 4: (0, 0), 5: (0, 0), 6: (0, 0),
+    }
+
+
+def test_substring_dup_spans_random_cross_check(spark):
+    """Seeded random small-vocab corpus vs a pure-Python ExactSubstr
+    reference (occurrence counting, interval union, merged-span count)."""
+    import random
+
+    from katta_spark.tokenizer import tokenize_str
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(6)]
+    texts = []
+    for i in range(40):
+        n = rng.randint(0, 18)
+        texts.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    k = 3
+    toks = {d: tokenize_str(t) for d, t in texts}
+    from collections import Counter
+
+    counts = Counter()
+    grams = {}
+    for d, t in toks.items():
+        gs = (
+            [tuple(t[i : i + k]) for i in range(len(t) - k + 1)]
+            if len(t) >= k
+            else []
+        )
+        grams[d] = gs
+        counts.update(gs)
+    expect = {}
+    for d, t in toks.items():
+        starts = [i for i, gm in enumerate(grams[d]) if counts[gm] >= 2]
+        covered, spans, end = 0, 0, -1
+        for s in starts:
+            covered += max(0, s + k - max(end, s))
+            if s >= end:
+                spans += 1
+            end = max(end, s + k)
+        frac = round(covered / len(t), 4) if t else 0.0
+        expect[d] = (len(t), covered, frac, spans)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_token_frac, r.n_dup_spans)
+        for r in tx.substring_dup_spans(
+            spark.createDataFrame(texts, ["doc_id", "text"]), k=k
+        ).collect()
+    }
+    assert got == expect
