@@ -846,10 +846,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["redact_text"] = redact
 
     def packing(spark, sf):
-        """Sequence packing for training: docs greedily packed into
-        ~128-token bins within hash-bucketed independent streams (window
-        cumsum per bucket — parallel, deterministic)."""
-        return tx.pack_sequences(_docs(spark, sf), max_tokens=128, buckets=4)
+        """Tagged union (50-gate cap): variant='pack' = sequence packing —
+        docs greedily packed into ~128-token bins within hash-bucketed
+        independent streams (window cumsum per bucket — parallel,
+        deterministic; c1=bucket, c2=pack_id, c3=n_tokens, txt='');
+        variant='chunk' = token-window document chunking
+        (textops.chunk_documents, max_tokens=32, stride=16 — overlapping
+        windows; c1=chunk_idx, c2=start_tok, c3=n_tokens,
+        txt=chunk_text) — the long-doc training-sample cutter, entirely
+        in-row (zero exchanges)."""
+        docs = _docs(spark, sf)
+        pack = tx.pack_sequences(docs, max_tokens=128, buckets=4).select(
+            F.lit("pack").alias("variant"), "doc_id",
+            F.col("bucket").cast("long").alias("c1"),
+            F.col("pack_id").alias("c2"),
+            F.col("n_tokens").cast("long").alias("c3"),
+            F.lit("").alias("txt"),
+        )
+        chunk = tx.chunk_documents(docs, max_tokens=32, stride=16).select(
+            F.lit("chunk").alias("variant"), "doc_id",
+            F.col("chunk_idx").alias("c1"),
+            F.col("start_tok").alias("c2"),
+            F.col("n_tokens").alias("c3"),
+            F.col("chunk_text").alias("txt"),
+        )
+        return pack.unionByName(chunk)
 
     q["pack_sequences"] = packing
 
@@ -1374,15 +1395,25 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         FROM documents
     """
 
-    # sequence packing: same bucketed greedy cumsum as a SQL window
+    # sequence packing (bucketed greedy cumsum as a SQL window) + token-
+    # window chunking (lateral stride-range + list slice) as a tagged union
     o["pack_sequences"] = f"""
-        SELECT doc_id, CAST(doc_id % 4 AS INT) AS bucket,
+        SELECT 'pack' AS variant, doc_id,
+               CAST(doc_id % 4 AS BIGINT) AS c1,
                CAST(floor(coalesce(sum(n_tokens) OVER (
                     PARTITION BY doc_id % 4 ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    / 128.0) AS BIGINT) AS pack_id,
-               n_tokens
+                    / 128.0) AS BIGINT) AS c2,
+               n_tokens AS c3, '' AS txt
         FROM (SELECT doc_id, len({_TOK}) AS n_tokens FROM documents)
+        UNION ALL
+        SELECT 'chunk' AS variant, doc_id,
+               (s.s // 16)::BIGINT AS c1,
+               s.s::BIGINT AS c2,
+               len(t[s.s + 1 : s.s + 32])::BIGINT AS c3,
+               array_to_string(t[s.s + 1 : s.s + 32], ' ') AS txt
+        FROM (SELECT doc_id, {_TOK} AS t FROM documents),
+             unnest(range(0, greatest(len(t), 1), 16)) AS s(s)
     """
 
     # tumbling-window aggregation: time_bucket is the SQL twin of F.window;

@@ -199,6 +199,11 @@ def main() -> None:
             "substring_dedup",
             lambda: tx.substring_dup_spans(docs, k=16).count(),
         )
+        # token-window chunking (training-sample cutter, in-row only)
+        timed_q(
+            "chunk_documents",
+            lambda: tx.chunk_documents(docs, max_tokens=64, stride=48).count(),
+        )
         # eval-set decontamination: benchmark = deterministic 1-in-41
         # corpus slice (broadcast side), corpus probe shuffle-free
         timed_q(

@@ -976,6 +976,74 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    stride: int | None = None,
+    drop_partial: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tokens, chunk_text): token-window
+    document chunking — the long-document counterpart of pack_sequences
+    (that op packs SHORT docs into bins; this one cuts LONG docs into
+    training/RAG samples of <= max_tokens tokens, advancing by ``stride``
+    tokens per chunk; stride < max_tokens overlaps consecutive chunks —
+    the standard pretraining context-window cutter).
+
+    Chunk starts are 0, stride, 2·stride, … < n_tokens, so chunks never
+    start past the text and every document keeps >= 1 chunk (an empty doc
+    keeps one empty chunk — the per-doc verdict shape every op here
+    follows). drop_partial=True keeps only full max_tokens-token chunks,
+    except chunk 0 (a doc shorter than max_tokens survives whole — the
+    conversation_windows rule in token space). chunk_text re-joins the
+    analyzed tokens with single spaces: token-level, like every analysis
+    op in this engine (the raw-byte offsets a lossless cutter would need
+    are not preserved by tokenize_col; document-level slicing on raw text
+    belongs upstream of tokenization).
+
+    100-TB shape: entirely in-row whole-stage codegen — sequence()
+    enumerates starts, slice() cuts each window, ONE explode_outer emits
+    chunks; zero exchanges at any corpus size, output rows ~= input rows
+    x ceil(doclen/stride).
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
+    )
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("t") - 1, F.lit(0)),
+            F.lit(stride),
+        ),
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            s.cast("long").alias("start_tok"),
+            F.slice(F.col("t"), s + 1, max_tokens).alias("ctoks"),
+        ),
+    )
+    out = (
+        toks.select("doc_id", F.explode_outer(chunks).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+    )
+    if drop_partial:
+        out = out.where(
+            (F.col("n_tokens") == max_tokens) | (F.col("chunk_idx") == 0)
+        )
+    return out
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_len: str = "1 hour",

@@ -722,3 +722,92 @@ def test_substring_dup_spans_random_cross_check(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_chunk_documents_hand_checked(spark):
+    """Token-window chunking: exact starts/lengths/texts, overlap via
+    stride < max_tokens, drop_partial keeps chunk 0, empty/short docs
+    keep one chunk."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # n=10
+            (2, "p q r s t u"),          # n=6
+            (3, "hi"),                   # n=1
+            (4, ""),                     # n=0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tokens, r.chunk_text)
+        for r in tx.chunk_documents(docs, max_tokens=4).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4, "a b c d"),
+        (1, 1): (4, 4, "e f g h"),
+        (1, 2): (8, 2, "i j"),
+        (2, 0): (0, 4, "p q r s"),
+        (2, 1): (4, 2, "t u"),
+        (3, 0): (0, 1, "hi"),
+        (4, 0): (0, 0, ""),
+    }
+    # overlapping stride: consecutive chunks share max_tokens - stride toks
+    ov = {
+        r.chunk_idx: (r.start_tok, r.chunk_text)
+        for r in tx.chunk_documents(
+            docs.where("doc_id = 2"), max_tokens=4, stride=2
+        ).collect()
+    }
+    assert ov == {0: (0, "p q r s"), 1: (2, "r s t u"), 2: (4, "t u")}
+    # drop_partial: only full chunks survive, except chunk 0
+    dp = {
+        (r.doc_id, r.chunk_idx)
+        for r in tx.chunk_documents(
+            docs, max_tokens=4, drop_partial=True
+        ).collect()
+    }
+    assert dp == {(1, 0), (1, 1), (2, 0), (3, 0), (4, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.chunk_documents(docs, max_tokens=0)
+
+
+def test_chunk_documents_reconstructs_stream(docs):
+    """stride == max_tokens partitions the token stream: concatenating a
+    doc's chunk_texts in chunk_idx order reproduces its full analyzed
+    token stream, and token counts sum exactly."""
+    from katta_spark.tokenizer import tokenize_col
+
+    chunks = tx.chunk_documents(docs, max_tokens=7)
+    rebuilt = (
+        chunks.orderBy("doc_id", "chunk_idx")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                        ),
+                        lambda s: F.split(s["chunk_text"], " "),
+                    )
+                ),
+            ).alias("joined"),
+            F.sum("n_tokens").alias("total"),
+        )
+    )
+    src = docs.select(
+        "doc_id",
+        F.array_join(tokenize_col(F.col("text")), " ").alias("stream"),
+        F.size(tokenize_col(F.col("text"))).cast("long").alias("n"),
+    )
+    bad = (
+        rebuilt.join(src, "doc_id")
+        .where(
+            (F.regexp_replace("joined", "^ | $", "") != F.col("stream"))
+            | (F.col("total") != F.col("n"))
+        )
+        .count()
+    )
+    assert bad == 0
