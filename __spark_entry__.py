@@ -718,7 +718,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (n=n_tokens, r1=cross_entropy nats, r2=perplexity, r3=min_logp);
         variant='boilerplate' = CROSS-doc frequent-3-gram signals, Lee et
         al. 2021 (n=n_grams, r1=frequent_frac at min_df=2, r2=max_df_frac,
-        r3=avg_df_frac). The two two-pass legs broadcast their vocab-sized
+        r3=avg_df_frac); variant='dsir' = DSIR importance weights (Xie et
+        al. 2023; target = the doc_id % 41 = 0 corpus slice, hashed
+        uni+bigram buckets = md5 prefix; n=n_feats, r1=log_weight,
+        r2=avg_log_ratio, r3=target-unseen occurrence fraction). The
+        two-pass legs broadcast their vocab-sized (dsir: fixed 4096-row)
         stats table back onto the corpus, so the corpus side never
         shuffles and each per-doc collapse combines map-side."""
         docs = _docs(spark, sf)
@@ -750,7 +754,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("max_df_frac").alias("r2"),
             F.col("avg_df_frac").alias("r3"),
         )
-        return ql.unionByName(rep).unionByName(lm).unionByName(bp)
+        ds = tx.dsir_weights(docs, docs.where(F.col("doc_id") % 41 == 0)).select(
+            F.lit("dsir").alias("variant"), "doc_id",
+            F.col("n_feats").cast("int").alias("n"),
+            F.col("log_weight").alias("r1"),
+            F.col("avg_log_ratio").alias("r2"),
+            F.col("unseen_frac").alias("r3"),
+        )
+        return (
+            ql.unionByName(rep).unionByName(lm).unionByName(bp)
+            .unionByName(ds)
+        )
 
     q["quality_scores"] = quality
 
@@ -1665,7 +1679,32 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
           SELECT gram, count(DISTINCT doc_id)::DOUBLE AS df
           FROM g3occ GROUP BY gram
         ),
-        nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS ndocs FROM g3occ)
+        nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS ndocs FROM g3occ),
+        dsirf AS (
+          SELECT doc_id, substring(md5(gram), 1, 3) AS bucket FROM (
+            SELECT doc_id, unnest(t) AS gram FROM toksq
+            UNION ALL SELECT doc_id, unnest(g2) AS gram FROM grams
+          )
+        ),
+        dsircor AS (
+          SELECT bucket, count(*)::DOUBLE AS cq FROM dsirf GROUP BY bucket
+        ),
+        dsirtgt AS (
+          SELECT bucket, count(*)::DOUBLE AS ct FROM dsirf
+          WHERE doc_id % 41 = 0 GROUP BY bucket
+        ),
+        dsirtot AS (
+          SELECT (SELECT coalesce(sum(ct), 0) FROM dsirtgt) AS tt,
+                 (SELECT sum(cq) FROM dsircor) AS tq
+        ),
+        dsirratio AS (
+          SELECT c.bucket,
+                 ln((coalesce(t.ct, 0) + 1) / (tots.tt + 4096))
+                   - ln((c.cq + 1) / (tots.tq + 4096)) AS lr,
+                 CASE WHEN t.ct IS NULL THEN 1.0 ELSE 0.0 END AS unseen
+          FROM dsircor c LEFT JOIN dsirtgt t USING (bucket)
+          CROSS JOIN dsirtot tots
+        )
         SELECT 'quality' AS variant, doc_id,
                len(t) AS n,
                round(CASE WHEN len(t) > 0 THEN tc / len(t) ELSE 0.0 END, 4)
@@ -1708,6 +1747,14 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                round(max(df) / max(ndocs), 4) AS r2,
                round(avg(df) / max(ndocs), 4) AS r3
         FROM g3occ JOIN dftab USING (gram) CROSS JOIN nd
+        GROUP BY doc_id
+        UNION ALL
+        SELECT 'dsir' AS variant, doc_id,
+               count(*) AS n,
+               round(sum(lr), 4) AS r1,
+               round(avg(lr), 4) AS r2,
+               round(avg(unseen), 4) AS r3
+        FROM dsirf JOIN dsirratio USING (bucket)
         GROUP BY doc_id
     """
 

@@ -204,6 +204,13 @@ def main() -> None:
             "chunk_documents",
             lambda: tx.chunk_documents(docs, max_tokens=64, stride=48).count(),
         )
+        # DSIR importance weights (target = 1-in-41 corpus slice)
+        timed_q(
+            "dsir_weights",
+            lambda: tx.dsir_weights(
+                docs, docs.where("doc_id % 41 = 0")
+            ).count(),
+        )
         # eval-set decontamination: benchmark = deterministic 1-in-41
         # corpus slice (broadcast side), corpus probe shuffle-free
         timed_q(

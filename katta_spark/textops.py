@@ -795,6 +795,89 @@ def boilerplate_scores(
     )
 
 
+def dsir_weights(
+    docs: DataFrame, target: DataFrame, hex_chars: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+    target_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_feats, log_weight, avg_log_ratio, unseen_frac):
+    DSIR-style importance weights — Data Selection via Importance
+    Resampling (Xie et al. 2023): score each corpus document by how much
+    a hashed-n-gram bag model of the TARGET distribution prefers it over
+    the raw-corpus model. Features are unigram + bigram token
+    occurrences hashed into 16^hex_chars buckets (bucket = the first
+    hex_chars of md5(gram) — exact in any engine, like simhash16's
+    nibbles); bucket probabilities are Laplace-smoothed
+    (count+1)/(total+B). Per doc over its feature occurrences:
+    log_weight = Σ (ln p_target(b) − ln p_corpus(b)) — the DSIR log
+    importance weight (resample ∝ exp of it, e.g. via stratum_quota on a
+    log_weight band or top-k with seeded Gumbel noise); avg_log_ratio
+    normalizes by doc length; unseen_frac = fraction of occurrences in
+    buckets the target never produced (a high value marks out-of-domain
+    text directly). Documents with zero tokens have no features and are
+    dropped (matching unigram_lm_scores).
+
+    100-TB shape: the same two-pass train/apply split as
+    unigram_lm_scores, with a FIXED-size stats table — both bucket-count
+    aggregations collapse map-side into <= B rows (B = 4096 at the
+    default), the totals ride broadcast 1-row aggregates, and the
+    bucket→log-ratio table broadcasts unconditionally (it cannot outgrow
+    B rows, unlike a vocabulary), so the corpus side never shuffles: one
+    row per document enters the final exchange.
+    """
+    B = 16 ** hex_chars
+
+    def _feats(df: DataFrame, idc: str | None, txc: str) -> DataFrame:
+        t = tokenize_col(F.col(txc))
+        cols = ([F.col(idc).alias("doc_id")] if idc else []) + [
+            F.concat(t, _grams_col(t, 2)).alias("g")
+        ]
+        # explode_outer + isNotNull: see shingles()
+        return (
+            df.select(*cols)
+            .select(
+                *(["doc_id"] if idc else []),
+                F.explode_outer("g").alias("gram"),
+            )
+            .where(F.col("gram").isNotNull())
+            .withColumn("bucket", F.substring(F.md5("gram"), 1, hex_chars))
+            .drop("gram")
+        )
+
+    cor = _feats(docs, id_col, text_col)
+    tgtb = (
+        _feats(target, None, target_text_col)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("ct"))
+    )
+    corb = cor.groupBy("bucket").agg(F.count("*").cast("double").alias("cq"))
+    tt = tgtb.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("tt"))
+    tq = corb.agg(F.sum("cq").alias("tq"))
+    ratio = (
+        corb.join(tgtb, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tq))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("ct", F.lit(0.0)) + 1.0) / (F.col("tt") + B))
+                - F.log((F.col("cq") + 1.0) / (F.col("tq") + B))
+            ).alias("lr"),
+            F.col("ct").isNull().cast("double").alias("unseen"),
+        )
+    )
+    return (
+        cor.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("lr"), 4).alias("log_weight"),
+            F.round(F.avg("lr"), 4).alias("avg_log_ratio"),
+            F.round(F.avg("unseen"), 4).alias("unseen_frac"),
+        )
+    )
+
+
 def curate(
     docs: DataFrame, bench: DataFrame | None = None,
     min_tokens: int = 16, max_top2_frac: float = 0.09,

@@ -811,3 +811,78 @@ def test_chunk_documents_reconstructs_stream(docs):
         .count()
     )
     assert bad == 0
+
+
+def test_dsir_weights_hand_checked(spark):
+    """DSIR importance weights vs a pure-Python reference (hashed uni+
+    bigram buckets, Laplace smoothing): exact log_weight/avg/unseen_frac,
+    empty docs dropped, target-favored docs outscore off-target docs."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from katta_spark.tokenizer import tokenize_str
+
+    def r4(x):
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    corpus = [
+        (1, "alpha beta alpha beta gamma"),
+        (2, "delta epsilon zeta delta"),
+        (3, "alpha beta gamma delta"),
+        (4, ""),
+    ]
+    target = [("alpha beta alpha",), ("beta gamma",)]
+
+    def feats(text):
+        t = tokenize_str(text)
+        grams = t + [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+        return [hashlib.md5(g.encode()).hexdigest()[:3] for g in grams]
+
+    B = 4096
+    ct = Counter(b for (txt,) in target for b in feats(txt))
+    cq = Counter(b for _, txt in corpus for b in feats(txt))
+    tt, tq = sum(ct.values()), sum(cq.values())
+
+    def lr(b):
+        return math.log((ct.get(b, 0) + 1) / (tt + B)) - math.log(
+            (cq[b] + 1) / (tq + B)
+        )
+
+    expect = {}
+    for d, txt in corpus:
+        fs = feats(txt)
+        if not fs:
+            continue  # empty doc: no features, dropped
+        lrs = [lr(b) for b in fs]
+        unseen = [1.0 if ct.get(b, 0) == 0 else 0.0 for b in fs]
+        expect[d] = (
+            len(fs), r4(sum(lrs)), r4(sum(lrs) / len(fs)),
+            r4(sum(unseen) / len(unseen)),
+        )
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    tgt = spark.createDataFrame(target, ["text"])
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight, r.avg_log_ratio, r.unseen_frac)
+        for r in tx.dsir_weights(docs, tgt).collect()
+    }
+    assert got == expect
+    assert 4 not in got
+    # direction: doc 1 (pure target vocabulary) outweighs doc 2 (disjoint)
+    assert got[1][1] > got[2][1]
+    assert got[2][3] == 1.0  # doc 2's features never occur in the target
+
+
+def test_dsir_plan_broadcasts_ratio_table(docs):
+    """100-TB shape: the bucket→log-ratio table (fixed <= 4096 rows)
+    broadcasts back onto the corpus features — no SortMergeJoin anywhere;
+    the corpus side never shuffles for the apply pass."""
+    out = tx.dsir_weights(docs, docs.where("doc_id % 41 = 0"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
