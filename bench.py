@@ -211,6 +211,15 @@ def main() -> None:
                 docs, docs.where("doc_id % 41 = 0")
             ).count(),
         )
+        # BPE vocab induction (8 merges over the vocab-sized word table)
+        # + Arrow-batched encode of the corpus with the learned merges
+        from katta_spark import vocab as kvocab
+
+        def _bpe():
+            merges = kvocab.learn_bpe(docs, n_merges=8)
+            return kvocab.apply_bpe(docs, merges).count()
+
+        timed_q("bpe_learn_apply", _bpe)
         # eval-set decontamination: benchmark = deterministic 1-in-41
         # corpus slice (broadcast side), corpus probe shuffle-free
         timed_q(
