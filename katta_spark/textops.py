@@ -823,8 +823,13 @@ def dsir_weights(
     default), the totals ride broadcast 1-row aggregates, and the
     bucket→log-ratio table broadcasts unconditionally (it cannot outgrow
     B rows, unlike a vocabulary), so the corpus side never shuffles: one
-    row per document enters the final exchange.
+    row per document enters the final exchange. The corpus feature
+    relation (tokenize + gram explode + md5 bucket — the dominant scan)
+    is computed ONCE and persisted: the count pass and the apply join
+    both branch from it instead of re-hashing the corpus.
     """
+    from pyspark import StorageLevel
+
     B = 16 ** hex_chars
 
     def _feats(df: DataFrame, idc: str | None, txc: str) -> DataFrame:
@@ -844,7 +849,9 @@ def dsir_weights(
             .drop("gram")
         )
 
-    cor = _feats(docs, id_col, text_col)
+    cor = _feats(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tgtb = (
         _feats(target, None, target_text_col)
         .groupBy("bucket")
