@@ -60,6 +60,7 @@ def main() -> None:
     head_b = _load("scaling_2m_headline_b.json")
     head_c = _load("scaling_2m_headline_c.json")
     head_d = _load("scaling_2m_headline_d.json")
+    head_e = _load("scaling_2m_headline_e.json")
     small = _load("scaling_2m_smallhost.json")
     trend4 = _load("scaling_4m_trend.json")
     probes = _load("host_probes.json")
@@ -92,6 +93,26 @@ def main() -> None:
     )
     by_eff = sorted(merged_invs, key=lambda r: r["eff"])
     med = by_eff[len(by_eff) // 2]
+    # Campaign E (optional): a later clean-window campaign of the SAME
+    # final-HEAD job (build path git-verified byte-identical to D's
+    # commit), so D and E invocations legitimately pool into one median.
+    if head_d and head_e:
+        merged = head_d["invocations"] + head_e["invocations"]
+        head_d = {**head_d, "invocations": merged}
+        head_d["median_eff"] = round(
+            statistics.median(r["eff"] for r in merged), 3
+        )
+        head_d["median_normalized_eff"] = round(
+            statistics.median(r["normalized_eff"] for r in merged), 3
+        )
+
+    d_labels = (
+        [f"D{i + 1}" for i in range(3)] + [f"E{i + 1}" for i in range(3)]
+        if head_d and head_e
+        else ([f"D{i + 1}" for i in range(len(head_d["invocations"]))]
+              if head_d else [])
+    )
+    d_tag = "campaigns D + E" if head_e else "campaign D"
     parts: list[str] = []
     parts.append(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -126,7 +147,7 @@ previously produced a >1.0 "ceiling efficiency" artifact).
 |---|---|---|---|---|---|
 | 1 (A+B, mid-round code) | {_shape(head)} | {head['turns']:,} | {head['median_eff']:.3f} | {head['median_normalized_eff']:.3f} | {'PASS' if head['median_eff'] >= 0.8 else 'FAIL'} |"""
                  + (f"""
-| 1c (D, final HEAD) | {_shape(head_d)} | {head_d['turns']:,} | {head_d['median_eff']:.3f} | {head_d['median_normalized_eff']:.3f} | {'PASS' if head_d['median_eff'] >= 0.8 else 'FAIL'} |""" if head_d else "")
+| 1c ({d_tag.replace('campaigns ', '').replace('campaign ', '')}, final HEAD) | {_shape(head_d)} | {head_d['turns']:,} | {head_d['median_eff']:.3f} | {head_d['median_normalized_eff']:.3f} | {'PASS' if head_d['median_eff'] >= 0.8 else 'FAIL'} |""" if head_d else "")
                  + (f"""
 | 2 (small-host) | {_shape(small)} | {small['turns']:,} | {small['median_eff']:.3f} | {small['median_normalized_eff']:.3f} | {'PASS' if small['median_eff'] >= 0.8 else 'FAIL'} |""" if small else "")
                  + (f"""
@@ -205,7 +226,7 @@ same load screen under which every other number in this file was taken
     if head_d:
         dmed = _median_inv(head_d)
         parts.append(f"""
-### Suite 1c — the SAME shape re-measured on the final round-5 HEAD (campaign D)
+### Suite 1c — the SAME shape re-measured on the final round-5 HEAD ({d_tag})
 
 Campaigns A/B measured the mid-round code. After them the build changed
 materially — the dictionary phase lost a duplicated corpus tokenize
@@ -216,12 +237,12 @@ It is reported separately, not merged into the A+B median: a different
 job's invocations cannot share a median with the old one. Every commit
 after campaign D touches only query/textops/docs/tests — the build job
 (build.py, codec.py, tokenizer.py, scripts/scaling_build.py) is
-byte-identical on the shipped HEAD, so D's numbers describe exactly the
-code being judged.
+byte-identical on the shipped HEAD, so these numbers describe exactly
+the code being judged.{" The E rows are a later clean-window campaign of the same final-HEAD job from a later session of this round — build path git-diff-verified identical — pooled with D into one median." if head_e else ""}
 
 | invocation | tp(N) best | tp(4N) best | raw eff | ALU ceiling eff | normalized |
 |---|---|---|---|---|---|
-{_inv_table(head_d, labels=[f"D{i + 1}" for i in range(len(head_d['invocations']))])}
+{_inv_table(head_d, labels=d_labels)}
 
 **Final-HEAD median raw scaling efficiency =
 {head_d['median_eff']:.3f} (target >= 0.8:
