@@ -345,6 +345,8 @@ def substring_dup_spans(
     """
     from pyspark import StorageLevel
 
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
     )
@@ -830,6 +832,8 @@ def dsir_weights(
     """
     from pyspark import StorageLevel
 
+    if not 1 <= hex_chars <= 8:
+        raise ValueError("hex_chars must be in [1, 8]")
     B = 16 ** hex_chars
 
     def _feats(df: DataFrame, idc: str | None, txc: str) -> DataFrame:

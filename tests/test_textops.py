@@ -653,6 +653,8 @@ def test_substring_dup_spans_hand_checked(spark):
         ],
         ["doc_id", "text"],
     )
+    with pytest.raises(ValueError):
+        tx.substring_dup_spans(docs, k=0)
     got = {
         r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_token_frac, r.n_dup_spans)
         for r in tx.substring_dup_spans(docs, k=3).collect()
@@ -873,6 +875,8 @@ def test_dsir_weights_hand_checked(spark):
     }
     assert got == expect
     assert 4 not in got
+    with pytest.raises(ValueError):
+        tx.dsir_weights(docs, tgt, hex_chars=0)
     # direction: doc 1 (pure target vocabulary) outweighs doc 2 (disjoint)
     assert got[1][1] > got[2][1]
     assert got[2][3] == 1.0  # doc 2's features never occur in the target
