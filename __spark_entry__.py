@@ -643,9 +643,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sorted_search_filtered"] = sorted_search_filtered
 
     def count_q(spark, sf):
-        """A3: hit-count fast path."""
+        """Tagged union (50-gate cap): variant='total' = A3 hit-count fast
+        path (value=''); variant='facet' = faceted search — per-value
+        matching-doc counts over the lang keyword field (in-index shard
+        cogroup of query postings x facet-value postings; |values| x
+        shards rows, never per-doc)."""
         n = ksq.count_matches(spark, _index_dir(spark, sf), "join hash")
-        return spark.createDataFrame([(n,)], "n_hits long")
+        total = spark.createDataFrame(
+            [("total", "", n)], "variant string, value string, n_hits long"
+        )
+        fac = ksq.facet_counts(
+            spark, _field_index_dir(spark, sf), "join hash", "lang", k=100
+        ).select(
+            F.lit("facet").alias("variant"),
+            "value",
+            F.col("count").alias("n_hits"),
+        )
+        return total.unionByName(fac)
 
     q["count_matches"] = count_q
 
@@ -1356,9 +1370,17 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
     """
 
     o["count_matches"] = f"""
-        SELECT count(DISTINCT doc_id) AS n_hits FROM (
-          SELECT doc_id, unnest({_TOK}) AS term FROM documents
-        ) WHERE term IN ('join', 'hash')
+        WITH hitdocs AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+          ) WHERE term IN ('join', 'hash')
+        )
+        SELECT 'total' AS variant, '' AS value,
+               (SELECT count(*) FROM hitdocs) AS n_hits
+        UNION ALL
+        SELECT 'facet' AS variant, d.lang AS value, count(*) AS n_hits
+        FROM documents d JOIN hitdocs USING (doc_id)
+        GROUP BY d.lang
     """
 
     o["wildcard_expand"] = f"""

@@ -163,6 +163,13 @@ def main() -> None:
             lambda: ksq.search_with_total(spark, ih, "join hash", 10).collect(),
         )
         timed_q("count_matches", lambda: ksq.count_matches(spark, ih, "join hash"))
+        # faceted search: per-lang matching-doc counts, in-index cogroup
+        timed_q(
+            "facet_counts",
+            lambda: ksq.facet_counts(
+                spark, ih, "join hash", "lang", k=16
+            ).collect(),
+        )
         # batch execution: 16 queries in ONE job — the aggregate-QPS shape
         # of LuceneSearchPerformanceTest; effective per-query cost is this
         # timing / 16 (vs one full job per query above)

@@ -2936,6 +2936,128 @@ def count_matches(
     return int(row["total"] or 0)
 
 
+def facet_counts(
+    spark: SparkSession,
+    index: "IndexHandle | str",
+    query: str,
+    field: str,
+    k: int = 10,
+    mode: str = "or",
+    shard_ids: list[int] | None = None,
+) -> DataFrame:
+    """(value, count): matching-document counts per value of NOT_ANALYZED
+    keyword ``field`` — faceted search, the standard Lucene-consumer
+    aggregation layered over a Katta deployment (the reference returns
+    stored fields via getDetails, LuceneServer.java:390-410, and leaves
+    grouping to the caller; counting in-index avoids materializing any
+    per-document rows at all). Top-k facet values by (count DESC,
+    value ASC); values with zero matching docs are omitted (Lucene facet
+    convention).
+
+    In-index dataflow: the query terms' postings and the facet field's
+    value postings (a stats-table slice scoped by the ``field:`` term
+    prefix) cogroup PER SHARD; each kernel builds the shard's matching
+    doc set (union for mode='or', intersection for 'and') and intersects
+    it with every value's sorted doc list (np.intersect1d on unique
+    sorted arrays), emitting one (value, n) row per value per shard —
+    output is |values| x shards rows, never per-doc. Per-shard counts sum
+    (a doc lives in exactly one shard) and TakeOrderedAndProject merges
+    the top-k. Flat term queries only — rewrites/phrases/trees are
+    refused (their match sets live in the scoring kernels; compose via
+    search + get_details groupBy for those).
+    """
+    h = IndexHandle.open(spark, index) if isinstance(index, str) else index
+    if field not in h.keyword_fields:
+        raise ValueError(
+            f"field {field!r} is not a keyword field of this index "
+            f"(declared: {sorted(h.keyword_fields)})"
+        )
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    query = fold_spaced_fields(query)
+    if (
+        '"' in query
+        or _TREE_RE.search(query)
+        or "*" in query
+        or "~" in query
+        or "?" in query
+        or _RANGE_RE.search(query)
+        or any(tok[0] in "+-" and len(tok) > 1 for tok in query.split())
+    ):
+        raise ValueError(
+            "facet_counts supports flat term queries; for boolean/"
+            "phrase/rewrite queries compose search() + get_details() and "
+            "group client-side"
+        )
+    terms = sorted(set(parse_query(query, h.keyword_fields)))
+    out_schema = "value string, count long"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    q_hashes = [term_hash(t) for t in terms]
+    n_terms = len(q_hashes)
+    prefix = field + ":"  # build.FIELD_SEP — keyword terms are "field:value"
+    facet_terms = (
+        h.stats(spark)
+        .where(F.col("term").startswith(prefix))
+        .select("th", F.expr(f"substring(term, {len(prefix) + 1})").alias("value"))
+    )
+    cols = ["shard_id", "th", "doc_ids", "tfs", "doclens"]
+    left = h.postings(spark).where(F.col("th").isin(q_hashes)).select(*cols)
+    right = h.postings(spark).join(
+        F.broadcast(facet_terms.select("th")), "th"
+    ).select(*cols)
+    if shard_ids is not None:
+        left = left.where(F.col("shard_id").isin(list(shard_ids)))
+        right = right.where(F.col("shard_id").isin(list(shard_ids)))
+    conj = mode == "and"
+
+    def kernel(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"th": [], "n": []})
+        per_term: dict[int, list[np.ndarray]] = {}
+        for r in lpdf.itertuples(index=False):
+            per_term.setdefault(int(r.th), []).append(
+                decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
+            )
+        if conj:
+            if len(per_term) < n_terms:
+                return pd.DataFrame({"th": [], "n": []})
+            matches = None
+            for arrs in per_term.values():
+                docs = np.unique(np.concatenate(arrs))
+                matches = docs if matches is None else np.intersect1d(
+                    matches, docs, assume_unique=True
+                )
+                if matches.size == 0:
+                    return pd.DataFrame({"th": [], "n": []})
+        else:
+            matches = np.unique(
+                np.concatenate([a for arrs in per_term.values() for a in arrs])
+            )
+        ths, ns = [], []
+        for r in rpdf.itertuples(index=False):
+            docs_v = decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
+            n = int(np.intersect1d(docs_v, matches, assume_unique=True).size)
+            if n:
+                ths.append(int(r.th))
+                ns.append(n)
+        return pd.DataFrame({"th": ths, "n": ns})
+
+    per_shard = (
+        left.groupBy("shard_id")
+        .cogroup(right.groupBy("shard_id"))
+        .applyInPandas(kernel, "th long, n long")
+    )
+    return (
+        per_shard.groupBy("th")
+        .agg(F.sum("n").alias("count"))
+        .join(F.broadcast(facet_terms), "th")
+        .select("value", "count")
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(k)
+    )
+
+
 def get_details(
     spark: SparkSession,
     hits: DataFrame,
