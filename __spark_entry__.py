@@ -664,14 +664,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["count_matches"] = count_q
 
     def wildcard(spark, sf):
-        """P5: wildcard term expansion against the term dictionary."""
+        """Tagged union (50-gate cap): variant='prefix' = P5 wildcard term
+        expansion against the term dictionary (c=df); variant='suggest' =
+        SpellChecker-style did-you-mean over the same dictionary
+        (query.suggest_terms 'par'~2: bounded-levenshtein scan, ranked
+        distance ASC / df DESC / term ASC, k=20; c=distance — df rides
+        the ranking but the distance column is the suggestion-specific
+        value)."""
         d = _index_dir(spark, sf)
-        return (
+        exp = (
             spark.read.parquet(os.path.join(d, "stats.parquet"))
             .where(F.col("term").startswith("s"))
-            .orderBy("term")
-            .select("term", "df")
+            .select(
+                F.lit("prefix").alias("variant"), "term",
+                F.col("df").cast("long").alias("c"),
+            )
         )
+        sug = ksq.suggest_terms(spark, d, "par", k=20).select(
+            F.lit("suggest").alias("variant"), "term",
+            F.col("distance").cast("long").alias("c"),
+        )
+        return exp.unionByName(sug)
 
     q["wildcard_expand"] = wildcard
 
@@ -1384,11 +1397,26 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
     """
 
     o["wildcard_expand"] = f"""
-        SELECT term, count(*) AS df FROM (
-          SELECT doc_id, term, count(*) AS tf FROM (
-            SELECT doc_id, unnest({_TOK}) AS term FROM documents
-          ) GROUP BY 1, 2
-        ) WHERE term LIKE 's%' GROUP BY term ORDER BY term
+        WITH dfs AS (
+          SELECT term, count(*) AS df FROM (
+            SELECT DISTINCT doc_id, term FROM (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            )
+          ) GROUP BY term
+        )
+        SELECT 'prefix' AS variant, term, df AS c
+        FROM dfs WHERE term LIKE 's%'
+        UNION ALL
+        SELECT 'suggest' AS variant, term, d AS c FROM (
+          SELECT term, levenshtein(term, 'par') AS d, df,
+                 row_number() OVER (
+                   ORDER BY levenshtein(term, 'par'), df DESC, term
+                 ) AS rnk
+          FROM dfs
+          WHERE term <> 'par'
+            AND abs(length(term) - 3) <= 2
+            AND levenshtein(term, 'par') <= 2
+        ) WHERE rnk <= 20
     """
 
     o["details_topk"] = (

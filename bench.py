@@ -170,6 +170,20 @@ def main() -> None:
                 spark, ih, "join hash", "lang", k=16
             ).collect(),
         )
+        # did-you-mean over the dictionary (bounded-levenshtein scan)
+        timed_q(
+            "suggest_terms",
+            lambda: ksq.suggest_terms(spark, ih, "par", k=10).collect(),
+        )
+        # MoreLikeThis: tf-idf term extraction + BM25 search
+        timed_q(
+            "more_like_this",
+            lambda: ksq.more_like_this(
+                spark, ih,
+                "stream join hash window agg filter sort merge",
+                k=10,
+            ).collect(),
+        )
         # batch execution: 16 queries in ONE job — the aggregate-QPS shape
         # of LuceneSearchPerformanceTest; effective per-query cost is this
         # timing / 16 (vs one full job per query above)

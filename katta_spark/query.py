@@ -2938,7 +2938,7 @@ def count_matches(
 
 def facet_counts(
     spark: SparkSession,
-    index: "IndexHandle | str",
+    index: "IndexHandle | str | list[IndexHandle | str]",
     query: str,
     field: str,
     k: int = 10,
@@ -2952,7 +2952,9 @@ def facet_counts(
     grouping to the caller; counting in-index avoids materializing any
     per-document rows at all). Top-k facet values by (count DESC,
     value ASC); values with zero matching docs are omitted (Lucene facet
-    convention).
+    convention). A LIST of indexes (base + streaming deltas, Katta's
+    multi-index search surface) facets across all of them: the inputs are
+    doc-disjoint, so per-index counts simply sum per value.
 
     In-index dataflow: the query terms' postings and the facet field's
     value postings (a stats-table slice scoped by the ``field:`` term
@@ -2966,6 +2968,25 @@ def facet_counts(
     refused (their match sets live in the scoring kernels; compose via
     search + get_details groupBy for those).
     """
+    if isinstance(index, (list, tuple)):
+        if len(index) == 0:
+            raise ValueError("facet_counts needs at least one index")
+        if len(index) > 1:
+            parts = [
+                facet_counts(spark, ix, query, field, k=2**31 - 1,
+                             mode=mode, shard_ids=shard_ids)
+                for ix in index
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return (
+                out.groupBy("value")
+                .agg(F.sum("count").alias("count"))
+                .orderBy(F.desc("count"), F.asc("value"))
+                .limit(k)
+            )
+        index = index[0]
     h = IndexHandle.open(spark, index) if isinstance(index, str) else index
     if field not in h.keyword_fields:
         raise ValueError(
@@ -3056,6 +3077,115 @@ def facet_counts(
         .orderBy(F.desc("count"), F.asc("value"))
         .limit(k)
     )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index: "IndexHandle | str",
+    word: str,
+    k: int = 5,
+    max_edits: int = 2,
+) -> DataFrame:
+    """(term, df, distance): did-you-mean suggestions — the Lucene contrib
+    SpellChecker analog (suggestSimilar; Katta bundles Lucene 3.x contrib
+    and leaves spell-correction to the consumer): dictionary terms within
+    ``max_edits`` Levenshtein of the analyzed ``word``, ranked
+    (distance ASC, df DESC, term ASC), the word itself excluded.
+
+    One pushed, vocab-sized dictionary scan: length prefilter then the
+    BOUNDED levenshtein (threshold form returns -1 past max_edits, so the
+    scan never pays full edit-distance on wildly different terms) —
+    exactly the fuzzy-rewrite scan shape (expand_wildcards). Keyword
+    ``field:value`` terms are excluded (suggestions are analyzed tokens).
+    """
+    h = IndexHandle.open(spark, index) if isinstance(index, str) else index
+    if not 1 <= max_edits <= 2:
+        raise ValueError("max_edits must be 1 or 2 (Lucene fuzzy cap)")
+    toks = tokenize_str(word)
+    if len(toks) != 1:
+        raise ValueError(
+            f"suggest_terms takes one analyzed term; {word!r} analyzed to "
+            f"{toks!r}"
+        )
+    w = toks[0]
+    return (
+        h.stats(spark)
+        .where(~F.col("term").contains(":"))
+        .where(F.col("term") != w)
+        .where(F.abs(F.length("term") - F.lit(len(w))) <= F.lit(max_edits))
+        .withColumn(
+            "distance", F.levenshtein(F.col("term"), F.lit(w), max_edits)
+        )
+        .where(F.col("distance") >= 0)
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .select("term", "df", "distance")
+        .limit(k)
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    index: "IndexHandle | str",
+    text: str,
+    k: int = 10,
+    max_query_terms: int = 16,
+    min_tf: int = 1,
+    boost: bool = False,
+    exclude_doc_id: int | None = None,
+) -> DataFrame:
+    """Top-k documents similar to ``text`` — the Lucene contrib
+    MoreLikeThis analog (Katta bundles Lucene 3.x contrib; MLT is the
+    classic find-similar feature its consumers run): extract the text's
+    most characteristic terms by tf·idf against THIS index's corpus
+    statistics, then run them as an OR query through the normal BM25
+    path.
+
+    Term selection is driver-side and bounded (one document's distinct
+    terms — the same budget as query parsing): tf from the analyzed
+    text, df from a pushed stats-table probe, score = tf · ln(n_docs/df),
+    top ``max_query_terms`` by (score DESC, term ASC). ``boost=True``
+    carries each term's tf·idf weight into the query via the ^boost
+    syntax (MoreLikeThis.setBoost analog); default False matches
+    Lucene's default. ``exclude_doc_id`` drops the seed document from
+    the results (find-similar excludes self).
+    """
+    h = IndexHandle.open(spark, index) if isinstance(index, str) else index
+    if max_query_terms < 1:
+        raise ValueError("max_query_terms must be >= 1")
+    from collections import Counter
+
+    tf = Counter(tokenize_str(text))
+    tf = Counter({t: c for t, c in tf.items() if c >= min_tf})
+    if not tf:
+        return spark.createDataFrame([], "doc_id long, shard_id int, score float")
+    dfs = {
+        r["term"]: r["df"]
+        for r in h.stats(spark)
+        .where(F.col("term").isin(list(tf)))
+        .select("term", "df")
+        .collect()
+    }
+    import math
+
+    scored = sorted(
+        (
+            (t, tf[t] * math.log(h.n_docs / dfs[t]))
+            for t in tf
+            if dfs.get(t, 0) > 0 and dfs[t] < h.n_docs
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:max_query_terms]
+    if not scored:
+        return spark.createDataFrame([], "doc_id long, shard_id int, score float")
+    if boost:
+        q = " ".join(f"{t}^{w:.6f}" for t, w in scored)
+    else:
+        q = " ".join(t for t, _ in scored)
+    fetch = k + 1 if exclude_doc_id is not None else k
+    hits = search(spark, h, q, k=fetch)
+    if exclude_doc_id is not None:
+        hits = hits.where(F.col("doc_id") != exclude_doc_id).limit(k)
+    return hits
 
 
 def get_details(

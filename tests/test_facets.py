@@ -104,3 +104,28 @@ def test_facet_counts_refusals(spark, facet_idx):
         ksq.facet_counts(spark, d, "join", "lang", mode="xor")
     # absent term: no matches anywhere -> empty facet table
     assert ksq.facet_counts(spark, d, "zzzqqq", "lang").count() == 0
+
+
+def test_facet_counts_multi_index(spark, facet_idx, tmp_path):
+    """Facets across doc-disjoint indexes (base + delta) == facets over
+    the union corpus: per-index counts sum per value."""
+    d, docs = facet_idx
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    for part, dest in ((a, da), (b, db)):
+        ksb.build_index(
+            spark, part, dest, num_shards=2, doc_id_col="doc_id",
+            keyword_cols=("lang", "source"),
+        )
+    got = {
+        r.value: r["count"]
+        for r in ksq.facet_counts(
+            spark, [da, db], "join hash", "lang", k=100
+        ).collect()
+    }
+    want = {
+        r.value: r["count"]
+        for r in ksq.facet_counts(spark, d, "join hash", "lang", k=100).collect()
+    }
+    assert got == want
