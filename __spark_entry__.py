@@ -288,14 +288,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- engine core (SURVEY.md §2: A2, F1)
     def term_stats(spark, sf):
-        """A2: global df/cf aggregation — read from the built stats table."""
+        """Tagged union (50-gate cap): variant='stats' = A2 global df/cf
+        aggregation read from the built stats table (doc_id=0, a=df,
+        b=cf); variant='vector' = per-doc TERM VECTORS decoded back out
+        of the postings (query.term_vectors — the index as a sparse
+        feature store; doc subset doc_id %% 97 == 0; a=tf, b=dl)."""
         d = _index_dir(spark, sf)
-        return (
+        stats = (
             spark.read.parquet(os.path.join(d, "stats.parquet"))
             .orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(100)
-            .select("term", "df", "cf")
+            .select(
+                F.lit("stats").alias("variant"),
+                F.lit(0).cast("long").alias("doc_id"),
+                "term",
+                F.col("df").cast("long").alias("a"),
+                F.col("cf").cast("long").alias("b"),
+            )
         )
+        some = [
+            r.doc_id
+            for r in _docs(spark, sf).where("doc_id % 97 = 0").collect()
+        ]
+        vec = ksq.term_vectors(spark, d, doc_ids=some).select(
+            F.lit("vector").alias("variant"),
+            "doc_id",
+            "term",
+            F.col("tf").alias("a"),
+            F.col("dl").alias("b"),
+        )
+        return stats.unionByName(vec)
 
     q["term_stats"] = term_stats
 
@@ -1007,11 +1029,21 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["term_stats"] = f"""
-        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM (
+        WITH occ AS (
           SELECT doc_id, term, count(*) AS tf FROM (
             SELECT doc_id, unnest({_TOK}) AS term FROM documents
           ) GROUP BY 1, 2
-        ) GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+        )
+        (SELECT 'stats' AS variant, 0::BIGINT AS doc_id, term,
+                count(*)::BIGINT AS a, sum(tf)::BIGINT AS b
+         FROM occ GROUP BY term ORDER BY a DESC, term ASC LIMIT 100)
+        UNION ALL
+        SELECT 'vector' AS variant, o.doc_id, o.term,
+               o.tf::BIGINT AS a, d.dl::BIGINT AS b
+        FROM occ o JOIN (
+          SELECT doc_id, len({_TOK})::BIGINT AS dl FROM documents
+        ) d USING (doc_id)
+        WHERE o.doc_id % 97 = 0
     """
 
     o["corpus_stats"] = f"""

@@ -184,6 +184,11 @@ def main() -> None:
                 k=10,
             ).collect(),
         )
+        # full term-vector export (index -> sparse tf-idf feature store)
+        timed_q(
+            "term_vectors_export",
+            lambda: ksq.term_vectors(spark, ih).count(),
+        )
         # batch execution: 16 queries in ONE job — the aggregate-QPS shape
         # of LuceneSearchPerformanceTest; effective per-query cost is this
         # timing / 16 (vs one full job per query above)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
@@ -3186,6 +3187,100 @@ def more_like_this(
     if exclude_doc_id is not None:
         hits = hits.where(F.col("doc_id") != exclude_doc_id).limit(k)
     return hits
+
+
+def term_vectors(
+    spark: SparkSession,
+    index: "IndexHandle | str",
+    doc_ids: list[int] | None = None,
+    keyword_terms: bool = False,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """(doc_id, term, tf, dl, tfidf): the index re-pivoted doc-major — the
+    Lucene term-vectors surface (IndexReader.getTermFreqVector; Katta
+    serves stored fields via getDetails and leaves term vectors to the
+    consumer). Two uses: ``doc_ids`` bounded (driver-list, the getDetails
+    budget) fetches per-doc sparse feature vectors for reranking/MLT;
+    ``doc_ids=None`` exports the WHOLE corpus as (doc, term, tf, tfidf)
+    rows — the index as a sparse feature store for downstream ML
+    (tf-idf document vectors without re-tokenizing the corpus).
+
+    Dataflow: one mapInPandas decode pass over the postings (each row
+    explodes to its (doc, tf, dl) triples — vectorized, no per-row
+    Python beyond the blob decode the search kernels already pay), then
+    the vocab-sized (th → term, df) dictionary joins back (broadcast by
+    default — same knob and rationale as unigram_lm_scores' vocab) and
+    tfidf = tf · ln(n_docs / df) computes in-column. With a bounded
+    ``doc_ids`` list the kernel np.isin-filters each decoded row, and
+    for ``pmod_doc_id`` sharding the scan additionally prunes to the
+    docs' shards (hash sharding reads all shards — the filter still
+    collapses in-kernel). Sentinel doc-marker rows never appear (the
+    dictionary join is inner and markers are not in the dictionary).
+    ``keyword_terms=True`` includes NOT_ANALYZED ``field:value`` terms
+    (tf=1 stored-field postings); default excludes them (text vectors).
+    """
+    h = IndexHandle.open(spark, index) if isinstance(index, str) else index
+    posts = h.postings(spark).select(
+        "shard_id", "th", "doc_ids", "tfs", "doclens"
+    )
+    want: np.ndarray | None = None
+    if doc_ids is not None:
+        if not doc_ids:
+            return spark.createDataFrame(
+                [], "doc_id long, term string, tf long, dl long, tfidf double"
+            )
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if h.sharding == "pmod_doc_id":
+            shards = sorted({int(d) % h.num_shards for d in want.tolist()})
+            posts = posts.where(F.col("shard_id").isin(shards))
+    want_arr = want
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ths, docs_o, tfs_o, dls_o = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                docs, tfs, dls = decode_posting_list(
+                    r.doc_ids, r.tfs, r.doclens
+                )
+                if want_arr is not None:
+                    m = np.isin(docs, want_arr, assume_unique=False)
+                    if not m.any():
+                        continue
+                    docs, tfs, dls = docs[m], tfs[m], dls[m]
+                ths.append(np.full(docs.size, r.th, dtype=np.int64))
+                docs_o.append(docs)
+                tfs_o.append(tfs)
+                dls_o.append(dls)
+            if not ths:
+                continue
+            yield pd.DataFrame(
+                {
+                    "th": np.concatenate(ths),
+                    "doc_id": np.concatenate(docs_o),
+                    "tf": np.concatenate(tfs_o),
+                    "dl": np.concatenate(dls_o),
+                }
+            )
+
+    triples = posts.mapInPandas(
+        kernel, "th long, doc_id long, tf long, dl long"
+    )
+    dct = h.stats(spark).select("th", "term", "df")
+    if not keyword_terms:
+        dct = dct.where(~F.col("term").contains(":"))
+    if broadcast_dict:
+        dct = F.broadcast(dct)
+    return triples.join(dct, "th").select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(h.n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
 
 
 def get_details(

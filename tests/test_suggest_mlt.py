@@ -137,3 +137,64 @@ def test_more_like_this_empty_and_unknown_text(spark, idx):
     assert ksq.more_like_this(spark, d, "").count() == 0
     # terms absent from the index -> empty result, not an error
     assert ksq.more_like_this(spark, d, "qqq zzz xxx").count() == 0
+
+
+def test_term_vectors_match_source_tokens(spark, idx):
+    """Full export == tokenizing the source (tf, dl per (doc, term));
+    tfidf = tf*ln(N/df); bounded doc_ids fetch == the full export's
+    slice; keyword terms excluded by default."""
+    import math
+    from collections import Counter
+
+    from katta_spark.tokenizer import tokenize_str
+
+    d, docs = idx
+    ids = with_doc_ids(docs, num_shards=2)
+    rows = ids.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    tfs: dict[tuple[int, str], int] = {}
+    dls: dict[int, int] = {}
+    dfc: Counter = Counter()
+    for r in rows:
+        toks = tokenize_str(r.text)
+        dls[r.doc_id] = len(toks)
+        c = Counter(toks)
+        dfc.update(c.keys())
+        for t, n in c.items():
+            tfs[(r.doc_id, t)] = n
+    want = {
+        (doc, t): (n, dls[doc], round(n * math.log(n_docs / dfc[t]), 4))
+        for (doc, t), n in tfs.items()
+    }
+    got = {
+        (r.doc_id, r.term): (r.tf, r.dl, r.tfidf)
+        for r in ksq.term_vectors(spark, d).collect()
+    }
+    assert got == want
+    # bounded fetch: exactly the requested docs' rows
+    some = [rows[0].doc_id, rows[3].doc_id]
+    sub = {
+        (r.doc_id, r.term): (r.tf, r.dl, r.tfidf)
+        for r in ksq.term_vectors(spark, d, doc_ids=some).collect()
+    }
+    assert sub == {k: v for k, v in want.items() if k[0] in set(some)}
+    assert ksq.term_vectors(spark, d, doc_ids=[]).count() == 0
+
+
+def test_term_vectors_keyword_flag(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "alpha", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    d = str(tmp_path / "kwidx")
+    ksb.build_index(
+        spark, docs, d, num_shards=2, doc_id_col="doc_id",
+        keyword_cols=("lang",),
+    )
+    plain = {r.term for r in ksq.term_vectors(spark, d).collect()}
+    assert plain == {"alpha", "beta"}
+    kw = {
+        r.term
+        for r in ksq.term_vectors(spark, d, keyword_terms=True).collect()
+    }
+    assert kw == {"alpha", "beta", "lang:en", "lang:fr"}
