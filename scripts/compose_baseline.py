@@ -389,7 +389,16 @@ term duplication survives hash bucketing, and a full sort recovers only
 bus traffic, rejected. A larger zstd stream buffer — 512k vs the 32k
 default — was A/B-probed at 1M turns: wire bytes IDENTICAL at both
 settings (scaling_probe_zbuf*.json; the buffer chunks the stream, it is
-not the compression match window), no change kept.)""")
+not the compression match window), no change kept. A higher zstd shuffle
+compression LEVEL — 3 vs the Spark-default 1 — was probed on
+DETERMINISTIC byte counts (scripts/probe_zlevel.py rebuilds the token
+exchange's per-(map,reducer) zstd streams byte-faithfully from the real
+pre-shuffle pipeline and benchmarks both levels on them, window-immune
+where a wall-clock A/B is not): level 3 recovers only 5.5% of the token-
+exchange wire bytes (ratio 3.25x vs 3.07x; scaling_probe_zlevel.json) —
+below the 10% adoption threshold, and diluted further because the
+job's OTHER exchanges (already-encoded varbyte blobs, ratio ~1x)
+share the 1,535 MB total — no change kept.)""")
 
     parts.append("""
 ## Design properties that carry the scaling onto a real cluster
