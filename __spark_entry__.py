@@ -585,25 +585,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["compact_search"] = compact_search
 
     def sorted_search(spark, sf):
-        """T2/T4: matches of a query ordered by a stored field (n_chars) —
-        the docvalue FAST path: sort keys come from the in-index sidecar,
-        each shard kernel emits only its k best rows (TopFieldCollector's
-        min(limit, maxDoc) cap, LuceneServer.java:672-677), and only the
-        merged top-k joins back to the source for display columns."""
+        """Tagged union (50-gate cap). leg='plain': T2/T4 — matches of a
+        query ordered by a stored field (n_chars), the docvalue FAST path:
+        sort keys come from the in-index sidecar, each shard kernel emits
+        only its k best rows (TopFieldCollector's min(limit, maxDoc) cap,
+        LuceneServer.java:672-677), and only the merged top-k joins back
+        to the source for display columns. leg='filtered': T2 + P2
+        composed — Katta's search(query, sort, filter) in ONE call
+        (ILuceneServer.java:84-101; filtered-sort test
+        LuceneClientTest.java:562-617): the allowed set cogroups into the
+        kernels AHEAD of the per-shard dv cap, so filtered sorted queries
+        keep the ≤ k·shards emission too."""
         docs = _docs(spark, sf)
-        out = ksq.search_sorted(
-            spark,
-            _index_dir(spark, sf),
-            "merge batch",
-            docs,
+        kw = dict(
             sort_cols=[("n_chars", "desc")],
             k=8,
             track_scores=False,
             doc_id_col="doc_id",
         )
-        return out.select("doc_id", "n_chars")
+        idx = _index_dir(spark, sf)
+        plain = ksq.search_sorted(spark, idx, "merge batch", docs, **kw)
+        filt = ksq.search_sorted(
+            spark, idx, "merge batch", docs,
+            filter_df=docs.where("n_chars % 2 = 0"), **kw,
+        )
+        return plain.select(
+            F.lit("plain").alias("leg"), "doc_id", "n_chars"
+        ).unionByName(
+            filt.select(F.lit("filtered").alias("leg"), "doc_id", "n_chars")
+        )
 
     q["sorted_search"] = sorted_search
+
+    def grouped_search(spark, sf):
+        """Grouped search — the Lucene grouping-module analog (two-pass
+        TermFirst/TermSecondPassGroupingCollector, distributed with
+        per-shard caps; built from Katta's scatter-gather + client-merge
+        shape, LuceneClient.java:264-286), run entirely IN-INDEX: group
+        keys and display values decode from the docvalue sidecar. Tagged
+        union: leg='str' groups by a string field (lang, rank-dictionary
+        decode), leg='num' by a numeric field (n_chars). Each group
+        carries its EXACT total match count."""
+        idx = _index_dir(spark, sf)
+        s = ksq.search_grouped(
+            spark, idx, "merge batch", "lang", k_groups=3, k_docs=2
+        ).select(
+            F.lit("str").alias("leg"),
+            F.col("lang").alias("gval"),
+            "group_total",
+            "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+        n = ksq.search_grouped(
+            spark, idx, "join hash", "n_chars", k_groups=4, k_docs=2
+        ).select(
+            F.lit("num").alias("leg"),
+            F.col("n_chars").cast("string").alias("gval"),
+            "group_total",
+            "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+        return s.unionByName(n)
+
+    q["grouped_search"] = grouped_search
 
     def sorted_search_str(spark, sf):
         """T2 on a STRING field — Katta's first-listed sort type
@@ -641,28 +685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return single.unionByName(multi)
 
     q["sorted_search_str"] = sorted_search_str
-
-    def sorted_search_filtered(spark, sf):
-        """T2 + P2 composed — Katta's search(query, sort, filter) in ONE
-        call (ILuceneServer.java:84-101; filtered-sort test
-        LuceneClientTest.java:562-617): the allowed set cogroups into the
-        kernels AHEAD of the per-shard dv cap, so filtered sorted queries
-        keep the ≤ k·shards emission too."""
-        docs = _docs(spark, sf)
-        out = ksq.search_sorted(
-            spark,
-            _index_dir(spark, sf),
-            "merge batch",
-            docs,
-            sort_cols=[("n_chars", "desc")],
-            k=8,
-            track_scores=False,
-            doc_id_col="doc_id",
-            filter_df=docs.where("n_chars % 2 = 0"),
-        )
-        return out.select("doc_id", "n_chars")
-
-    q["sorted_search_filtered"] = sorted_search_filtered
 
     def count_q(spark, sf):
         """Tagged union (50-gate cap): variant='total' = A3 hit-count fast
@@ -1377,13 +1399,89 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         SELECT 'pattern' AS variant, * FROM ({_wc_pattern_sql})
     """
 
-    o["sorted_search"] = f"""
+    _sorted_leg = f"""
         SELECT doc_id, n_chars FROM (
           SELECT DISTINCT doc_id FROM (
             SELECT doc_id, unnest({_TOK}) AS term FROM documents
           ) WHERE term IN ('merge', 'batch')
         ) JOIN documents USING (doc_id)
+        {{where}}
         ORDER BY n_chars DESC, doc_id ASC LIMIT 8
+    """
+    o["sorted_search"] = f"""
+        SELECT 'plain' AS leg, * FROM ({_sorted_leg.format(where="")})
+        UNION ALL
+        SELECT 'filtered' AS leg, *
+        FROM ({_sorted_leg.format(where="WHERE n_chars % 2 = 0")})
+    """
+
+    # grouped search: BM25 scores (same CTE prologue as the bm25 gates)
+    # → group by a stored field; groups ranked by their best hit
+    # (score DESC, doc ASC), each group's top docs + exact total.
+    def _grouped_leg_sql(
+        leg: str, terms: str, gexpr: str, kg: int, kd: int
+    ) -> str:
+        return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOK}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+        corpus AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ),
+        q(term, qw) AS (VALUES {terms}),
+        idf AS (
+          SELECT s.term, ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+          FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1) s,
+               corpus c
+          WHERE s.term IN (SELECT term FROM q)
+        ),
+        scores AS (
+          SELECT tf.doc_id,
+                 sum(q.qw * idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS s
+          FROM tf JOIN q USING (term) JOIN idf USING (term)
+               JOIN dl USING (doc_id), corpus c
+          GROUP BY tf.doc_id
+        ),
+        g AS (
+          SELECT {gexpr} AS gval, s.doc_id, s.s
+          FROM scores s JOIN documents d USING (doc_id)
+        ),
+        ranked AS (
+          SELECT gval, doc_id, s,
+                 row_number() OVER (
+                   PARTITION BY gval ORDER BY s DESC, doc_id ASC
+                 ) AS drn,
+                 count(*) OVER (PARTITION BY gval) AS gtot
+          FROM g
+        ),
+        sel AS (
+          SELECT gval, row_number() OVER (ORDER BY s DESC, doc_id ASC)
+                   AS grank
+          FROM ranked WHERE drn = 1
+        )
+        SELECT '{leg}' AS leg, r.gval, r.gtot AS group_total, r.doc_id,
+               round(r.s, 4) AS score_r
+        FROM ranked r JOIN sel ON r.gval IS NOT DISTINCT FROM sel.gval
+        WHERE sel.grank <= {kg} AND r.drn <= {kd}
+        ORDER BY sel.grank, r.drn
+        """
+
+    o["grouped_search"] = f"""
+        SELECT * FROM ({_grouped_leg_sql(
+            "str", "('merge', 1.0), ('batch', 1.0)", "d.lang", 3, 2
+        )})
+        UNION ALL
+        SELECT * FROM ({_grouped_leg_sql(
+            "num", "('join', 1.0), ('hash', 1.0)",
+            "CAST(d.n_chars AS VARCHAR)", 4, 2
+        )})
     """
 
     # string-field sort: NULLS FIRST mirrors Spark's asc default; DuckDB's
@@ -1402,16 +1500,6 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         SELECT 'single' AS leg, * FROM ({_sorted_str_leg})
         UNION ALL
         SELECT 'multi' AS leg, * FROM ({_sorted_str_leg})
-    """
-
-    o["sorted_search_filtered"] = f"""
-        SELECT doc_id, n_chars FROM (
-          SELECT DISTINCT doc_id FROM (
-            SELECT doc_id, unnest({_TOK}) AS term FROM documents
-          ) WHERE term IN ('merge', 'batch')
-        ) JOIN documents USING (doc_id)
-        WHERE n_chars % 2 = 0
-        ORDER BY n_chars DESC, doc_id ASC LIMIT 8
     """
 
     o["count_matches"] = f"""

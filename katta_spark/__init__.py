@@ -26,6 +26,7 @@ def __getattr__(name):
         "search": ("katta_spark.query", "search"),
         "search_multi": ("katta_spark.query", "search_multi"),
         "search_sorted": ("katta_spark.query", "search_sorted"),
+        "search_grouped": ("katta_spark.query", "search_grouped"),
         "search_with_total": ("katta_spark.query", "search_with_total"),
         "count_matches": ("katta_spark.query", "count_matches"),
         "get_details": ("katta_spark.query", "get_details"),

@@ -76,6 +76,18 @@ def f64_to_u64_order(v: np.ndarray) -> np.ndarray:
     return u
 
 
+def u64_to_f64_order(u: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`f64_to_u64_order` (up to that function's NaN/-0.0
+    canonicalization, which is lossy by design): recover the float64 a
+    mapped sort key encodes — used to DISPLAY numeric group/sort values
+    straight from the docvalue sidecar without touching the source table."""
+    a = np.ascontiguousarray(u, dtype=np.uint64).copy()
+    neg = (a & _SIGN) == 0
+    a[neg] = ~a[neg]
+    a[~neg] &= ~_SIGN
+    return a.view(np.float64).copy()
+
+
 def vb_encode(values: np.ndarray) -> bytes:
     """Variable-byte encode a uint64 array (vectorized).
 

@@ -1708,6 +1708,114 @@ def _make_dv_sort_cog(
     return cog
 
 
+def _group_lookup(hits: pd.DataFrame, right: pd.DataFrame, group_col: str):
+    """(docs int64, scores f64, gkey int64, isnull bool) — each hit's group
+    key looked up in the shard's docvalue sidecar (order-preserving mapped
+    key, i64-ordered); docs missing from the sidecar group with NULL.
+    NULL rows carry gkey=0 so (isnull, gkey) is a canonical composite."""
+    from katta_spark.codec import u64_to_i64_order
+    from katta_spark.docvalues import decode_shard_column
+
+    docs = hits["doc_id"].to_numpy(np.int64)
+    dv_docs, dv_vals, dv_null = decode_shard_column(right, group_col)
+    if dv_docs.size:
+        ix = np.minimum(np.searchsorted(dv_docs, docs), dv_docs.size - 1)
+        found = dv_docs[ix] == docs
+        vals = np.where(found, dv_vals[ix], np.uint64(0))
+        isnull = ~found | dv_null[ix]
+    else:
+        vals = np.zeros(docs.size, dtype=np.uint64)
+        isnull = np.ones(docs.size, dtype=bool)
+    gkey = u64_to_i64_order(vals)
+    gkey = np.where(isnull, np.int64(0), gkey)
+    return docs, hits["score"].to_numpy(np.float64), gkey, isnull
+
+
+def _make_dv_group_cog(
+    kernel, group_col: str, pass_spec: tuple, score_dtype: str,
+    filtered: bool = False,
+):
+    """Wrap a score kernel with one pass of two-pass grouped search — the
+    Lucene grouping-module analog (TermFirstPassGroupingCollector /
+    TermSecondPassGroupingCollector), distributed with per-shard caps:
+
+    pass_spec = ('pass1', k_groups): emit each shard's top-k_groups GROUP
+    HEADS by (best score desc, doc asc) — exact, because a group in the
+    global top-k_groups has its global-best doc in some shard where at
+    most k_groups-1 other groups' shard-bests beat it. ≤ k_groups rows
+    leave per shard.
+
+    pass_spec = ('pass2', k_docs, selected_keys, null_selected): restrict
+    matches to the selected groups (tiny tuple, travels in the closure)
+    and emit each shard's top-k_docs docs PER GROUP plus the shard's exact
+    per-group match count — ≤ |selected|·k_docs rows per shard; the driver
+    merge (Katta's client merge shape) sums counts and takes the global
+    per-group top-k_docs.
+
+    ``filtered``: the right side carries _DV_FILTER_COL pseudo-rows
+    (_dv_with_filter) split off as the kernel's allowed set — Katta's
+    filter composes with grouping like with sorting."""
+    mode = pass_spec[0]
+    if mode == "pass2":
+        _, k_docs, selected_keys, null_selected = pass_spec
+        sel = np.asarray(selected_keys, dtype=np.int64)
+    else:
+        _, k_groups = pass_spec
+
+    def _empty() -> pd.DataFrame:
+        out = _empty_hits(score_dtype)
+        out["gkey"] = pd.array([], dtype="int64")
+        out["gnull"] = pd.array([], dtype="bool")
+        if mode == "pass2":
+            out["gtotal"] = pd.array([], dtype="int64")
+        return out
+
+    def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return _empty()
+        if filtered:
+            fmask = (right["col"] == _DV_FILTER_COL).to_numpy()
+            allowed = np.unique(right["fdoc"].to_numpy(np.int64)[fmask])
+            right = right.loc[~fmask]
+            hits = kernel(left, allowed)
+        else:
+            hits = kernel(left)
+        if not len(hits):
+            return _empty()
+        docs, scores, gkey, isnull = _group_lookup(hits, right, group_col)
+        if mode == "pass2":
+            m = (~isnull & np.isin(gkey, sel)) | (isnull & null_selected)
+            if not m.any():
+                return _empty()
+            hits = hits.loc[m]
+            docs, scores, gkey, isnull = docs[m], scores[m], gkey[m], isnull[m]
+        # one sort groups runs contiguously AND orders docs within each run
+        # by the reference tie-break (score desc, doc asc; shard constant)
+        order = np.lexsort((docs, -scores, gkey, isnull.astype(np.uint8)))
+        gk_s, gn_s = gkey[order], isnull[order]
+        newgrp = np.ones(order.size, dtype=bool)
+        newgrp[1:] = (gk_s[1:] != gk_s[:-1]) | (gn_s[1:] != gn_s[:-1])
+        if mode == "pass1":
+            heads = order[newgrp]
+            top = heads[np.lexsort((docs[heads], -scores[heads]))[:k_groups]]
+            out = hits.iloc[top].reset_index(drop=True)
+            out["gkey"] = gkey[top]
+            out["gnull"] = isnull[top]
+            return out
+        starts = np.flatnonzero(newgrp)
+        run_lens = np.diff(np.append(starts, order.size))
+        rank_in_grp = np.arange(order.size) - np.repeat(starts, run_lens)
+        keep = rank_in_grp < k_docs
+        pick = order[keep]
+        out = hits.iloc[pick].reset_index(drop=True)
+        out["gkey"] = gkey[pick]
+        out["gnull"] = isnull[pick]
+        out["gtotal"] = np.repeat(run_lens, run_lens)[keep]
+        return out
+
+    return cog
+
+
 # Kernel-mode registry — the content-server extension point (SURVEY.md
 # §2.12; reference IContentServer, node/IContentServer.java:28-107):
 # registering a factory adds a new search mode. Factories share the
@@ -1744,6 +1852,7 @@ def search(
     source_doc_id_col: str | None = None,
     _with_total: bool = False,
     _dv_sort: tuple | None = None,
+    _dv_group: tuple | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
@@ -1961,18 +2070,38 @@ def search(
             "doc_id long",
         )
         filter_doc_col = "doc_id"
-    if _dv_sort is not None:
+    if _dv_sort is not None or _dv_group is not None:
         if _with_total:
-            raise ValueError("_dv_sort does not combine with _with_total")
-        specs, dv_k = _dv_sort
-        dv_cog = _make_dv_sort_cog(
-            kernel, specs, dv_k, score_dtype,
-            filtered=filter_df is not None,
-        )
+            raise ValueError(
+                "_dv_sort/_dv_group do not combine with _with_total"
+            )
+        if _dv_group is not None:
+            group_col, pass_spec = _dv_group
+            dv_cols = [group_col]
+            dv_cog = _make_dv_group_cog(
+                kernel, group_col, pass_spec, score_dtype,
+                filtered=filter_df is not None,
+            )
+            extra_schema = "gkey long, gnull boolean"
+            extra_cols = ["gkey", "gnull"]
+            if pass_spec[0] == "pass2":
+                extra_schema += ", gtotal long"
+                extra_cols.append("gtotal")
+        else:
+            specs, dv_k = _dv_sort
+            dv_cols = [n for n, _ in specs]
+            dv_cog = _make_dv_sort_cog(
+                kernel, specs, dv_k, score_dtype,
+                filtered=filter_df is not None,
+            )
+            extra_schema = ", ".join(
+                f"__sv{i} long" for i in range(len(specs))
+            )
+            extra_cols = [f"__sv{i}" for i in range(len(specs))]
         from katta_spark.docvalues import dv_path as _dvp
 
         dvdf = spark.read.parquet(_dvp(index.index_dir)).where(
-            F.col("col").isin([n for n, _ in specs])
+            F.col("col").isin(dv_cols)
         )
         if shard_ids is not None:
             dvdf = dvdf.where(F.col("shard_id").isin(shard_ids))
@@ -1983,16 +2112,12 @@ def search(
             if shard_ids is not None:
                 fdf = fdf.where(F.col("shard_id").isin(shard_ids))
             dvdf = _dv_with_filter(dvdf, fdf)
-        sv_schema = ", ".join(f"__sv{i} long" for i in range(len(specs)))
         hits = (
             postings.groupBy("shard_id")
             .cogroup(dvdf.groupBy("shard_id"))
-            .applyInPandas(dv_cog, out_schema + ", " + sv_schema)
+            .applyInPandas(dv_cog, out_schema + ", " + extra_schema)
         )
-        return hits.select(
-            "doc_id", "shard_id", "score",
-            *[f"__sv{i}" for i in range(len(specs))],
-        )
+        return hits.select("doc_id", "shard_id", "score", *extra_cols)
     if filter_df is None:
         # 1-arg wrapper: applyInPandas treats a 2-arg function as
         # (group_key, pdf), but our kernels' 2nd arg is the filter set.
@@ -2642,6 +2767,182 @@ def _search_sorted_dv(
     lead = ["doc_id", "shard_id"] + (["score"] if track_scores else [])
     rest = [c for c in out.columns if c not in lead + ["score"]]
     return out.select(*lead, *rest)
+
+
+def search_grouped(
+    spark: SparkSession,
+    index: IndexHandle | str,
+    query: str,
+    group_col: str,
+    k_groups: int = 10,
+    k_docs: int = 3,
+    shard_ids: list[int] | None = None,
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
+) -> DataFrame:
+    """Grouped search — the Lucene grouping-module analog
+    (TermFirstPassGroupingCollector / TermSecondPassGroupingCollector;
+    beyond-Katta, but built from Katta's own two-phase client-merge shape,
+    LuceneClient.java:264-286), distributed with per-shard caps and run
+    entirely IN-INDEX: the group keys come from the docvalue sidecar, and
+    the group VALUES are decoded straight back from the mapped keys
+    (codec.u64_to_f64_order / the string rank dictionary), so no stored-
+    field join happens at all.
+
+    Returns the top ``k_groups`` groups of ``group_col`` (ordered by each
+    group's best hit under the reference tie-break: score desc, doc asc,
+    shard desc) with each group's top ``k_docs`` hits and its EXACT total
+    match count. Columns: ``<group_col>, group_total, doc_id, shard_id,
+    score`` — group blocks in head order, docs by the tie-break within.
+    NULL group values form their own group (SQL GROUP BY semantics).
+
+    Two passes, both bounded exactly like Katta's scatter-gather:
+
+    1. every shard emits its top-``k_groups`` group HEADS (≤ k_groups
+       rows/shard — exact: a group in the global top-k_groups has its
+       best doc in some shard where at most k_groups-1 other groups'
+       shard-bests beat it); the driver merge dedups to the selected
+       group set (the Katta client-merge analog, ≤ k_groups·shards rows);
+    2. every shard emits its top-``k_docs`` docs PER SELECTED GROUP plus
+       its exact per-group count (≤ k_groups·k_docs rows/shard); totals
+       sum and a window takes the global per-group top-k_docs — all over
+       ≤ k_groups·k_docs·shards rows, never corpus-sized.
+
+    ``filter_df`` composes like in :func:`search_sorted`: the allowed set
+    cogroups into the kernels ahead of both passes' caps.
+
+    Single-index only: string group keys are per-index dictionary ranks
+    (not comparable across indexes) and the two-pass cap proof assumes
+    one docID space.
+    """
+    if isinstance(index, (list, tuple)):
+        raise ValueError(
+            "search_grouped is single-index; compact the indexes first "
+            "(katta_spark.compact) or group each separately"
+        )
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
+    kinds = index.docvalue_kinds()
+    if group_col not in kinds:
+        raise ValueError(
+            f"group column {group_col!r} is not in the index's docvalue "
+            f"sidecar (available: {sorted(kinds)}); rebuild with "
+            "docvalue_cols including it"
+        )
+    if k_groups <= 0 or k_docs <= 0:
+        raise ValueError("k_groups and k_docs must be positive")
+    kind = kinds[group_col]
+    common = dict(
+        k=2**31 - 1, prune=False, ordered=False, score_dtype="float64",
+        shard_ids=shard_ids, filter_df=filter_df,
+        filter_doc_col=filter_doc_col,
+    )
+    heads = search(
+        spark, index, query,
+        _dv_group=(group_col, ("pass1", k_groups)), **common,
+    )
+    # ≤ k_groups·shards rows — the Katta client-merge analog
+    rows = sorted(
+        heads.collect(),
+        key=lambda r: (-r["score"], r["doc_id"], -r["shard_id"]),
+    )
+    order_of: dict[tuple[bool, int], int] = {}
+    selected: list[int] = []
+    null_selected = False
+    for r in rows:
+        key = (bool(r["gnull"]), 0 if r["gnull"] else int(r["gkey"]))
+        if key in order_of:
+            continue
+        order_of[key] = len(order_of)
+        if key[0]:
+            null_selected = True
+        else:
+            selected.append(key[1])
+        if len(order_of) >= k_groups:
+            break
+    gv_type = {"long": "long", "double": "double", "string": "string"}[kind]
+    out_schema = (
+        f"{group_col} {gv_type}, group_total long, doc_id long, "
+        "shard_id int, score double"
+    )
+    if not order_of:
+        return _local_df(spark, [], None, out_schema)
+    hits = search(
+        spark, index, query,
+        _dv_group=(
+            group_col, ("pass2", k_docs, tuple(selected), null_selected),
+        ),
+        **common,
+    )
+    # per-(group, shard) the exact count rides every emitted row (and a
+    # shard with ≥1 match emits ≥1 row), so max-per-shard then sum is the
+    # exact global per-group total
+    totals = (
+        hits.groupBy("gnull", "gkey", "shard_id")
+        .agg(F.max("gtotal").alias("__st"))
+        .groupBy("gnull", "gkey")
+        .agg(F.sum("__st").alias("group_total"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gnull", "gkey").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
+    )
+    top = hits.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k_docs
+    )
+    gorder = _local_df(
+        spark,
+        [(gn, gk, i) for (gn, gk), i in order_of.items()],
+        ["gnull", "gkey", "__grank"],
+        "gnull boolean, gkey long, __grank int",
+    )
+    out = top.join(F.broadcast(totals), ["gnull", "gkey"]).join(
+        F.broadcast(gorder), ["gnull", "gkey"]
+    )
+    if kind == "long":
+        gval = F.when(F.col("gnull"), F.lit(None).cast("long")).otherwise(
+            F.col("gkey")
+        )
+    elif kind == "double":
+        from katta_spark.codec import i64_to_u64_order, u64_to_f64_order
+
+        def _inv(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                u64_to_f64_order(i64_to_u64_order(s.to_numpy(np.int64)))
+            )
+
+        inv = F.pandas_udf(_inv, "double")
+        gval = F.when(F.col("gnull"), F.lit(None).cast("double")).otherwise(
+            inv(F.col("gkey"))
+        )
+    else:  # string: rank → value through the persisted dictionary; the
+        # selected-rank set is tiny, so the dictionary scan is cut by a
+        # broadcast semi-join before the (broadcast) decorate join
+        from katta_spark.docvalues import strings_path as _dv_strings
+
+        ddf = spark.read.parquet(
+            os.path.join(_dv_strings(index.index_dir), f"col={group_col}")
+        ).select(F.col("rank").alias("gkey"), F.col("value").alias("__gv"))
+        wanted = ddf.join(
+            F.broadcast(out.select("gkey").where(~F.col("gnull")).distinct()),
+            "gkey",
+            "leftsemi",
+        )
+        out = out.join(F.broadcast(wanted), "gkey", "left")
+        gval = F.when(F.col("gnull"), F.lit(None).cast("string")).otherwise(
+            F.col("__gv")
+        )
+    return (
+        out.withColumn(group_col, gval)
+        .orderBy(
+            "__grank",
+            F.col("score").desc(),
+            F.col("doc_id").asc(),
+            F.col("shard_id").desc(),
+        )
+        .select(group_col, "group_total", "doc_id", "shard_id", "score")
+    )
 
 
 def search_batch(
