@@ -380,7 +380,18 @@ dataflow. (A map-side combine of repeated (term, doc) occurrences was
 evaluated to cut shuffle bytes further: the measured token duplication
 factor on this corpus is 1.31x, so it saves <=24% of shuffle rows while
 adding a corpus-sized hash-aggregation pass — net more bus traffic,
-rejected. A map-side sort by term hash to raise zstd shuffle
+rejected. The stronger variant — encoding FULL partial postings per
+input partition and shuffling ENCODED_SCHEMA rows merged reduce-side by
+the compaction kernel (legal: a document's tokens never split across
+input partitions, so partials are doc-disjoint exactly like compaction
+inputs) — was analyzed on byte math and rejected too: docIDs are random
+64-bit hashes, so each posting's doc delta stays ~8 incompressible
+bytes in the partial blob, the token row is already the 3-word
+UnsafeRow minimum (th, doc, packed shard|dl|pos), and the combine
+therefore saves only the tf/dl/pos share of the wire (~15-30%) while
+doubling the Python encode CPU (encode map-side + decode-merge-encode
+reduce-side) — on a bus whose measured constraint is total traffic,
+that trade moves bytes into CPU-side memory traffic and loses. A map-side sort by term hash to raise zstd shuffle
 compressibility was likewise evaluated: simulating the per-reducer wire
 streams byte-exactly shows the natural posexplode order already
 compresses ~1.9x — matching the measured 1,535 MB wire volume — because
