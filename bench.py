@@ -229,6 +229,14 @@ def main() -> None:
                 filter_df=docs.where("n_chars % 2 = 0"),
             ).collect(),
         )
+        # grouped search (two-pass Lucene grouping analog): top groups by
+        # best hit + per-group top docs + exact counts, all in-index
+        timed_q(
+            "grouped_search",
+            lambda: ksq.search_grouped(
+                spark, ih, "merge batch", "lang", k_groups=3, k_docs=2
+            ).collect(),
+        )
 
         # training-data ops
         timed_q("dedup_exact", lambda: tx.exact_dedup(docs).count())

@@ -25,6 +25,9 @@ Commands:
   check     <index_dir>
             index health/stats report (Katta: check / listIndices,
              Katta.java:542-675)
+  group     <index_dir> <query> <group_col> [--k-groups N] [--k-docs N]
+            grouped search over a docvalue column (Lucene grouping-module
+            analog; two-pass per-shard-capped, see query.search_grouped)
   generateIndex <index_dir> <words_per_doc> <num_docs>
             build a synthetic benchmark index (Katta: generateIndex
             <inputTextFile> <outputPath> <numOfWordsPerDoc> <numOfDocuments>,
@@ -95,6 +98,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p_check = sub.add_parser("check")
     p_check.add_argument("index_dir")
+
+    p_group = sub.add_parser("group")
+    p_group.add_argument("index_dir")
+    p_group.add_argument("query")
+    p_group.add_argument("group_col")
+    p_group.add_argument("--k-groups", type=int, default=10)
+    p_group.add_argument("--k-docs", type=int, default=3)
 
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("out_dir")
@@ -207,6 +217,22 @@ def main(argv: list[str] | None = None) -> int:
             from katta_spark.query import count_matches
 
             print(count_matches(spark, args.index_dir, args.query))
+        elif args.cmd == "group":
+            from katta_spark.query import search_grouped
+
+            rows = search_grouped(
+                spark, args.index_dir, args.query, args.group_col,
+                k_groups=args.k_groups, k_docs=args.k_docs,
+            ).collect()
+            print(
+                f"{args.group_col:>16}  {'Total':>8}  {'DocId':>20}  Score"
+            )
+            for r in rows:
+                gv = r[args.group_col]
+                print(
+                    f"{str(gv):>16}  {r.group_total:>8}  {r.doc_id:>20d}  "
+                    f"{r.score:.6f}"
+                )
         elif args.cmd == "compact":
             from katta_spark.compact import compact
 

@@ -79,6 +79,22 @@ def test_cli_end_to_end(spark, tiny_transcripts, tmp_path, capsys):
     assert report["num_shards"] == 2 and len(report["shards"]) == 2
     assert all(s["terms"] > 0 for s in report["shards"])
 
+    # grouped search needs a docvalue column — build a sidecar-carrying
+    # index and group by the keyword-ish 'role' column
+    gidx = str(tmp_path / "gidx")
+    assert cli.main(
+        ["addIndex", gidx, src, "--num-shards", "2",
+         "--docvalue-cols", "role"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(
+        ["group", gidx, "hotalpha", "role", "--k-groups", "2",
+         "--k-docs", "2"]
+    ) == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+    assert "Total" in lines[0] and 3 <= len(lines) <= 5
+
 
 def test_cli_generate_index(spark, tmp_path, capsys):
     """generateIndex parity: Katta.java:850-876 builds a synthetic benchmark
