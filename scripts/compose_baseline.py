@@ -235,10 +235,12 @@ explode_outer fix halved that job) — so the shape was re-measured as a
 full fresh 3-invocation campaign on the shipped HEAD in a clean window.
 It is reported separately, not merged into the A+B median: a different
 job's invocations cannot share a median with the old one. Every commit
-after campaign D touches only query/textops/docs/tests — the build job
-(build.py, codec.py, tokenizer.py, scripts/scaling_build.py) is
-byte-identical on the shipped HEAD, so these numbers describe exactly
-the code being judged.{" The E rows are a later clean-window campaign of the same final-HEAD job from a later session of this round — build path git-diff-verified identical — pooled with D into one median." if head_e else ""}
+after campaign D touches only query/textops/docs/tests — on the shipped
+HEAD build.py, tokenizer.py and scripts/scaling_build.py are
+byte-identical to D's, and codec.py differs only by one added function
+(u64_to_f64_order, the grouped-search display decode) that no build
+code path calls — so these numbers describe exactly the code being
+judged.{" The E rows are a later clean-window campaign of the same final-HEAD job from a later session of this round — build path git-diff-verified identical — pooled with D into one median." if head_e else ""}
 
 | invocation | tp(N) best | tp(4N) best | raw eff | ALU ceiling eff | normalized |
 |---|---|---|---|---|---|
