@@ -857,7 +857,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         substring_dup_spans, k=8 on this short-doc corpus; production
         default k=50): c1 = tokens covered by the union of duplicated
         k-gram spans (occurrences >= 2 corpus-wide, within-doc repeats
-        included), c2 = merged maximal span count."""
+        included), c2 = merged maximal span count.
+        variant='decontam_fuzzy' = FUZZY decontamination (MinHash-LSH
+        candidates vs the broadcast %41 benchmark slice, exact-Jaccard
+        verified; the paraphrase-robust companion of the exact rule):
+        c1 = contaminated at jaccard>=0.5, c2 = round(best jaccard *
+        10000)."""
         docs = _docs(spark, sf)
         counts = tx.token_counts(docs).select(
             F.lit("counts").alias("variant"), "doc_id",
@@ -883,7 +888,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_dup_tokens").alias("c1"),
             F.col("n_dup_spans").alias("c2"),
         )
-        return counts.unionByName(dec).unionByName(cur).unionByName(sub)
+        fz = tx.decontaminate_fuzzy(docs, bench, threshold=0.5).select(
+            F.lit("decontam_fuzzy").alias("variant"), "doc_id",
+            F.col("contaminated").cast("long").alias("c1"),
+            F.round(F.col("jaccard") * 10000).cast("long").alias("c2"),
+        )
+        return (
+            counts.unionByName(dec).unionByName(cur).unionByName(sub)
+            .unionByName(fz)
+        )
 
     q["token_counts"] = tokens_and_decontam
     q["doc_fingerprint"] = lambda s, sf: tx.doc_fingerprint(_docs(s, sf))
@@ -2033,6 +2046,31 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                      AS prev_end
             FROM socc
           ) GROUP BY doc_id
+        ),
+        fz_cand AS (
+          SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+          FROM banded x JOIN banded y ON x.band = y.band
+          WHERE y.doc_id % 41 = 0
+        ),
+        fz_inter AS (
+          SELECT c.doc_id, c.bench_id, count(*) AS i
+          FROM fz_cand c
+          JOIN sh x ON x.doc_id = c.doc_id
+          JOIN sh y ON y.doc_id = c.bench_id AND y.shingle = x.shingle
+          GROUP BY 1, 2
+        ),
+        fz_best AS (
+          SELECT doc_id, j FROM (
+            SELECT f.doc_id,
+                   round(f.i / (sa.sz + sb.sz - f.i), 4) AS j,
+                   row_number() OVER (
+                     PARTITION BY f.doc_id
+                     ORDER BY round(f.i / (sa.sz + sb.sz - f.i), 4) DESC,
+                              f.bench_id ASC
+                   ) AS rn
+            FROM fz_inter f JOIN sizes sa ON sa.doc_id = f.doc_id
+                            JOIN sizes sb ON sb.doc_id = f.bench_id
+          ) WHERE rn = 1
         )
         SELECT 'counts' AS variant, doc_id,
                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
@@ -2068,6 +2106,13 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         FROM documents d
         LEFT JOIN scov c USING (doc_id)
         LEFT JOIN sspan p USING (doc_id)
+        UNION ALL
+        SELECT 'decontam_fuzzy' AS variant, d.doc_id,
+               CASE WHEN coalesce(b.j, 0.0) >= 0.5
+                    THEN 1 ELSE 0 END::BIGINT AS c1,
+               round(coalesce(b.j, 0.0) * 10000)::BIGINT AS c2
+        FROM documents d
+        LEFT JOIN fz_best b USING (doc_id)
     """
     )
 

@@ -283,6 +283,14 @@ def main() -> None:
                 docs, docs.where("doc_id % 41 = 0")
             ).count(),
         )
+        # fuzzy (MinHash-LSH + exact-Jaccard-verified) decontamination —
+        # the paraphrase-robust companion; same broadcast benchmark slice
+        timed_q(
+            "decontaminate_fuzzy",
+            lambda: tx.decontaminate_fuzzy(
+                docs, docs.where("doc_id % 41 = 0"), threshold=0.5
+            ).count(),
+        )
         timed_q("lang_id", lambda: tx.lang_id(docs).count())
         # end-to-end curation verdict (length + repetition + near-dup
         # closure + decontamination in one composed job)

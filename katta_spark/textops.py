@@ -589,6 +589,120 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame, bench: DataFrame, threshold: float = 0.5,
+    num_hashes: int = 8, bands: int = 4, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str = "doc_id", bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, contaminated, jaccard, bench_id): FUZZY eval-set
+    decontamination — a document is contaminated when its n-gram Jaccard
+    similarity to SOME benchmark document reaches ``threshold`` (the
+    near-duplicate companion of the exact n-gram-overlap rule in
+    :func:`decontaminate`; Dolma/Llama pipelines run both — paraphrased
+    or lightly-edited eval documents defeat exact overlap counting).
+
+    Per input doc exactly one row: its best verified benchmark match
+    (highest Jaccard, ties to the smallest bench_id) or NULLs when no LSH
+    candidate verified (jaccard 0.0, contaminated false).
+
+    100-TB shape: the benchmark side is eval-set-sized, so its banded
+    MinHash table and its shingle sets BROADCAST; the corpus side
+    computes signatures from ONE persisted shingle relation and probes
+    the broadcast bands row-locally — the corpus never shuffles. Exact
+    Jaccard verification runs ONLY on LSH candidates (a broadcast
+    semi-join cuts the shingle relation to candidate docs first), the
+    same candidates-only discipline as :func:`near_dup_pairs`.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    from pyspark import StorageLevel
+
+    doc_sh = shingles(docs, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bench_sh = shingles(bench, n, bench_id_col, bench_text_col).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    rows = num_hashes // bands
+
+    def _banded(sig: DataFrame, idc: str) -> DataFrame:
+        band_cols = [
+            F.concat_ws(
+                "#", F.lit(str(bi)),
+                *[F.col(f"h{bi * rows + r}") for r in range(rows)],
+            ).alias("band")
+            for bi in range(bands)
+        ]
+        return sig.select(idc, F.explode(F.array(*band_cols)).alias("band"))
+
+    bench_bands = _banded(
+        _signatures_from_shingles(
+            bench_sh.select(F.col("bench_id").alias("doc_id"), "shingle"),
+            num_hashes,
+        ).withColumnRenamed("doc_id", "bench_id"),
+        "bench_id",
+    )
+    cand = (
+        _banded(_signatures_from_shingles(doc_sh, num_hashes), "doc_id")
+        .join(F.broadcast(bench_bands), "band")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    # exact verification on candidates only — cut the corpus shingle
+    # relation to candidate docs first (broadcast semi-join), then count
+    # intersections against the broadcast benchmark shingles
+    cand_sh = doc_sh.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "leftsemi"
+    )
+    inter = (
+        cand_sh.join(F.broadcast(bench_sh), "shingle")
+        .join(F.broadcast(cand), ["doc_id", "bench_id"], "leftsemi")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_doc = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a"))
+    sz_bench = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("sz_b")
+    )
+    verified = (
+        inter.join(sz_doc, "doc_id")
+        .join(F.broadcast(sz_bench), "bench_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("bench_id").asc()
+    )
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "jaccard", "bench_id")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("jaccard"), F.lit(0.0)) >= threshold
+            ).alias("contaminated"),
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+            "bench_id",
+        )
+    )
+
+
 def _grams_col(t, n: int):
     # Non-distinct positional n-grams (unlike shingles(), repetition cares
     # about every occurrence); < n tokens -> empty list, not a fallback.

@@ -324,6 +324,124 @@ def test_decontaminate_plan_broadcasts_bench(docs):
     assert out.count() == docs.where(F.length("text") > 0).count()
 
 
+def _py_fuzzy_decontam(doc_rows, bench_rows, threshold, num_hashes, bands, n):
+    """Independent pure-Python reference of the decontaminate_fuzzy spec
+    (md5 MinHash, banding, exact-Jaccard verify on LSH candidates)."""
+    import hashlib
+
+    from katta_spark.tokenizer import tokenize_str
+
+    def sh(text):
+        t = tokenize_str(text or "")
+        out = (
+            {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+            if len(t) >= n
+            else {" ".join(t)}
+        )
+        return {s for s in out if s}
+
+    def sig(ss):
+        return [
+            min(
+                hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in ss
+            )
+            for i in range(num_hashes)
+        ]
+
+    rp = num_hashes // bands
+
+    def bandset(sg):
+        return {
+            "#".join([str(bi)] + sg[bi * rp:(bi + 1) * rp])
+            for bi in range(bands)
+        }
+
+    bsh = {bid: sh(t) for bid, t in bench_rows}
+    bband = {bid: bandset(sig(ss)) for bid, ss in bsh.items() if ss}
+    out = {}
+    for did, t in doc_rows:
+        ss = sh(t)
+        best = (0.0, None)
+        if ss:
+            bb = bandset(sig(ss))
+            for bid in sorted(bband):
+                if not (bb & bband[bid]):
+                    continue
+                inter = len(ss & bsh[bid])
+                if not inter:
+                    continue
+                j = round(inter / (len(ss) + len(bsh[bid]) - inter), 4)
+                if j > best[0]:
+                    best = (j, bid)
+        out[did] = (best[0] >= threshold, best[0], best[1])
+    return out
+
+
+def test_decontaminate_fuzzy_matches_reference(spark, docs):
+    """Engine == the independent pure-Python reference on a real-corpus
+    slice: same candidates, same best match, same rounded Jaccard."""
+    corpus = docs.select("doc_id", "text").limit(60)
+    bench = docs.select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    ).where(F.col("doc_id") % 7 == 0).limit(12)
+    got = {
+        r.doc_id: (r.contaminated, r.jaccard, r.bench_id)
+        for r in tx.decontaminate_fuzzy(
+            corpus, bench, threshold=0.5,
+            bench_id_col="bid", bench_text_col="btext",
+        ).collect()
+    }
+    want = _py_fuzzy_decontam(
+        [(r.doc_id, r.text) for r in corpus.collect()],
+        [(r.bid, r.btext) for r in bench.collect()],
+        0.5, 8, 4, 3,
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-9), k
+        assert got[k][2] == want[k][2], k
+    # bench docs themselves are in the corpus slice iff doc_id%7==0 —
+    # an exact copy must verify at jaccard 1.0
+    exact = [k for k in want if want[k][1] == 1.0]
+    assert exact and all(got[k][0] for k in exact)
+
+
+def test_decontaminate_fuzzy_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # copy
+            (2, "alpha beta gamma delta epsilon zeta"),          # unrelated
+            (3, ""),                                             # empty
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.contaminated, r.jaccard, r.bench_id)
+        for r in tx.decontaminate_fuzzy(docs, bench, threshold=0.8).collect()
+    }
+    assert got[1] == (True, 1.0, 100)
+    assert got[2] == (False, 0.0, None)
+    assert got[3] == (False, 0.0, None)
+    with pytest.raises(ValueError, match="threshold"):
+        tx.decontaminate_fuzzy(docs, bench, threshold=0.0)
+    with pytest.raises(ValueError, match="bands"):
+        tx.decontaminate_fuzzy(docs, bench, num_hashes=8, bands=3)
+
+
+def test_decontaminate_fuzzy_plan_broadcasts_bench(docs):
+    """100-TB shape: every benchmark-side join broadcasts — the corpus
+    relation is never the build side of a shuffle join for the probe."""
+    bench = docs.limit(15)
+    out = tx.decontaminate_fuzzy(docs.limit(200), bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_repetition_scores_hand_checked(spark):
     docs = spark.createDataFrame(
         [
