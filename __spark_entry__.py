@@ -624,28 +624,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shape, LuceneClient.java:264-286), run entirely IN-INDEX: group
         keys and display values decode from the docvalue sidecar. Tagged
         union: leg='str' groups by a string field (lang, rank-dictionary
-        decode), leg='num' by a numeric field (n_chars). Each group
-        carries its EXACT total match count."""
+        decode) ordered by relevance (best hit per group); leg='num' by
+        a numeric field (n_chars); leg='key' orders groups by the group
+        VALUE instead (Lucene's field groupSort, NULLs first) — a
+        different group SELECTION, not just ordering. Each group carries
+        its EXACT total match count."""
         idx = _index_dir(spark, sf)
-        s = ksq.search_grouped(
-            spark, idx, "merge batch", "lang", k_groups=3, k_docs=2
-        ).select(
-            F.lit("str").alias("leg"),
-            F.col("lang").alias("gval"),
-            "group_total",
-            "doc_id",
-            F.round("score", 4).alias("score_r"),
+
+        def _leg(tag, q_, col, kg, kd, order):
+            return ksq.search_grouped(
+                spark, idx, q_, col, k_groups=kg, k_docs=kd,
+                group_order=order,
+            ).select(
+                F.lit(tag).alias("leg"),
+                F.col(col).cast("string").alias("gval"),
+                "group_total",
+                "doc_id",
+                F.round("score", 4).alias("score_r"),
+            )
+
+        return (
+            _leg("str", "merge batch", "lang", 3, 2, "relevance")
+            .unionByName(_leg("num", "join hash", "n_chars", 4, 2,
+                              "relevance"))
+            .unionByName(_leg("key", "merge batch", "lang", 2, 2,
+                              "key_asc"))
         )
-        n = ksq.search_grouped(
-            spark, idx, "join hash", "n_chars", k_groups=4, k_docs=2
-        ).select(
-            F.lit("num").alias("leg"),
-            F.col("n_chars").cast("string").alias("gval"),
-            "group_total",
-            "doc_id",
-            F.round("score", 4).alias("score_r"),
-        )
-        return s.unionByName(n)
 
     q["grouped_search"] = grouped_search
 
@@ -1432,8 +1436,14 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
     # → group by a stored field; groups ranked by their best hit
     # (score DESC, doc ASC), each group's top docs + exact total.
     def _grouped_leg_sql(
-        leg: str, terms: str, gexpr: str, kg: int, kd: int
+        leg: str, terms: str, gexpr: str, kg: int, kd: int,
+        order: str = "relevance",
     ) -> str:
+        sel_order = (
+            "s DESC, doc_id ASC"
+            if order == "relevance"
+            else "gval ASC NULLS FIRST"
+        )
         return f"""
         WITH tok AS (
           SELECT doc_id, unnest({_TOK}) AS term FROM documents
@@ -1475,7 +1485,7 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
           FROM g
         ),
         sel AS (
-          SELECT gval, row_number() OVER (ORDER BY s DESC, doc_id ASC)
+          SELECT gval, row_number() OVER (ORDER BY {sel_order})
                    AS grank
           FROM ranked WHERE drn = 1
         )
@@ -1494,6 +1504,11 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         SELECT * FROM ({_grouped_leg_sql(
             "num", "('join', 1.0), ('hash', 1.0)",
             "CAST(d.n_chars AS VARCHAR)", 4, 2
+        )})
+        UNION ALL
+        SELECT * FROM ({_grouped_leg_sql(
+            "key", "('merge', 1.0), ('batch', 1.0)", "d.lang", 2, 2,
+            order="key_asc"
         )})
     """
 

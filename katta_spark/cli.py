@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
     p_group.add_argument("group_col")
     p_group.add_argument("--k-groups", type=int, default=10)
     p_group.add_argument("--k-docs", type=int, default=3)
+    p_group.add_argument(
+        "--order", choices=["relevance", "key_asc", "key_desc"],
+        default="relevance",
+        help="group ordering (Lucene groupSort): by best hit, or by the "
+        "group value asc/desc",
+    )
 
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("out_dir")
@@ -223,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             rows = search_grouped(
                 spark, args.index_dir, args.query, args.group_col,
                 k_groups=args.k_groups, k_docs=args.k_docs,
+                group_order=args.order,
             ).collect()
             print(
                 f"{args.group_col:>16}  {'Total':>8}  {'DocId':>20}  Score"

@@ -1739,11 +1739,17 @@ def _make_dv_group_cog(
     Lucene grouping-module analog (TermFirstPassGroupingCollector /
     TermSecondPassGroupingCollector), distributed with per-shard caps:
 
-    pass_spec = ('pass1', k_groups): emit each shard's top-k_groups GROUP
-    HEADS by (best score desc, doc asc) — exact, because a group in the
+    pass_spec = ('pass1', k_groups, order): emit each shard's top-k_groups
+    GROUP HEADS. order='score' (Lucene's relevance groupSort) ranks
+    groups by (best score desc, doc asc) — exact, because a group in the
     global top-k_groups has its global-best doc in some shard where at
-    most k_groups-1 other groups' shard-bests beat it. ≤ k_groups rows
-    leave per shard.
+    most k_groups-1 other groups' shard-bests beat it. order='key_asc' /
+    'key_desc' (field groupSort) ranks groups by the group KEY — exact
+    because a key in the global top-k precedes at most k-1 other keys in
+    EVERY shard it appears in (asc: NULL group first, Spark
+    asc_nulls_first; desc: NULL group last). ≤ k_groups rows leave per
+    shard either way; each emitted row is the group's shard-best hit so
+    the score tie-break stays available to the merge.
 
     pass_spec = ('pass2', k_docs, selected_keys, null_selected): restrict
     matches to the selected groups (tiny tuple, travels in the closure)
@@ -1760,7 +1766,7 @@ def _make_dv_group_cog(
         _, k_docs, selected_keys, null_selected = pass_spec
         sel = np.asarray(selected_keys, dtype=np.int64)
     else:
-        _, k_groups = pass_spec
+        _, k_groups, g_order = pass_spec
 
     def _empty() -> pd.DataFrame:
         out = _empty_hits(score_dtype)
@@ -1797,7 +1803,19 @@ def _make_dv_group_cog(
         newgrp[1:] = (gk_s[1:] != gk_s[:-1]) | (gn_s[1:] != gn_s[:-1])
         if mode == "pass1":
             heads = order[newgrp]
-            top = heads[np.lexsort((docs[heads], -scores[heads]))[:k_groups]]
+            if g_order == "score":
+                top = heads[
+                    np.lexsort((docs[heads], -scores[heads]))[:k_groups]
+                ]
+            elif g_order == "key_asc":
+                # lexsort put non-null keys (asc) first, the NULL group
+                # last; asc_nulls_first moves the NULL head to the FRONT
+                top = np.concatenate(
+                    [heads[isnull[heads]], heads[~isnull[heads]]]
+                )[:k_groups]
+            else:  # key_desc: keys descending, NULL group last
+                nn = heads[~isnull[heads]][::-1]
+                top = np.concatenate([nn, heads[isnull[heads]]])[:k_groups]
             out = hits.iloc[top].reset_index(drop=True)
             out["gkey"] = gkey[top]
             out["gnull"] = isnull[top]
@@ -2776,6 +2794,7 @@ def search_grouped(
     group_col: str,
     k_groups: int = 10,
     k_docs: int = 3,
+    group_order: str = "relevance",
     shard_ids: list[int] | None = None,
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
@@ -2789,11 +2808,14 @@ def search_grouped(
     (codec.u64_to_f64_order / the string rank dictionary), so no stored-
     field join happens at all.
 
-    Returns the top ``k_groups`` groups of ``group_col`` (ordered by each
-    group's best hit under the reference tie-break: score desc, doc asc,
-    shard desc) with each group's top ``k_docs`` hits and its EXACT total
-    match count. Columns: ``<group_col>, group_total, doc_id, shard_id,
-    score`` — group blocks in head order, docs by the tie-break within.
+    Returns the top ``k_groups`` groups of ``group_col`` with each
+    group's top ``k_docs`` hits and its EXACT total match count.
+    ``group_order`` is Lucene's groupSort: 'relevance' (default) orders
+    groups by their best hit under the reference tie-break (score desc,
+    doc asc, shard desc); 'key_asc' / 'key_desc' order groups by the
+    group VALUE (asc: NULLs first, desc: NULLs last — Spark's sort
+    conventions). Columns: ``<group_col>, group_total, doc_id, shard_id,
+    score`` — group blocks in group order, docs by the tie-break within.
     NULL group values form their own group (SQL GROUP BY semantics).
 
     Two passes, both bounded exactly like Katta's scatter-gather:
@@ -2831,6 +2853,14 @@ def search_grouped(
         )
     if k_groups <= 0 or k_docs <= 0:
         raise ValueError("k_groups and k_docs must be positive")
+    korder = {
+        "relevance": "score", "key_asc": "key_asc", "key_desc": "key_desc",
+    }.get(group_order)
+    if korder is None:
+        raise ValueError(
+            f"group_order must be 'relevance', 'key_asc' or 'key_desc'; "
+            f"got {group_order!r}"
+        )
     kind = kinds[group_col]
     common = dict(
         k=2**31 - 1, prune=False, ordered=False, score_dtype="float64",
@@ -2839,13 +2869,21 @@ def search_grouped(
     )
     heads = search(
         spark, index, query,
-        _dv_group=(group_col, ("pass1", k_groups)), **common,
+        _dv_group=(group_col, ("pass1", k_groups, korder)), **common,
     )
     # ≤ k_groups·shards rows — the Katta client-merge analog
-    rows = sorted(
-        heads.collect(),
-        key=lambda r: (-r["score"], r["doc_id"], -r["shard_id"]),
-    )
+    if korder == "score":
+        merge_key = lambda r: (-r["score"], r["doc_id"], -r["shard_id"])  # noqa: E731
+    elif korder == "key_asc":
+        # asc_nulls_first: the NULL group sorts before every key
+        merge_key = lambda r: (  # noqa: E731
+            0 if r["gnull"] else 1, r["gkey"] if not r["gnull"] else 0,
+        )
+    else:  # key_desc: keys descending, NULL group last
+        merge_key = lambda r: (  # noqa: E731
+            1 if r["gnull"] else 0, -r["gkey"] if not r["gnull"] else 0,
+        )
+    rows = sorted(heads.collect(), key=merge_key)
     order_of: dict[tuple[bool, int], int] = {}
     selected: list[int] = []
     null_selected = False

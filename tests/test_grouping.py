@@ -44,7 +44,10 @@ def gidx(spark, grp_corpus, tmp_path_factory):
     return d
 
 
-def _expected(spark, gidx, corpus, q, col, kg, kd, filter_df=None):
+def _expected(
+    spark, gidx, corpus, q, col, kg, kd, filter_df=None,
+    group_order="relevance",
+):
     """Brute-force oracle: full match set joined to the source, grouped
     in pandas under the engine's exact tie-break."""
     hits = search(
@@ -65,7 +68,18 @@ def _expected(spark, gidx, corpus, q, col, kg, kd, filter_df=None):
     for v, members in groups.items():
         members.sort()
         heads.append((members[0], v))
-    heads.sort()
+    if group_order == "relevance":
+        heads.sort()
+    else:
+        nulls = [h for h in heads if h[1] is None]
+        nonnull = sorted(
+            (h for h in heads if h[1] is not None), key=lambda h: h[1],
+            reverse=(group_order == "key_desc"),
+        )
+        # asc: NULL group first (asc_nulls_first); desc: NULL group last
+        heads = (
+            nulls + nonnull if group_order == "key_asc" else nonnull + nulls
+        )
     out = []
     for _, v in heads[:kg]:
         members = groups[v]
@@ -108,6 +122,39 @@ def test_grouped_matches_bruteforce(spark, gidx, grp_corpus, col, q):
         assert g[4] == pytest.approx(w[4], rel=1e-12)
 
 
+@pytest.mark.parametrize(
+    "col,order",
+    [
+        ("role", "key_asc"),
+        ("role", "key_desc"),
+        ("turn_idx", "key_desc"),
+        ("fval", "key_asc"),   # NULL group must come FIRST
+        ("fval", "key_desc"),  # NULL group must come LAST
+    ],
+)
+def test_grouped_key_order(spark, gidx, grp_corpus, col, order):
+    """group_order='key_asc'/'key_desc' — Lucene's field groupSort:
+    groups ordered by the group VALUE with Spark NULL placement."""
+    got = _got_rows(
+        search_grouped(
+            spark, gidx, "hotalpha hotbeta", col,
+            k_groups=3, k_docs=2, group_order=order,
+        ),
+        col,
+    )
+    want = _expected(
+        spark, gidx, grp_corpus, "hotalpha hotbeta", col, 3, 2,
+        group_order=order,
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if isinstance(w[0], float):
+            assert g[0] == pytest.approx(w[0], rel=1e-12)
+        else:
+            assert g[0] == w[0]
+        assert g[1:4] == w[1:4]
+
+
 def test_grouped_with_filter(spark, gidx, grp_corpus):
     """filter_df composes ahead of both passes' caps — Katta's Filter
     semantics (restricts matches, scores unchanged)."""
@@ -140,12 +187,14 @@ def test_grouped_pass_caps(spark, gidx):
         k=2**31 - 1, prune=False, ordered=False, score_dtype="float64",
     )
     p1 = search(
-        spark, gidx, "hotalpha", _dv_group=("role", ("pass1", kg)), **common
+        spark, gidx, "hotalpha",
+        _dv_group=("role", ("pass1", kg, "score")), **common,
     ).groupBy("shard_id").count().collect()
     assert all(r["count"] <= kg for r in p1)
     ih = IndexHandle.open(spark, gidx)
     heads = search(
-        spark, gidx, "hotalpha", _dv_group=("role", ("pass1", kg)), **common
+        spark, gidx, "hotalpha",
+        _dv_group=("role", ("pass1", kg, "score")), **common,
     ).collect()
     sel = tuple({int(r["gkey"]) for r in heads if not r["gnull"]})
     p2 = search(
@@ -163,6 +212,8 @@ def test_grouped_validation(spark, gidx):
         search_grouped(spark, [gidx, gidx], "hotalpha", "role")
     with pytest.raises(ValueError, match="positive"):
         search_grouped(spark, gidx, "hotalpha", "role", k_groups=0)
+    with pytest.raises(ValueError, match="group_order"):
+        search_grouped(spark, gidx, "hotalpha", "role", group_order="bogus")
 
 
 def test_grouped_no_matches(spark, gidx):
