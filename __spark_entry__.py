@@ -145,6 +145,45 @@ def _compacted_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_DELETED_CACHE: dict[str, tuple[str, str]] = {}
+
+# deterministic takedown set for the deletion legs of compact_search:
+# documents with doc_id % 17 == 0 (doc_ids are non-negative, so Spark
+# pmod == DuckDB %)
+_DEL_WHERE = "doc_id % 17 != 0"
+
+
+def _deleted_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(tombstoned copy of the compacted index, its expunged output) —
+    the Lucene delete-then-expunge lifecycle (IndexWriter.deleteDocuments
+    → liveDocs skip with STALE stats → expungeDeletes): built once per
+    sf_dir; delete_docs marks doc_id % 17 == 0, expunge folds them in."""
+    if sf_dir in _DELETED_CACHE:
+        return _DELETED_CACHE[sf_dir]
+    import shutil
+
+    import katta_spark.compact as kcomp
+    import katta_spark.delete as kdel
+
+    src = _compacted_dir(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d_del = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}_del")
+    d_exp = os.path.join(tempfile.gettempdir(), f"katta_idx_{key}_expg")
+    done = os.path.exists(
+        os.path.join(d_exp, "corpus.parquet")
+    ) and os.path.isdir(os.path.join(d_del, "tombstones.parquet"))
+    if not done:
+        shutil.rmtree(d_del, ignore_errors=True)
+        shutil.rmtree(d_exp, ignore_errors=True)
+        shutil.copytree(src, d_del)
+        kdel.delete_docs(
+            spark, d_del, _docs(spark, sf_dir).where("doc_id % 17 = 0")
+        )
+        kcomp.expunge(spark, d_del, d_exp)
+    _DELETED_CACHE[sf_dir] = (d_del, d_exp)
+    return d_del, d_exp
+
+
 def _bm25(spark: SparkSession, sf_dir: str, q: str, k: int, mode: str = "or") -> DataFrame:
     hits = ksq.search(
         spark, _index_dir(spark, sf_dir), q, k=k, mode=mode, score_dtype="float64"
@@ -572,15 +611,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_split_index"] = split_index
 
     def compact_search(spark, sf):
-        """Delta compaction (optimize() analog): the two split indexes
-        merged into ONE index purely from the postings union — search over
-        it must equal the whole-corpus answer (and is score-identical to
-        search_multi over the parts, tested in tests/test_compact.py)."""
+        """Tagged union (50-gate cap) covering the full index-maintenance
+        lifecycle. variant='merged': delta compaction (optimize() analog)
+        — the two split indexes merged into ONE index purely from the
+        postings union must equal the whole-corpus answer (score-identity
+        to search_multi tested in tests/test_compact.py).
+        variant='live_del': DOCUMENT DELETION, live phase
+        (IndexWriter.deleteDocuments → liveDocs): doc_id %% 17 == 0
+        tombstoned — those docs leave the results IMMEDIATELY while
+        survivors score with the UNCHANGED (stale) global stats, the
+        exact Lucene pre-merge semantics; the oracle therefore computes
+        BM25 from the FULL corpus and filters the deleted docs only from
+        the final ranking. variant='expunged': the expungeDeletes merge —
+        tombstones folded into postings/stats/markers/docvalues; the
+        oracle recomputes BM25 over the corpus WITHOUT the deleted docs
+        (df/N/avgdl refreshed), i.e. the index is indistinguishable from
+        a fresh build (bit-identity tested in tests/test_delete.py)."""
         hits = ksq.search(
             spark, _compacted_dir(spark, sf), "join hash", k=10,
             score_dtype="float64",
+        ).select("doc_id", F.round("score", 4).alias("score_r"))
+        d_del, d_exp = _deleted_dirs(spark, sf)
+        live = ksq.search(
+            spark, d_del, "join hash", k=10, score_dtype="float64"
+        ).select("doc_id", F.round("score", 4).alias("score_r"))
+        expg = ksq.search(
+            spark, d_exp, "join hash", k=10, score_dtype="float64"
+        ).select("doc_id", F.round("score", 4).alias("score_r"))
+        return (
+            hits.withColumn("variant", F.lit("merged"))
+            .unionByName(live.withColumn("variant", F.lit("live_del")))
+            .unionByName(expg.withColumn("variant", F.lit("expunged")))
+            .select("variant", "doc_id", "score_r")
         )
-        return hits.select("doc_id", F.round("score", 4).alias("score_r"))
 
     q["compact_search"] = compact_search
 
@@ -1367,8 +1430,26 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
 
     # compliance: split indexes must reproduce the whole-corpus ranking
     o["bm25_split_index"] = o["bm25_top10"]
-    # …and so must their compaction (optimize() analog)
-    o["compact_search"] = o["bm25_top10"]
+    # …and so must their compaction (optimize() analog); the deletion
+    # legs: live_del = FULL-corpus stats with deleted docs filtered from
+    # the final ranking only (Lucene's stale-stats liveDocs phase),
+    # expunged = BM25 recomputed over the corpus minus the deleted docs
+    # (post-expungeDeletes = fresh-build identity)
+    _live_del_sql = _bm25_sql(
+        [("join", 1.0), ("hash", 1.0)], 10,
+        filter_clause=f"WHERE {_DEL_WHERE}",
+    )
+    _expunged_sql = _bm25_sql([("join", 1.0), ("hash", 1.0)], 10).replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE {_DEL_WHERE}) documents",
+    )
+    o["compact_search"] = f"""
+        SELECT 'merged' AS variant, * FROM ({o["bm25_top10"]})
+        UNION ALL
+        SELECT 'live_del' AS variant, * FROM ({_live_del_sql})
+        UNION ALL
+        SELECT 'expunged' AS variant, * FROM ({_expunged_sql})
+    """
     # …and the whole-corpus totalHits (cross-index accumulation)
     o["bm25_total_multi"] = o["bm25_total"]
 

@@ -28,6 +28,12 @@ Commands:
   group     <index_dir> <query> <group_col> [--k-groups N] [--k-docs N]
             grouped search over a docvalue column (Lucene grouping-module
             analog; two-pass per-shard-capped, see query.search_grouped)
+  delete    <index_dir> --query Q | --ids 1,2,3
+            tombstone documents (IndexWriter.deleteDocuments; searches
+            skip them immediately, stats stay stale until expunge)
+  expunge   <index_dir> <out_dir>
+            fold tombstones into the postings (Lucene expungeDeletes):
+            exact stats again, no tombstones in the output
   generateIndex <index_dir> <words_per_doc> <num_docs>
             build a synthetic benchmark index (Katta: generateIndex
             <inputTextFile> <outputPath> <numOfWordsPerDoc> <numOfDocuments>,
@@ -119,6 +125,24 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated input indexes [base,delta,...] to merge "
         "(the optimize() analog, IndexerJob.java:118-179)",
     )
+
+    p_del = sub.add_parser("delete")
+    p_del.add_argument("index_dir")
+    grp = p_del.add_mutually_exclusive_group(required=True)
+    grp.add_argument(
+        "--query",
+        help="tombstone every matching doc "
+        "(IndexWriter.deleteDocuments(Query))",
+    )
+    grp.add_argument(
+        "--ids",
+        help="comma-separated docIDs to tombstone "
+        "(IndexWriter.deleteDocuments(Term))",
+    )
+
+    p_exp = sub.add_parser("expunge")
+    p_exp.add_argument("index_dir")
+    p_exp.add_argument("out_dir")
 
     p_gen = sub.add_parser("generateIndex")
     p_gen.add_argument("index_dir")
@@ -246,6 +270,22 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(
                 compact(spark, args.index_dirs.split(","), args.out_dir)
             ))
+        elif args.cmd == "delete":
+            from katta_spark.delete import delete_by_query, delete_docs
+
+            if args.query is not None:
+                n = delete_by_query(spark, args.index_dir, args.query)
+            else:
+                n = delete_docs(
+                    spark, args.index_dir,
+                    [int(x) for x in args.ids.split(",") if x],
+                )
+            print(f"{n} documents tombstoned (search skips them now; "
+                  "run expunge to reclaim space and refresh stats)")
+        elif args.cmd == "expunge":
+            from katta_spark.compact import expunge
+
+            print(json.dumps(expunge(spark, args.index_dir, args.out_dir)))
         elif args.cmd == "generateIndex":
             import time
 

@@ -53,12 +53,25 @@ from katta_spark.codec import (
 from katta_spark.query import IndexHandle
 
 
-def _merge_kernel(block: int, positions: bool = True):
+def _merge_kernel(
+    block: int,
+    positions: bool = True,
+    deleted=None,
+    affected: frozenset = frozenset(),
+):
     """mapInPandas over (shard, th-slice) partitions, rows sorted by
     (shard_id, th): consecutive same-(shard, th) rows are one term's
     posting lists from different source indexes. ``positions=False``
     (all inputs built with omitted term positions — compact() refuses a
-    mix) skips the positions decode/merge and writes empty blobs."""
+    mix) skips the positions decode/merge and writes empty blobs.
+
+    ``deleted`` (broadcast sorted int64 array) + ``affected`` (shard ids
+    carrying ≥1 tombstone): the EXPUNGE leg — Lucene's expungeDeletes
+    during merge. Deleted docs leave every posting list (marker rows
+    included, so the written markers' doc accounting is post-delete for
+    free). Pass-through stays byte-identical for every single-source
+    group in an unaffected shard, and for affected-shard groups whose
+    posting list contains no deleted doc (one doc_ids decode to check)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # a (shard, th) group may straddle Arrow batches — buffer the
@@ -66,6 +79,7 @@ def _merge_kernel(block: int, positions: bool = True):
         parts = [pdf for pdf in batches if len(pdf)]
         if not parts:
             return
+        dny = deleted.value if hasattr(deleted, "value") else deleted
         pdf = pd.concat(parts, ignore_index=True)
         pdf = pdf.sort_values(["shard_id", "th"], kind="stable")
         sh = pdf["shard_id"].to_numpy(np.int64)
@@ -81,18 +95,37 @@ def _merge_kernel(block: int, positions: bool = True):
         # pass-through: terms present in exactly one source index keep
         # their encoded row byte-identical (no decode); column order
         # normalized to the output schema (partitioned reads move
-        # shard_id last)
+        # shard_id last). Affected-shard singles first prove themselves
+        # deletion-free (doc_ids decode only) or drop to the merge path.
         if single.any():
-            yield pdf.iloc[np.flatnonzero(single)][_COLS]
+            idx = np.flatnonzero(single)
+            if dny is not None:
+                keep_idx = []
+                for i in idx:
+                    if int(sh[i]) not in affected:
+                        keep_idx.append(i)
+                        continue
+                    r = pdf.iloc[i]
+                    d = decode_posting_list(
+                        r["doc_ids"], r["tfs"], r["doclens"]
+                    )[0]
+                    if np.isin(d, dny).any():
+                        single[i] = False  # rewrite via the merge path
+                    else:
+                        keep_idx.append(i)
+                idx = np.asarray(keep_idx, dtype=np.int64)
+            if idx.size:
+                yield pdf.iloc[idx][_COLS]
 
-        # merge path: gather every multi-source group, decode + merge by
-        # docID, then ONE vectorized batch re-encode for all of them
+        # merge path: every multi-source group plus every single-source
+        # group that needs a deletion rewrite — decode + merge by docID,
+        # mask deleted, then ONE vectorized batch re-encode for all
         m_doc, m_tf, m_dl, m_pos = [], [], [], []
         run_starts, run_starts_occ, doc_starts = [], [], []
         heads = []  # (shard_id, th) per merged run
         nd = nocc = 0
         for s, e in zip(starts, ends):
-            if e - s == 1:
+            if single[s] and e - s == 1:
                 continue
             rows = list(pdf.iloc[s:e].itertuples(index=False))
             docs_l, tfs_l, dls_l, pos_l = [], [], [], []
@@ -115,18 +148,33 @@ def _merge_kernel(block: int, positions: bool = True):
                     f"two inputs; shard {rows[0].shard_id}, th {rows[0].th})"
                 )
             tfs_s, dls_s = tfs[order], dls[order]
-            total = int(tfs_s.sum())
-            new_off = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
+            pos_m = None
             if positions:
+                total0 = int(tfs_s.sum())
+                new_off0 = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
                 pos_all = np.concatenate(pos_l)
                 # gather each doc's positions slice into the merged order
                 occ_start = np.concatenate(
                     [[0], np.cumsum(tfs)[:-1]]
                 )  # per source-doc entry, into pos_all
                 gather = np.repeat(occ_start[order], tfs_s) + (
-                    np.arange(total) - np.repeat(new_off, tfs_s)
+                    np.arange(total0) - np.repeat(new_off0, tfs_s)
                 )
-                m_pos.append(pos_all[gather])
+                pos_m = pos_all[gather]
+            if dny is not None and int(rows[0].shard_id) in affected:
+                keep = ~np.isin(docs_s, dny)
+                if not keep.all():
+                    if positions:
+                        pos_m = pos_m[np.repeat(keep, tfs_s)]
+                    docs_s = docs_s[keep]
+                    tfs_s = tfs_s[keep]
+                    dls_s = dls_s[keep]
+                if docs_s.size == 0:
+                    continue  # the term's last docs were deleted
+            total = int(tfs_s.sum())
+            new_off = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
+            if positions:
+                m_pos.append(pos_m)
 
             heads.append((int(rows[0].shard_id), int(rows[0].th)))
             run_starts.append(nd)
@@ -175,6 +223,8 @@ def _merge_dv_sidecars(
     h0: IndexHandle,
     dv_metas: list,
     phase_t: dict,
+    tomb_df=None,
+    deleted_bc=None,
 ) -> None:
     """Docvalue sidecar merge — reads only the INPUT sidecars, so it runs
     overlapped with the postings merge on a driver thread.
@@ -185,7 +235,8 @@ def _merge_dv_sidecars(
     not comparable across indexes, so each string column's dictionaries
     are merged and re-ranked first, then its sidecar rows decode →
     remap-join (old rank → new rank, fully distributed) → re-encode per
-    shard.
+    shard. Tombstoned docs (``deleted_bc`` broadcast / ``tomb_df``) drop
+    out of the re-encoded buckets — the expunge leg.
     """
     t_v = time.time()
     from katta_spark.docvalues import (
@@ -213,7 +264,10 @@ def _merge_dv_sidecars(
         merged_parts.append(
             dv_union.repartition(h0.num_shards, "shard_id")
             .groupBy("shard_id")
-            .applyInPandas(merge_docvalues_kernel(num_cols), DV_SCHEMA)
+            .applyInPandas(
+                merge_docvalues_kernel(num_cols, deleted=deleted_bc),
+                DV_SCHEMA,
+            )
         )
     for c in str_cols:
         # merged dictionary: union of source values, re-ranked
@@ -265,6 +319,14 @@ def _merge_dv_sidecars(
                 "isnull",
             )
         )
+        if tomb_df is not None:
+            # expunge: deleted docs leave the string sidecar (anti-join
+            # against the tiny tombstone id set)
+            remapped = remapped.join(
+                F.broadcast(tomb_df.select("doc_id").distinct()),
+                "doc_id",
+                "left_anti",
+            )
         merged_parts.append(
             remapped.repartition(h0.num_shards, "shard_id")
             .groupBy("shard_id")
@@ -297,8 +359,11 @@ def compact(
     """
     t0 = time.time()
     handles = [IndexHandle.open(spark, d) for d in index_dirs]
-    if len(handles) < 2:
-        raise ValueError("compact needs at least two input indexes")
+    if len(handles) < 2 and not any(h.has_tombstones() for h in handles):
+        raise ValueError(
+            "compact needs at least two input indexes (or one index "
+            "carrying tombstones to expunge)"
+        )
     h0 = handles[0]
     for h in handles[1:]:
         same = (
@@ -338,6 +403,26 @@ def compact(
         raise ValueError(f"{out_dir!r} is not empty — refusing to overwrite")
     with open(os.path.join(out_dir, "FORMAT_VERSION"), "w") as fh:
         fh.write(str(FORMAT_VERSION))
+
+    # ---- tombstones: compacting APPLIES every input's deletions (the
+    # expungeDeletes-during-merge semantics of Lucene; katta_spark.delete
+    # wrote them). The deleted-id set broadcasts (bounded by deletions,
+    # not corpus) and only the shards that actually carry a tombstone
+    # lose their pass-through fast path.
+    tomb_parts = [
+        h.tombstones(spark) for h in handles if h.has_tombstones()
+    ]
+    tomb_df = None
+    deleted_bc = None
+    affected: frozenset = frozenset()
+    if tomb_parts:
+        tomb_df = tomb_parts[0]
+        for tp in tomb_parts[1:]:
+            tomb_df = tomb_df.unionByName(tp)
+        tomb_pdf = tomb_df.select("shard_id", "doc_id").toPandas()
+        deleted_arr = np.sort(tomb_pdf["doc_id"].to_numpy(np.int64))
+        affected = frozenset(int(s) for s in tomb_pdf["shard_id"].unique())
+        deleted_bc = spark.sparkContext.broadcast(deleted_arr)
 
     # The vocab-sized follow-ups (dictionary, stats) and the docvalue
     # sidecar merge read only the INPUT indexes — none depends on the
@@ -404,11 +489,50 @@ def compact(
         )
         phase_t["stats"] = round(time.time() - t_s, 2)
 
-    fut_dict = pool.submit(_run_dict)
-    fut_stats = pool.submit(_run_stats)
+    def _run_ndel() -> int:
+        """How many tombstoned ids actually exist in the inputs — decoded
+        from the INPUT marker postings of affected shards only (256
+        sentinel hashes pushed + shard partition pruning keep this
+        tiny); ids never indexed are ignored, like Lucene deleting a
+        non-matching term."""
+        union_m = None
+        for h in handles:
+            p = (
+                h.postings(spark)
+                .where(
+                    F.col("shard_id").isin(sorted(affected))
+                    & F.col("th").isin(list(SENTINEL_HASHES))
+                )
+                .select("doc_ids", "tfs", "doclens")
+            )
+            union_m = p if union_m is None else union_m.unionByName(p)
+
+        def k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            dny = deleted_bc.value
+            tot = 0
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    d = decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
+                    tot += int(np.isin(d, dny).sum())
+            yield pd.DataFrame({"n": [tot]})
+
+        row = union_m.mapInPandas(k, "n long").agg(F.sum("n")).collect()[0]
+        return int(row[0] or 0)
+
+    if tomb_df is None:
+        fut_dict = pool.submit(_run_dict)
+        fut_stats = pool.submit(_run_stats)
+        fut_ndel = None
+    else:
+        # expunge leg: stats/dictionary must reflect the POST-DELETE
+        # postings, so both run from the written output after the merge
+        # (vocab-sized, column-pruned — the blobs are never read back);
+        # the deleted-present count overlaps the merge on the pool.
+        fut_dict = fut_stats = None
+        fut_ndel = pool.submit(_run_ndel)
     fut_dv = (
         pool.submit(_merge_dv_sidecars, spark, index_dirs, out_dir, h0,
-                    dv_metas, phase_t)
+                    dv_metas, phase_t, tomb_df, deleted_bc)
         if dv_metas[0] is not None
         else None
     )
@@ -425,7 +549,10 @@ def compact(
                 n_parts, F.col("shard_id"), F.pmod(F.col("th"), F.lit(slices))
             )
             .sortWithinPartitions("shard_id", "th")
-            .mapInPandas(_merge_kernel(block, h0.positions), ENCODED_SCHEMA)
+            .mapInPandas(
+                _merge_kernel(block, h0.positions, deleted_bc, affected),
+                ENCODED_SCHEMA,
+            )
             .repartition(
                 h0.num_shards, F.col("shard_id"), F.pmod(F.col("th"), F.lit(16))
             )
@@ -435,8 +562,69 @@ def compact(
             os.path.join(out_dir, "postings.parquet")
         )
         phase_t["postings_merge"] = round(time.time() - t_m, 2)
+        post_root = os.path.join(out_dir, "postings.parquet")
+        if not any(
+            f.startswith("shard_id=") for f in os.listdir(post_root)
+        ):
+            raise ValueError(
+                "expunge/compact produced an EMPTY index (every document "
+                "of every input is tombstoned) — refusing to write an "
+                "index with no postings; remove the index directory "
+                "instead"
+            )
 
-        n_coll = fut_dict.result()
+        if tomb_df is None:
+            n_coll = fut_dict.result()
+        else:
+            # ---- post-delete stats + dictionary from the WRITTEN
+            # postings: per-row df/cf ride the encoded schema, so the
+            # re-aggregation reads three int columns (parquet prunes the
+            # blobs) — vocab x shards rows. Terms whose last docs were
+            # deleted vanish from postings, hence from stats AND the
+            # dictionary — identical to a fresh build without those docs.
+            t_sd = time.time()
+            from pyspark.sql import Observation as _Obs
+
+            post_w = spark.read.parquet(
+                os.path.join(out_dir, "postings.parquet")
+            )
+            agg = (
+                post_w.where(~F.col("th").isin(list(SENTINEL_HASHES)))
+                .groupBy("th")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            )
+            dunion = None
+            for h in handles:
+                t = spark.read.parquet(
+                    os.path.join(h.index_dir, "dict.parquet")
+                )
+                dunion = t if dunion is None else dunion.unionByName(t)
+            obs_d = _Obs("compact_dict_collisions_del")
+            dict_g = (
+                dunion.groupBy("th")
+                .agg(F.min("term").alias("term"), F.max("_mx").alias("_mx"))
+                .observe(
+                    obs_d,
+                    F.count(
+                        F.when(F.col("term") != F.col("_mx"), F.lit(1))
+                    ).alias("n"),
+                )
+            )
+            (
+                dict_g.join(agg.select("th"), "th", "left_semi")
+                .repartition(max(1, h0.num_shards // 8), "th")
+                .sortWithinPartitions("th")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "dict.parquet"))
+            )
+            n_coll = int(obs_d.get["n"] or 0)
+            (
+                agg.join(dict_g.select("th", "term"), "th")
+                .select("term", "df", "cf", "th")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "stats.parquet"))
+            )
+            phase_t["stats_dict_post_delete"] = round(time.time() - t_sd, 2)
         if n_coll:
             raise RuntimeError(
                 f"xxhash64 term collision(s) across input indexes: {n_coll}"
@@ -461,22 +649,30 @@ def compact(
         )
         n_docs = sum(int(r["nd"]) for r in mrows)
         n_rows = sum(int(r["nr"]) for r in mrows)
-        if n_docs != sum(h.n_docs for h in handles) or n_rows != n_docs:
+        n_del = fut_ndel.result() if fut_ndel is not None else 0
+        expected = sum(h.n_docs for h in handles) - n_del
+        if n_docs != expected or n_rows != n_docs:
             raise RuntimeError(
                 f"compacted doc accounting mismatch: {n_docs} marker docs, "
-                f"{n_rows} marker rows, inputs sum "
-                f"{sum(h.n_docs for h in handles)}"
+                f"{n_rows} marker rows, expected {expected} (inputs sum "
+                f"{sum(h.n_docs for h in handles)} - {n_del} deleted)"
             )
         # Metadata tables are tiny (1..num_shards rows): write them driver-
         # side exactly like the build does (_pa_write_rows — Spark-compatible
-        # layout), saving one fixed-overhead Spark job each.
+        # layout), saving one fixed-overhead Spark job each. A shard whose
+        # LAST doc was expunged has no marker rows left — fill zeros so
+        # every shard id keeps a row.
         corpus_s, shards_s, lineage_s = _meta_schemas()
+        by_shard = {
+            int(r["shard_id"]): (int(r["nd"]), int(r["dl"])) for r in mrows
+        }
         _pa_write_rows(
             os.path.join(out_dir, "shards.parquet"),
             shards_s,
-            sorted(
-                (int(r["shard_id"]), int(r["nd"]), int(r["dl"])) for r in mrows
-            ),
+            [
+                (sid,) + by_shard.get(sid, (0, 0))
+                for sid in range(h0.num_shards)
+            ],
         )
         sum_dl = sum(int(r["dl"]) for r in mrows)
         avgdl = (sum_dl / n_docs) if n_docs else 1.0
@@ -493,7 +689,8 @@ def compact(
             ],
         )
 
-        fut_stats.result()
+        if fut_stats is not None:
+            fut_stats.result()
         if fut_dv is not None:
             fut_dv.result()
     except BaseException:
@@ -539,9 +736,33 @@ def compact(
     )
     return {
         "n_docs": n_docs,
+        "n_deleted": n_del,
         "avgdl": avgdl,
         "num_shards": h0.num_shards,
         "inputs": list(index_dirs),
         "phase_timings": phase_t,
         "elapsed_sec": round(time.time() - t0, 2),
     }
+
+
+def expunge(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    block: int = 128,
+    slices: int = 16,
+) -> dict:
+    """Fold an index's tombstones into its postings — Lucene's
+    ``expungeDeletes`` (a forced merge of one segment set): deleted docs
+    leave every posting list, marker row and docvalue bucket; df/cf/
+    n_docs/avgdl become exact again; the output carries no tombstones
+    and is score-identical to a fresh build without the deleted docs
+    (tested in tests/test_delete.py). Refuses when there is nothing to
+    expunge."""
+    h = IndexHandle.open(spark, index_dir)
+    if not h.has_tombstones():
+        raise ValueError(
+            f"index {index_dir!r} has no tombstones — nothing to expunge "
+            "(delete docs first via katta_spark.delete)"
+        )
+    return compact(spark, [index_dir], out_dir, block=block, slices=slices)

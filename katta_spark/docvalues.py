@@ -182,22 +182,28 @@ def encode_buckets(
         )
 
 
-def merge_docvalues_kernel(cols: list[str]):
+def merge_docvalues_kernel(cols: list[str], deleted=None):
     """applyInPandas kernel over UNIONED per-shard sidecar rows from
     several source indexes: decode every source's buckets, re-sort by
     docID (inputs are doc-disjoint — compaction refuses duplicates), and
     re-bucket — the docvalue leg of index compaction. NUMERIC kinds only:
     string columns carry per-index dictionary RANKS that are not
     comparable across indexes — compact.py remaps them through a merged
-    dictionary (decode → rank-remap join → re-encode)."""
+    dictionary (decode → rank-remap join → re-encode). ``deleted``
+    (broadcast sorted int64 docID array) drops tombstoned docs during
+    the re-bucket — compaction's expunge leg."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return _empty_dv_frame()
+        dny = deleted.value if hasattr(deleted, "value") else deleted
         shard = int(pdf["shard_id"].iloc[0])
         out = _empty_dv_dict()
         for c in cols:
             docs, vals, nulls = decode_shard_column(pdf, c)
+            if dny is not None and docs.size:
+                keep = ~np.isin(docs, dny)
+                docs, vals, nulls = docs[keep], vals[keep], nulls[keep]
             if docs.size == 0:
                 continue
             order = np.argsort(docs, kind="stable")

@@ -26,6 +26,7 @@ import os
 import time
 from collections.abc import Iterator
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -44,6 +45,37 @@ from katta_spark.codec import (
 from katta_spark.tokenizer import tokenize_str
 from katta_spark.xxhash import term_hash
 
+
+class DocFilter(NamedTuple):
+    """Combined allow/deny doc set for the shard kernels' second argument.
+
+    ``allow`` — docIDs that MAY match (Katta's Filter, P2; None = no
+    restriction). ``deny`` — docIDs that must NOT match: the index's
+    tombstoned (deleted) documents, the analog of Lucene's liveDocs
+    bitset that every collector consults before scoring a hit
+    (deleted docs are skipped at collection time while df/numDocs stay
+    STALE until a merge expunges them — IndexWriter.deleteDocuments
+    semantics). Kernels accept either a plain ndarray (allow-only,
+    the original contract) or a DocFilter."""
+
+    allow: "np.ndarray | None"
+    deny: "np.ndarray | None"
+
+
+def _keep_mask(d: np.ndarray, flt) -> "np.ndarray | None":
+    """Boolean keep-mask of ``d`` under an allow-array or DocFilter;
+    None when the filter is a no-op (no mask needed)."""
+    if flt is None:
+        return None
+    if isinstance(flt, DocFilter):
+        keep = None
+        if flt.allow is not None:
+            keep = np.isin(d, flt.allow)
+        if flt.deny is not None and flt.deny.size:
+            km = ~np.isin(d, flt.deny)
+            keep = km if keep is None else keep & km
+        return keep
+    return np.isin(d, flt)
 
 
 @dataclass
@@ -156,6 +188,70 @@ class IndexHandle:
             for t in missing:
                 cache[t] = found.get(t, 0)
         return {t: cache[t] for t in terms}
+
+    # ---- tombstones (document deletion; katta_spark.delete) ----------
+    #
+    # Lucene model replicated exactly: deleteDocuments marks docs in a
+    # side structure; every collector skips them at collection time
+    # (liveDocs), while df/cf/numDocs/avgdl stay STALE until a merge
+    # (expunge) rewrites the segments. Our tombstone set is a parquet
+    # side table (shard_id, doc_id) next to the postings; at query time
+    # it becomes a broadcast sorted id array — the direct analog of
+    # Lucene's in-RAM liveDocs bitset, bounded by the DELETED count
+    # (not maxDoc). Search paths consult it via DocFilter.deny;
+    # compact()/expunge() applies and clears it.
+
+    def tombstones_path(self) -> str:
+        return os.path.join(self.index_dir, "tombstones.parquet")
+
+    def has_tombstones(self) -> bool:
+        """Checked per call (not cached): delete_docs may run after open."""
+        p = self.tombstones_path()
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def tombstones(self, spark: SparkSession) -> "DataFrame | None":
+        if not self.has_tombstones():
+            return None
+        return spark.read.parquet(self.tombstones_path())
+
+    def deleted_array(self, spark: SparkSession) -> "np.ndarray | None":
+        """Sorted int64 array of tombstoned docIDs, memoized per handle
+        (invalidated when the tombstone file set changes — a handle held
+        across a delete_docs call sees the new set). None when empty."""
+        if not self.has_tombstones():
+            return None
+        p = self.tombstones_path()
+        sig = tuple(sorted(os.listdir(p)))
+        cached = self.__dict__.get("_tomb_cache")
+        if cached is not None and cached[0] == sig:
+            return cached[1]
+        pdf = (
+            spark.read.parquet(p).select("doc_id").toPandas()
+        )
+        arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        if arr.size > _MAX_TOMBSTONES:
+            raise ValueError(
+                f"index {self.index_dir!r} carries {arr.size} tombstones "
+                f"(> {_MAX_TOMBSTONES}); the live-deletion path holds the "
+                "deleted-id set in memory like Lucene's liveDocs — run "
+                "katta_spark.compact.expunge() to fold the deletions into "
+                "the postings"
+            )
+        self.__dict__["_tomb_cache"] = (sig, arr)
+        return arr
+
+    def num_deleted(self, spark: SparkSession) -> int:
+        """Lucene's IndexReader.numDeletedDocs analog."""
+        arr = self.deleted_array(spark)
+        return 0 if arr is None else int(arr.size)
+
+
+# Live tombstone sets ride to the kernels as an in-memory id array (the
+# liveDocs analog). Past this bound the user should expunge instead —
+# the array no longer qualifies as "small side state".
+_MAX_TOMBSTONES = 50_000_000
 
 
 _SPACED_FIELD_RE = None
@@ -1030,8 +1126,8 @@ def _make_tree_kernel(
                 d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
                 nb = read_skips(row.skips).shape[0]
                 _count(nb, nb)
-                if filter_docs is not None:
-                    keep = np.isin(d, filter_docs)
+                keep = _keep_mask(d, filter_docs)
+                if keep is not None:
                     d, t, l = d[keep], t[keep], l[keep]
                 # UNWEIGHTED base contribution: each leaf multiplies by its
                 # own boost, so duplicate leaves sum to boost x occurrences
@@ -1398,8 +1494,8 @@ def _make_score_kernel(
                 # FULL per-doc positions (decoded before any filtering —
                 # phrase matching runs over final candidates only anyway)
                 phrase_data[row.term] = (d, t, decode_positions(row.positions, t))
-            if filter_docs is not None:
-                keep = np.isin(d, filter_docs)
+            keep = _keep_mask(d, filter_docs)
+            if keep is not None:
                 d, t, l = d[keep], t[keep], l[keep]
             contrib = (
                 qweights[row.term]
@@ -1504,8 +1600,8 @@ def _make_and_kernel(
 
         rows = list(pdf.itertuples(index=False))
         d0, t0, l0 = decode_posting_list(rows[0].doc_ids, rows[0].tfs, rows[0].doclens)
-        if filter_docs is not None:
-            keep0 = np.isin(d0, filter_docs)
+        keep0 = _keep_mask(d0, filter_docs)
+        if keep0 is not None:
             d0, t0, l0 = d0[keep0], t0[keep0], l0[keep0]
         cand = d0
         # dl is per (doc, FIELD): a keyword posting carries dl=1 while the
@@ -1582,8 +1678,9 @@ def _make_match_kernel(
             for r in pdf.itertuples(index=False)
         ]
         docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-        if filter_docs is not None:
-            docs = docs[np.isin(docs, filter_docs)]
+        keep_m = _keep_mask(docs, filter_docs)
+        if keep_m is not None:
+            docs = docs[keep_m]
         kk = min(k, docs.size)
         out = pd.DataFrame(
             {
@@ -1625,8 +1722,61 @@ def _dv_with_filter(dvdf: DataFrame, fdf: DataFrame) -> DataFrame:
     return dvdf.unionByName(frows)
 
 
+def _deny_handle(spark: SparkSession, index: IndexHandle):
+    """Broadcast handle of the index's deleted-id array (the in-RAM
+    liveDocs analog, torrent-distributed to executors once) — memoized
+    per handle per tombstone-file signature; None without tombstones."""
+    arr = index.deleted_array(spark)
+    if arr is None or arr.size == 0:
+        return None
+    sig = index.__dict__["_tomb_cache"][0]
+    cached = index.__dict__.get("_tomb_bc")
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    bc = spark.sparkContext.broadcast(arr)
+    index.__dict__["_tomb_bc"] = (sig, bc)
+    return bc
+
+
+_MULTI_DENY_CACHE: dict = {}
+
+
+def _deny_handle_multi(spark: SparkSession, handles: list):
+    """Combined deny broadcast across several searched indexes. DocIDs are
+    globally unique over doc-disjoint indexes, so one sorted union array
+    is exact. Memoized per (dir, tombstone-signature) tuple."""
+    tagged = [
+        (h, h.deleted_array(spark)) for h in handles if h.has_tombstones()
+    ]
+    tagged = [(h, a) for h, a in tagged if a is not None and a.size]
+    if not tagged:
+        return None
+    if len(tagged) == 1:
+        return _deny_handle(spark, tagged[0][0])
+    key = tuple(
+        (h.index_dir, h.__dict__["_tomb_cache"][0]) for h, _ in tagged
+    )
+    cached = _MULTI_DENY_CACHE.get(key)
+    if cached is not None:
+        return cached
+    bc = spark.sparkContext.broadcast(
+        np.sort(np.concatenate([a for _, a in tagged]))
+    )
+    _MULTI_DENY_CACHE[key] = bc
+    return bc
+
+
+def _deny_val(deny) -> "np.ndarray | None":
+    """Resolve a deny handle (pyspark Broadcast or ndarray) inside a
+    kernel closure."""
+    if deny is None:
+        return None
+    return deny.value if hasattr(deny, "value") else deny
+
+
 def _make_dv_sort_cog(
-    kernel, specs: list, dv_k: int, score_dtype: str, filtered: bool = False
+    kernel, specs: list, dv_k: int, score_dtype: str, filtered: bool = False,
+    deny=None,
 ):
     """Wrap a match/score kernel with the in-index field-sort cap — the
     TopFieldCollector analog (LuceneServer.java:672-677): the wrapped
@@ -1656,13 +1806,16 @@ def _make_dv_sort_cog(
     def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left):
             return _empty()
+        dny = _deny_val(deny)
         if filtered:
             fmask = (right["col"] == _DV_FILTER_COL).to_numpy()
             allowed = np.unique(
                 right["fdoc"].to_numpy(np.int64)[fmask]
             )
             right = right.loc[~fmask]
-            hits = kernel(left, allowed)
+            hits = kernel(left, DocFilter(allowed, dny))
+        elif dny is not None:
+            hits = kernel(left, DocFilter(None, dny))
         else:
             hits = kernel(left)
         if not len(hits):
@@ -1734,6 +1887,7 @@ def _group_lookup(hits: pd.DataFrame, right: pd.DataFrame, group_col: str):
 def _make_dv_group_cog(
     kernel, group_col: str, pass_spec: tuple, score_dtype: str,
     filtered: bool = False,
+    deny=None,
 ):
     """Wrap a score kernel with one pass of two-pass grouped search — the
     Lucene grouping-module analog (TermFirstPassGroupingCollector /
@@ -1779,11 +1933,14 @@ def _make_dv_group_cog(
     def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left):
             return _empty()
+        dny = _deny_val(deny)
         if filtered:
             fmask = (right["col"] == _DV_FILTER_COL).to_numpy()
             allowed = np.unique(right["fdoc"].to_numpy(np.int64)[fmask])
             right = right.loc[~fmask]
-            hits = kernel(left, allowed)
+            hits = kernel(left, DocFilter(allowed, dny))
+        elif dny is not None:
+            hits = kernel(left, DocFilter(None, dny))
         else:
             hits = kernel(left)
         if not len(hits):
@@ -1917,6 +2074,10 @@ def search(
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
     index._record_query()
+    # tombstoned (deleted) docs are denied inside the kernels before any
+    # cap — Lucene's liveDocs skip at collection time; df/N/avgdl stay
+    # STALE until expunge, exactly like Lucene pre-merge
+    deny = _deny_handle(spark, index)
     sql_t = "float" if score_dtype == "float32" else "double"
     empty_schema = f"doc_id long, shard_id int, score {sql_t}"
     if _with_total:
@@ -2098,7 +2259,7 @@ def search(
             dv_cols = [group_col]
             dv_cog = _make_dv_group_cog(
                 kernel, group_col, pass_spec, score_dtype,
-                filtered=filter_df is not None,
+                filtered=filter_df is not None, deny=deny,
             )
             extra_schema = "gkey long, gnull boolean"
             extra_cols = ["gkey", "gnull"]
@@ -2110,7 +2271,7 @@ def search(
             dv_cols = [n for n, _ in specs]
             dv_cog = _make_dv_sort_cog(
                 kernel, specs, dv_k, score_dtype,
-                filtered=filter_df is not None,
+                filtered=filter_df is not None, deny=deny,
             )
             extra_schema = ", ".join(
                 f"__sv{i} long" for i in range(len(specs))
@@ -2139,9 +2300,15 @@ def search(
     if filter_df is None:
         # 1-arg wrapper: applyInPandas treats a 2-arg function as
         # (group_key, pdf), but our kernels' 2nd arg is the filter set.
-        hits = postings.groupBy("shard_id").applyInPandas(
-            lambda pdf: kernel(pdf), out_schema
-        )
+        if deny is not None:
+            hits = postings.groupBy("shard_id").applyInPandas(
+                lambda pdf: kernel(pdf, DocFilter(None, deny.value)),
+                out_schema,
+            )
+        else:
+            hits = postings.groupBy("shard_id").applyInPandas(
+                lambda pdf: kernel(pdf), out_schema
+            )
     else:
         fdf = filter_df.select(
             F.col(filter_doc_col).cast("long").alias("doc_id")
@@ -2153,7 +2320,7 @@ def search(
             if not len(left):
                 return _empty_hits(score_dtype, _with_total)
             allowed = np.unique(right["doc_id"].to_numpy(np.int64))
-            return kernel(left, allowed)
+            return kernel(left, DocFilter(allowed, _deny_val(deny)))
 
         hits = (
             postings.groupBy("shard_id")
@@ -2286,6 +2453,9 @@ def search_multi(
     handles = [
         IndexHandle.open(spark, ix) if isinstance(ix, str) else ix for ix in indexes
     ]
+    # tombstones across every searched index (deny inside the kernels;
+    # stats stay stale until expunge — Lucene liveDocs semantics)
+    deny = _deny_handle_multi(spark, handles)
     sql_t = "float" if score_dtype == "float32" else "double"
     empty_schema = f"doc_id long, shard_id int, score {sql_t}"
     if _with_total:
@@ -2449,7 +2619,7 @@ def search_multi(
         specs, dv_k = _dv_sort
         dv_cog = _make_dv_sort_cog(
             kernel, specs, dv_k, score_dtype,
-            filtered=filter_df is not None,
+            filtered=filter_df is not None, deny=deny,
         )
         dv_parts = []
         offset = 0
@@ -2496,9 +2666,15 @@ def search_multi(
             *[f"__sv{i}" for i in range(len(specs))],
         )
     if filter_df is None:
-        hits = postings.groupBy("shard_id").applyInPandas(
-            lambda pdf: kernel(pdf), out_schema
-        )
+        if deny is not None:
+            hits = postings.groupBy("shard_id").applyInPandas(
+                lambda pdf: kernel(pdf, DocFilter(None, deny.value)),
+                out_schema,
+            )
+        else:
+            hits = postings.groupBy("shard_id").applyInPandas(
+                lambda pdf: kernel(pdf), out_schema
+            )
     else:
         fbase = filter_df.select(F.col(filter_doc_col).cast("long").alias("doc_id"))
         fparts = []
@@ -2519,7 +2695,7 @@ def search_multi(
             if not len(left):
                 return _empty_hits(score_dtype, _with_total)
             allowed = np.unique(right["doc_id"].to_numpy(np.int64))
-            return kernel(left, allowed)
+            return kernel(left, DocFilter(allowed, _deny_val(deny)))
 
         hits = (
             postings.groupBy("shard_id")
@@ -3014,6 +3190,9 @@ def search_batch(
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
     index._record_query()
+    # tombstoned docs masked at decode time for every batched query
+    # (liveDocs; see search())
+    deny = _deny_handle(spark, index)
     sql_t = "float" if score_dtype == "float32" else "double"
     out_schema = f"query_id int, shard_id int, doc_id long, score {sql_t}"
     # Per-query plan: ("flat", qweights, must, must_not, phrases) |
@@ -3124,17 +3303,23 @@ def search_batch(
         if not len(pdf):
             return _empty_batch()
         shard_id = int(pdf["shard_id"].iloc[0])
+        dny = _deny_val(deny)
         idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         pos_data: dict[str, tuple] = {}
         for row, idf in zip(pdf.itertuples(index=False), idf_col):
             d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
+            if row.term in phrase_terms:
+                # FULL per-doc positions, captured pre-mask (phrase verify
+                # runs over already-masked candidates only)
+                pos_data[row.term] = (d, t, decode_positions(row.positions, t))
+            if dny is not None:
+                keep = ~np.isin(d, dny)
+                d, t, l = d[keep], t[keep], l[keep]
             decoded[row.term] = (
                 d,
                 idf * scoring.tf_norm_np(t, l, avgdl),
             )
-            if row.term in phrase_terms:
-                pos_data[row.term] = (d, t, decode_positions(row.positions, t))
         out_q, out_d, out_s = [], [], []
         for qi, plan in enumerate(plans):
             if plan[0] == "tree":
@@ -3236,6 +3421,9 @@ def count_matches(
         or "?" in query
         or _RANGE_RE.search(query)
         or any(tok[0] in "+-" and len(tok) > 1 for tok in query.split())
+        # tombstones: the search kernels' totals already skip deleted
+        # docs (liveDocs), so a tombstoned index counts through them too
+        or any(h.has_tombstones() for h in handles)
     ):
         # non-flat query: the search kernels' exact totals ARE the count
         # (rewrites expand against the dictionary there — per index when
@@ -3328,6 +3516,9 @@ def facet_counts(
             )
         index = index[0]
     h = IndexHandle.open(spark, index) if isinstance(index, str) else index
+    # tombstoned docs never count toward a facet value (Lucene facets
+    # consult liveDocs); counts use the live match set
+    deny = _deny_handle(spark, h)
     if field not in h.keyword_fields:
         raise ValueError(
             f"field {field!r} is not a keyword field of this index "
@@ -3395,6 +3586,11 @@ def facet_counts(
             matches = np.unique(
                 np.concatenate([a for arrs in per_term.values() for a in arrs])
             )
+        dny = _deny_val(deny)
+        if dny is not None:
+            matches = matches[~np.isin(matches, dny)]
+            if matches.size == 0:
+                return pd.DataFrame({"th": [], "n": []})
         ths, ns = [], []
         for r in rpdf.itertuples(index=False):
             docs_v = decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
