@@ -31,6 +31,10 @@ def __getattr__(name):
         "count_matches": ("katta_spark.query", "count_matches"),
         "get_details": ("katta_spark.query", "get_details"),
         "IndexHandle": ("katta_spark.query", "IndexHandle"),
+        "delete_docs": ("katta_spark.delete", "delete_docs"),
+        "delete_by_query": ("katta_spark.delete", "delete_by_query"),
+        "compact": ("katta_spark.compact", "compact"),
+        "expunge": ("katta_spark.compact", "expunge"),
     }
     if name in _lazy:
         import importlib
