@@ -414,14 +414,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["filtered_search"] = filtered_search
 
     def bm25_total(spark, sf):
-        """A3/A4: top-k + exact totalHits in ONE job (Hits.java:34-51)."""
-        out = ksq.search_with_total(
-            spark, _index_dir(spark, sf), "join hash", k=10,
-            score_dtype="float64",
+        """Tagged union (50-gate cap). leg='top': A3/A4 top-k + exact
+        totalHits in ONE job (Hits.java:34-51). leg='page2': result
+        PAGING, shallow form — search(offset=10) = Lucene's
+        TopScoreDocCollector over offset+k then slice; totals unchanged
+        by the page. leg='cursor': deep form — search_after(after=last
+        hit of page 1) = IndexSearcher.searchAfter, per-shard emission
+        stays at k at any depth; same rows as page2 (oracle: OFFSET 10),
+        totals not tracked (NULL, Lucene parity)."""
+        d = _index_dir(spark, sf)
+        top = ksq.search_with_total(
+            spark, d, "join hash", k=10, score_dtype="float64"
+        ).select(
+            F.lit("top").alias("leg"), "doc_id",
+            F.round("score", 4).alias("score_r"), "total_hits",
         )
-        return out.select(
-            "doc_id", F.round("score", 4).alias("score_r"), "total_hits"
+        page2 = ksq.search_with_total(
+            spark, d, "join hash", k=10, offset=10, score_dtype="float64"
+        ).select(
+            F.lit("page2").alias("leg"), "doc_id",
+            F.round("score", 4).alias("score_r"), "total_hits",
         )
+        p1 = ksq.search(
+            spark, d, "join hash", k=10, score_dtype="float64"
+        ).collect()
+        last = p1[-1]
+        cur = ksq.search_after(
+            spark, d, "join hash",
+            (last["score"], last["doc_id"], last["shard_id"]),
+            k=10, score_dtype="float64",
+        ).select(
+            F.lit("cursor").alias("leg"), "doc_id",
+            F.round("score", 4).alias("score_r"),
+            F.lit(None).cast("long").alias("total_hits"),
+        )
+        return top.unionByName(page2).unionByName(cur)
 
     q["bm25_total"] = bm25_total
 
@@ -1179,7 +1206,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id IN (SELECT doc_id FROM documents WHERE n_chars % 2 = 0)"
         ),
     )
-    o["bm25_total"] = _bm25_sql([("join", 1.0), ("hash", 1.0)], 10, total=True)
+    # totals + the two Lucene paging forms (offset ≡ OFFSET; the cursor
+    # page returns the same rows with totals untracked → NULL)
+    _total_sql = _bm25_sql([("join", 1.0), ("hash", 1.0)], 10, total=True)
+    _total_p2_sql = _total_sql.replace("LIMIT 10", "LIMIT 10 OFFSET 10")
+    _cursor_p2_sql = _bm25_sql([("join", 1.0), ("hash", 1.0)], 10).replace(
+        "LIMIT 10", "LIMIT 10 OFFSET 10"
+    )
+    o["bm25_total"] = f"""
+        SELECT 'top' AS leg, * FROM ({_total_sql})
+        UNION ALL
+        SELECT 'page2' AS leg, * FROM ({_total_p2_sql})
+        UNION ALL
+        SELECT 'cursor' AS leg, doc_id, score_r,
+               NULL::BIGINT AS total_hits
+        FROM ({_cursor_p2_sql})
+    """
     # MUST_NOT: anti-join on the excluded term's matches (scores unchanged)
     o["bm25_not"] = _bm25_sql(
         [("join", 1.0), ("hash", 1.0)], 10,
@@ -1451,7 +1493,7 @@ ORDER BY s DESC, doc_id ASC LIMIT {k}
         SELECT 'expunged' AS variant, * FROM ({_expunged_sql})
     """
     # …and the whole-corpus totalHits (cross-index accumulation)
-    o["bm25_total_multi"] = o["bm25_total"]
+    o["bm25_total_multi"] = _total_sql  # plain totals (no paging legs)
 
     # wildcard e2e: q = dictionary expansion of 'sc%' (each term weight 1)
     # plus the literal term — same CTE body, SELECT-shaped q

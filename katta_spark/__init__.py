@@ -28,6 +28,7 @@ def __getattr__(name):
         "search_sorted": ("katta_spark.query", "search_sorted"),
         "search_grouped": ("katta_spark.query", "search_grouped"),
         "search_with_total": ("katta_spark.query", "search_with_total"),
+        "search_after": ("katta_spark.query", "search_after"),
         "count_matches": ("katta_spark.query", "count_matches"),
         "get_details": ("katta_spark.query", "get_details"),
         "IndexHandle": ("katta_spark.query", "IndexHandle"),

@@ -78,6 +78,24 @@ def _keep_mask(d: np.ndarray, flt) -> "np.ndarray | None":
     return np.isin(d, flt)
 
 
+def _cursor_mask(
+    scores: np.ndarray, docs: np.ndarray, shard_id: int, cursor: tuple
+) -> np.ndarray:
+    """Mask of candidates strictly AFTER ``cursor`` in the reference
+    tie-break (score DESC, doc ASC, shard DESC) — the per-shard predicate
+    of Lucene's IndexSearcher.searchAfter (the deep-paging cursor that
+    keeps per-shard emission at k instead of offset+k). ``cursor`` is the
+    (score, doc_id, shard_id) of the last already-returned hit; score
+    equality is exact because the kernels recompute bit-identical
+    scores."""
+    cs, cd, csh = cursor
+    return (
+        (scores < cs)
+        | ((scores == cs) & (docs > cd))
+        | ((scores == cs) & (docs == cd) & (shard_id < csh))
+    )
+
+
 @dataclass
 class IndexHandle:
     """Opened index — the analog of Katta's deployed-index client view."""
@@ -1069,6 +1087,7 @@ def _make_tree_kernel(
     with_total: bool = False,
     prune: bool = True,
     stats: dict | None = None,
+    cursor: tuple | None = None,
 ):
     """Per-shard kernel for grouped boolean queries (parse_tree_query).
 
@@ -1112,6 +1131,7 @@ def _make_tree_kernel(
             and not with_total
             and not _tree_has_not(tree)
             and filter_docs is None
+            and cursor is None
             and k > 0
         )
 
@@ -1144,6 +1164,11 @@ def _make_tree_kernel(
             if docs is None:
                 return _empty_hits(score_dtype, with_total)
             sc = sc.astype(score_dtype)
+        if cursor is not None:
+            cm = _cursor_mask(sc, docs, shard_id, cursor)
+            docs, sc = docs[cm], sc[cm]
+            if docs.size == 0:
+                return _empty_hits(score_dtype, with_total)
         if docs.size > k:
             order = np.lexsort((docs, -sc.astype(np.float64)))[:k]
             docs, sc = docs[order], sc[order]
@@ -1376,6 +1401,7 @@ def _make_score_kernel(
     must_terms: frozenset[str] = frozenset(),
     not_terms: frozenset[str] = frozenset(),
     phrases: tuple = (),
+    cursor: tuple | None = None,
 ):
     """Per-shard scoring kernel (applyInPandas over shard_id groups).
 
@@ -1399,7 +1425,15 @@ def _make_score_kernel(
     the must-intersection (every phrase token is a MUST), then
     _phrase_match_mask applies Lucene's sloppy-span semantics. Surviving
     docs keep their BM25 scores unchanged."""
-    prune = prune and not must_terms and not not_terms and not phrases
+    # a searchAfter cursor masks candidates AFTER accumulation, so the
+    # θ prune bound (computed over masked candidates) cannot drive block
+    # skipping — prune off, like filters disable tree pruning
+    prune = (
+        prune and not must_terms and not not_terms and not phrases
+        and cursor is None
+    )
+    if cursor is not None and with_total:
+        raise ValueError("searchAfter does not combine with totals")
     phrase_terms = {t for toks, _ in phrases for t in toks}
 
     def kernel(
@@ -1557,6 +1591,11 @@ def _make_score_kernel(
         if acc_docs.size == 0:
             return _empty_hits(score_dtype, with_total)
         scores32 = acc_scores.astype(score_dtype)
+        if cursor is not None:
+            cm = _cursor_mask(scores32, acc_docs, shard_id, cursor)
+            acc_docs, scores32 = acc_docs[cm], scores32[cm]
+            if acc_docs.size == 0:
+                return _empty_hits(score_dtype, with_total)
         # top-k with exact tie-break: score DESC, doc_id ASC
         kk = min(k, acc_docs.size)
         order = np.lexsort((acc_docs, -scores32))[:kk]
@@ -1578,6 +1617,7 @@ def _make_and_kernel(
     qweights: dict[str, float], n_docs: float, avgdl: float, k: int,
     score_dtype: str = "float32",
     with_total: bool = False,
+    cursor: tuple | None = None,
 ):
     """Conjunctive (AND) kernel: posting-list intersection with skip-pointer
     galloping — SURVEY.md §2.3 J1, the operation Lucene's BooleanQuery runs
@@ -1641,6 +1681,11 @@ def _make_and_kernel(
         for term, tf, dl in tfdl_by_term:
             scores += qweights[term] * idf_of[term] * scoring.tf_norm_np(tf, dl, avgdl)
         scores32 = scores.astype(score_dtype)
+        if cursor is not None:
+            cm = _cursor_mask(scores32, cand, shard_id, cursor)
+            cand, scores32 = cand[cm], scores32[cm]
+            if cand.size == 0:
+                return empty
         kk = min(k, cand.size)
         order = np.lexsort((cand, -scores32))[:kk]
         out = pd.DataFrame(
@@ -2025,9 +2070,11 @@ def search(
     source_text_col: str = "text",
     source_id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     source_doc_id_col: str | None = None,
+    offset: int = 0,
     _with_total: bool = False,
     _dv_sort: tuple | None = None,
     _dv_group: tuple | None = None,
+    _cursor: tuple | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
     by the exact reference tie-break, ≤ k rows.
@@ -2070,10 +2117,44 @@ def search(
     kernel sees exactly its own allowed set — fully distributed, nothing
     travels through the driver (``filter_docs`` list remains as a
     convenience wrapper for tiny driver-side sets).
+
+    Paging: ``offset=N`` returns ranks N..N+k of the merged ranking —
+    Lucene's shallow paging (a TopScoreDocCollector over offset+k, then
+    slice; each shard emits offset+k rows, so cost grows with depth
+    exactly as in Lucene). For deep pages use :func:`search_after`
+    (IndexSearcher.searchAfter — per-shard emission stays at k).
     """
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
     index._record_query()
+    # ---- result paging (Lucene parity): ``offset`` pages like a
+    # TopScoreDocCollector over offset+k (every shard emits offset+k —
+    # exact, and exactly Lucene's shallow-paging cost model); ``_cursor``
+    # (via search_after) is IndexSearcher.searchAfter — per-shard
+    # emission stays at k regardless of page depth.
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    if offset and _cursor is not None:
+        raise ValueError(
+            "offset and search_after are alternative paging forms — "
+            "pass one"
+        )
+    if (offset or _cursor is not None) and (
+        _dv_sort is not None or _dv_group is not None or not ordered
+    ):
+        raise ValueError(
+            "offset/search_after page the score-ranked result; use "
+            "search_sorted(offset=...) for field-sorted paging"
+        )
+    if _cursor is not None:
+        if _with_total:
+            raise ValueError("search_after does not combine with totals")
+        if len(_cursor) != 3:
+            raise ValueError(
+                "after must be (score, doc_id, shard_id) of the last hit"
+            )
+        prune = False
+    k_eff = k + offset
     # tombstoned (deleted) docs are denied inside the kernels before any
     # cap — Lucene's liveDocs skip at collection time; df/N/avgdl stay
     # STALE until expunge, exactly like Lucene pre-merge
@@ -2223,22 +2304,40 @@ def search(
 
     if tree is not None:
         kernel = _make_tree_kernel(
-            tree, qweights, n_docs, avgdl, k, score_dtype, _with_total,
-            prune=prune,
+            tree, qweights, n_docs, avgdl, k_eff, score_dtype, _with_total,
+            prune=prune, cursor=_cursor,
         )
     elif boolean:
         kernel = _make_score_kernel(
-            qweights, n_docs, avgdl, k, False, score_dtype,
+            qweights, n_docs, avgdl, k_eff, False, score_dtype,
             _with_total, frozenset(must), frozenset(must_not),
-            tuple(phrases),
+            tuple(phrases), cursor=_cursor,
         )
+    elif _cursor is not None:
+        # cursor paging needs score-ranked kernels — built directly
+        # (the registry's factory signature has no cursor slot)
+        if mode == "or":
+            kernel = _make_score_kernel(
+                qweights, n_docs, avgdl, k_eff, False, score_dtype,
+                _with_total, cursor=_cursor,
+            )
+        elif mode == "and":
+            kernel = _make_and_kernel(
+                qweights, n_docs, avgdl, k_eff, score_dtype, _with_total,
+                cursor=_cursor,
+            )
+        else:
+            raise ValueError(
+                "search_after requires a scoring mode ('or'/'and' or a "
+                f"boolean/tree query); got mode={mode!r}"
+            )
     else:
         if mode not in KERNEL_MODES:
             raise ValueError(
                 f"unknown search mode {mode!r}; registered: {sorted(KERNEL_MODES)}"
             )
         kernel = KERNEL_MODES[mode](
-            qweights, n_docs, avgdl, k, prune, score_dtype, _with_total
+            qweights, n_docs, avgdl, k_eff, prune, score_dtype, _with_total
         )
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
     if _with_total:
@@ -2334,9 +2433,69 @@ def search(
         # per-shard union unsorted avoids a global score sort that would
         # funnel every matching doc through one partition.
         return hits
-    return hits.orderBy(
+    out = hits.orderBy(
         F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
-    ).limit(k)
+    ).limit(k_eff)
+    if offset:
+        # drop the first ``offset`` rows of the merged ranking — the
+        # window runs over ≤ offset+k rows (the Katta client-merge
+        # analog), never corpus-sized
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc(),
+            F.col("shard_id").desc(),
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > offset)
+            .drop("__rn")
+        )
+    return out
+
+
+def search_after(
+    spark: SparkSession,
+    index: "IndexHandle | str | list[IndexHandle | str]",
+    query: str,
+    after: tuple,
+    k: int = 10,
+    mode: str = "or",
+    score_dtype: str = "float32",
+    shard_ids: list[int] | None = None,
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
+) -> DataFrame:
+    """Deep-paging cursor search — ``IndexSearcher.searchAfter`` (the
+    reference serves Lucene, whose consumers page exactly this way; the
+    shallow form, Lucene's offset+k TopScoreDocCollector, is
+    ``search(offset=...)``).
+
+    ``after`` is the (score, doc_id, shard_id) triple of the LAST hit of
+    the previous page (exactly the columns every search result carries).
+    Each shard kernel masks candidates strictly after the cursor in the
+    reference tie-break BEFORE its top-k cap, so per-shard emission stays
+    at k rows no matter how deep the page — the property searchAfter
+    exists for. Scores are deterministic re-computation, so the
+    score-equality comparison in the cursor predicate is exact.
+
+    Page-1 rows never reappear and pages concatenate to the full ranking
+    (tested in tests/test_paging.py). A LIST of indexes pages the
+    combined ranking (cursor shard_ids are the offset ids the multi-index
+    results carry). Requires a scoring query (or/and/boolean/tree);
+    totals don't combine (Lucene's searchAfter collectors don't track
+    them either)."""
+    if isinstance(index, (list, tuple)):
+        return search_multi(
+            spark, list(index), query, k=k, mode=mode,
+            score_dtype=score_dtype, filter_df=filter_df,
+            filter_doc_col=filter_doc_col, _cursor=tuple(after),
+        )
+    return search(
+        spark, index, query, k=k, mode=mode, score_dtype=score_dtype,
+        shard_ids=shard_ids, filter_df=filter_df,
+        filter_doc_col=filter_doc_col, _cursor=tuple(after),
+    )
 
 
 def search_with_total(
@@ -2348,6 +2507,7 @@ def search_with_total(
     score_dtype: str = "float32",
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k AND exact totalHits in ONE job — Katta returns both in one
     response (Hits.java:34-51: total hit count + merged top-k;
@@ -2373,6 +2533,9 @@ def search_with_total(
     all-or-nothing so "searched" coverage is always full — what varies,
     and is reported, is how many shards contributed matches).
     """
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    k_eff = k + offset
     sql_t = "float" if score_dtype == "float32" else "double"
     schema = (
         f"doc_id long, shard_id int, score {sql_t}, total_hits long, "
@@ -2385,7 +2548,7 @@ def search_with_total(
         ]
         shards_total = sum(h.num_shards for h in handles)
         rows = search_multi(
-            spark, handles, query, k=k, mode=mode, score_dtype=score_dtype,
+            spark, handles, query, k=k_eff, mode=mode, score_dtype=score_dtype,
             filter_df=filter_df, filter_doc_col=filter_doc_col,
             ordered=False, _with_total=True,
         ).collect()
@@ -2394,7 +2557,7 @@ def search_with_total(
             index = IndexHandle.open(spark, index)
         shards_total = index.num_shards
         rows = search(
-            spark, index, query, k=k, mode=mode, score_dtype=score_dtype,
+            spark, index, query, k=k_eff, mode=mode, score_dtype=score_dtype,
             prune=False, ordered=False,
             filter_df=filter_df, filter_doc_col=filter_doc_col,
             _with_total=True,
@@ -2403,7 +2566,11 @@ def search_with_total(
         return _local_df(spark, [], None, schema)
     per_shard = {r.shard_id: int(r.shard_total) for r in rows}
     total = sum(per_shard.values())
-    top = sorted(rows, key=lambda r: (-r.score, r.doc_id, -r.shard_id))[:k]
+    # paging slices the client merge (totals unaffected — Hits reports
+    # the full count whatever page is displayed)
+    top = sorted(rows, key=lambda r: (-r.score, r.doc_id, -r.shard_id))[
+        offset:offset + k
+    ]
     return _local_df(
         spark,
         [
@@ -2427,8 +2594,10 @@ def search_multi(
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
     ordered: bool = True,
+    offset: int = 0,
     _with_total: bool = False,
     _dv_sort: tuple | None = None,
+    _cursor: tuple | None = None,
 ) -> DataFrame:
     """Search several indexes as one corpus — Katta's multi-index search
     (``search(query, ["idx1", "idx2"])``, LuceneClientTest.java:266-279).
@@ -2453,6 +2622,20 @@ def search_multi(
     handles = [
         IndexHandle.open(spark, ix) if isinstance(ix, str) else ix for ix in indexes
     ]
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    if offset and _cursor is not None:
+        raise ValueError(
+            "offset and search_after are alternative paging forms — pass one"
+        )
+    if (offset or _cursor is not None) and (_dv_sort is not None or not ordered):
+        raise ValueError(
+            "offset/search_after page the score-ranked result; use "
+            "search_sorted(offset=...) for field-sorted paging"
+        )
+    if _cursor is not None and _with_total:
+        raise ValueError("search_after does not combine with totals")
+    k_eff = k + offset
     # tombstones across every searched index (deny inside the kernels;
     # stats stay stale until expunge — Lucene liveDocs semantics)
     deny = _deny_handle_multi(spark, handles)
@@ -2558,18 +2741,18 @@ def search_multi(
     # broadcast-joined per row, as in search().
     kcols = _KERNEL_COLS + (["positions"] if phrases else [])
     parts = []
-    offset = 0
+    sh_off = 0
     for h in handles:
         p = (
             h.postings(spark)
             .where(F.col("th").isin(live_hashes))
             .select(*kcols)
             .withColumn(
-                "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
+                "shard_id", (F.col("shard_id") + F.lit(sh_off)).cast("int")
             )
         )
         parts.append(p)
-        offset += h.num_shards
+        sh_off += h.num_shards
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.unionByName(p)
@@ -2583,28 +2766,36 @@ def search_multi(
 
     if tree is not None:
         kernel = _make_tree_kernel(
-            tree, qweights, n_docs, avgdl, k, score_dtype, _with_total
+            tree, qweights, n_docs, avgdl, k_eff, score_dtype, _with_total,
+            cursor=_cursor,
         )
     elif mode == "and":
         kernel = _make_and_kernel(
-            qweights, n_docs, avgdl, k, score_dtype, _with_total
+            qweights, n_docs, avgdl, k_eff, score_dtype, _with_total,
+            cursor=_cursor,
         )
     elif mode == "match":
         # scores-off path (Katta's default — LuceneServer.java:97 only
         # tracks scores when asked): used by multi-index search_sorted
         # with track_scores=False
+        if _cursor is not None:
+            raise ValueError(
+                "search_after requires a scoring mode ('or'/'and' or a "
+                "boolean/tree query); got mode='match'"
+            )
         kernel = _make_match_kernel(
-            qweights, n_docs, avgdl, k, score_dtype, _with_total
+            qweights, n_docs, avgdl, k_eff, score_dtype, _with_total
         )
     else:
         # with totals the count must be exact → no block pruning; boolean
         # clauses (must/not/phrase) also disable pruning inside the kernel
         kernel = _make_score_kernel(
-            qweights, n_docs, avgdl, k,
-            not _with_total and not must and not must_not and not phrases,
+            qweights, n_docs, avgdl, k_eff,
+            not _with_total and not must and not must_not and not phrases
+            and _cursor is None,
             score_dtype,
             _with_total, frozenset(must), frozenset(must_not),
-            tuple(phrases),
+            tuple(phrases), cursor=_cursor,
         )
     out_schema = f"shard_id int, doc_id long, score {sql_t}"
     if _with_total:
@@ -2622,16 +2813,16 @@ def search_multi(
             filtered=filter_df is not None, deny=deny,
         )
         dv_parts = []
-        offset = 0
+        sh_off = 0
         for h in handles:
             dv_parts.append(
                 spark.read.parquet(_dvp(h.index_dir))
                 .where(F.col("col").isin([n for n, _ in specs]))
                 .withColumn(
-                    "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int")
+                    "shard_id", (F.col("shard_id") + F.lit(sh_off)).cast("int")
                 )
             )
-            offset += h.num_shards
+            sh_off += h.num_shards
         dvdf = dv_parts[0]
         for p in dv_parts[1:]:
             dvdf = dvdf.unionByName(p)
@@ -2640,17 +2831,17 @@ def search_multi(
                 F.col(filter_doc_col).cast("long").alias("doc_id")
             )
             fparts = []
-            offset = 0
+            sh_off = 0
             for h in handles:
                 fparts.append(
                     fbase.withColumn(
                         "shard_id",
-                        (h.shard_expr(F.col("doc_id")) + F.lit(offset)).cast(
+                        (h.shard_expr(F.col("doc_id")) + F.lit(sh_off)).cast(
                             "int"
                         ),
                     )
                 )
-                offset += h.num_shards
+                sh_off += h.num_shards
             fdf = fparts[0]
             for fp in fparts[1:]:
                 fdf = fdf.unionByName(fp)
@@ -2678,15 +2869,15 @@ def search_multi(
     else:
         fbase = filter_df.select(F.col(filter_doc_col).cast("long").alias("doc_id"))
         fparts = []
-        offset = 0
+        sh_off = 0
         for h in handles:
             fparts.append(
                 fbase.withColumn(
                     "shard_id",
-                    (h.shard_expr(F.col("doc_id")) + F.lit(offset)).cast("int"),
+                    (h.shard_expr(F.col("doc_id")) + F.lit(sh_off)).cast("int"),
                 )
             )
-            offset += h.num_shards
+            sh_off += h.num_shards
         fdf = fparts[0]
         for fp in fparts[1:]:
             fdf = fdf.unionByName(fp)
@@ -2708,9 +2899,22 @@ def search_multi(
     hits = hits.select(*sel)
     if not ordered:
         return hits
-    return hits.orderBy(
+    out = hits.orderBy(
         F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
-    ).limit(k)
+    ).limit(k_eff)
+    if offset:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc(),
+            F.col("shard_id").desc(),
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > offset)
+            .drop("__rn")
+        )
+    return out
 
 
 def search_sorted(
@@ -2725,6 +2929,7 @@ def search_sorted(
     doc_id_col: str | None = None,
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
+    offset: int = 0,
 ) -> DataFrame:
     """Field-sorted search — Katta's TopFieldCollector path (T2/T4:
     LuceneServer.java:672-677, typed sort fields WritableType.java:33-35,
@@ -2751,6 +2956,8 @@ def search_sorted(
     the searched indices, LuceneClientTest.java:330) via search_multi's
     combined-stats bag union; ``source`` must cover the union corpus.
     """
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     specs = _norm_sort_specs(sort_cols)
     if specs is not None:
         ihs = [
@@ -2771,7 +2978,7 @@ def search_sorted(
                 spark,
                 ihs if isinstance(index, (list, tuple)) else ihs[0],
                 query, source, specs, k, track_scores, id_cols, doc_id_col,
-                filter_df, filter_doc_col,
+                filter_df, filter_doc_col, offset,
             )
     # fallback: candidate docs = union of posting lists (huge k caps
     # nothing away); when scores aren't tracked, the match-only kernel
@@ -2802,7 +3009,18 @@ def search_sorted(
         src = source.withColumn("doc_id", F.col(doc_id_col).cast("long"))
     joined = matches.join(_join_safe_source(src, matches.columns), "doc_id")
     cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
-    out = joined.orderBy(*cols, F.col("doc_id").asc()).limit(k)
+    out = joined.orderBy(*cols, F.col("doc_id").asc()).limit(k + offset)
+    if offset:
+        # TopFieldCollector paging (offset+k then slice) — the window
+        # runs over <= offset+k rows
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*cols, F.col("doc_id").asc())
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > offset)
+            .drop("__rn")
+        )
     if not track_scores:
         out = out.drop("score")
     return out
@@ -2850,6 +3068,7 @@ def _search_sorted_dv(
     doc_id_col: str | None,
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
+    offset: int = 0,
 ) -> DataFrame:
     """Docvalue fast path: per-shard in-index field-sort cap (≤ k·shards
     rows leave the kernels), global merge on the mapped keys, then ONE
@@ -2860,10 +3079,11 @@ def _search_sorted_dv(
     the kernels ahead of the per-shard dv selection — Katta's
     search(query, sort, filter) in one call (ILuceneServer.java:84-101,
     LuceneClientTest.java:562-617)."""
+    dv_k = k + offset  # TopFieldCollector pages at offset+k per shard
     if isinstance(index, (list, tuple)):
         hits = search_multi(
             spark, list(index), query, k=2**31 - 1,
-            score_dtype="float64", ordered=False, _dv_sort=(specs, k),
+            score_dtype="float64", ordered=False, _dv_sort=(specs, dv_k),
             mode="or" if track_scores else "match",
             filter_df=filter_df, filter_doc_col=filter_doc_col,
         )
@@ -2872,7 +3092,7 @@ def _search_sorted_dv(
             spark, index, query, k=2**31 - 1, prune=False,
             score_dtype="float64", ordered=False,
             mode="or" if track_scores else "match",
-            _dv_sort=(specs, k),
+            _dv_sort=(specs, dv_k),
             filter_df=filter_df, filter_doc_col=filter_doc_col,
         )
     # Across MULTIPLE indexes a STRING column's mapped keys are per-index
@@ -2895,17 +3115,17 @@ def _search_sorted_dv(
         from katta_spark.docvalues import strings_path as _dv_strings
 
         iid_expr = None
-        offset = 0
+        sh_off = 0
         for hi_, h in enumerate(handles):
-            cond = (F.col("shard_id") >= offset) & (
-                F.col("shard_id") < offset + h.num_shards
+            cond = (F.col("shard_id") >= sh_off) & (
+                F.col("shard_id") < sh_off + h.num_shards
             )
             iid_expr = (
                 F.when(cond, F.lit(hi_))
                 if iid_expr is None
                 else iid_expr.when(cond, F.lit(hi_))
             )
-            offset += h.num_shards
+            sh_off += h.num_shards
         hits = hits.withColumn("__iid", iid_expr)
         for i in str_ix:
             name = specs[i][0]
@@ -2944,7 +3164,18 @@ def _search_sorted_dv(
         )
         for i, (_, d) in enumerate(specs)
     ]
-    top = hits.orderBy(*order_cols, F.col("doc_id").asc()).limit(k)
+    top = hits.orderBy(*order_cols, F.col("doc_id").asc()).limit(k + offset)
+    if offset:
+        # slice the merged ranking past the page boundary (≤ offset+k
+        # rows in the window — the client-merge analog)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order_cols, F.col("doc_id").asc())
+        top = (
+            top.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > offset)
+            .drop("__rn")
+        )
     if doc_id_col is None:
         src = source.withColumn(
             "doc_id", F.xxhash64(*[F.col(c) for c in id_cols])
