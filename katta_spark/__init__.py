@@ -30,6 +30,7 @@ def __getattr__(name):
         "search_with_total": ("katta_spark.query", "search_with_total"),
         "search_after": ("katta_spark.query", "search_after"),
         "count_matches": ("katta_spark.query", "count_matches"),
+        "explain_score": ("katta_spark.query", "explain_score"),
         "get_details": ("katta_spark.query", "get_details"),
         "IndexHandle": ("katta_spark.query", "IndexHandle"),
         "delete_docs": ("katta_spark.delete", "delete_docs"),

@@ -4125,3 +4125,271 @@ def get_snippets(
     return out.withColumn(
         "snippet", snippet_col(terms, text_col, before, after)
     )
+
+
+def explain_score(
+    spark: SparkSession,
+    index: "IndexHandle | str",
+    query: str,
+    doc_id: int,
+    mode: str = "or",
+    score_dtype: str = "float32",
+) -> DataFrame:
+    """Lucene ``Searcher.explain`` analog: the per-clause BM25 breakdown of
+    ONE document's score under ``query`` — the relevance-debugging surface
+    every Lucene consumer reaches for (the reference serves Lucene 3.5,
+    whose Searchable interface carries explain(Weight, int) right next to
+    the search methods Katta scatter-gathers).
+
+    Returns one row per clause, ordered contribution DESC then term ASC:
+
+      term          the clause (a scoring/excluded term, or the phrase text)
+      clause        'should' | 'must' | 'must_not' | 'phrase'
+      qweight       query-side weight (occurrences x boost; 0 for must_not)
+      tf, dl        this doc's term frequency and field length in the
+                    clause's OWN posting (keyword postings carry dl=1)
+      df            global document frequency (CachedDfSource invariant —
+                    scores never depend on which shard serves the doc)
+      idf, tf_norm  the BM25 factors (float64, scoring.py formulas)
+      contribution  qweight * idf * tf_norm (0 when the doc lacks the term;
+                    must_not and phrase rows never contribute)
+      satisfied     this clause's verdict for THIS doc (a must_not row is
+                    satisfied when the doc does NOT contain the term; a
+                    phrase row when the positional match succeeds)
+      matches       doc-level verdict, repeated on every row
+      total_score   the engine score (score_dtype, same float32 cast as
+                    Hit.java:39) when matches, else 0.0 — bit-comparable
+                    to the ``score`` column search() returns for this doc
+
+    Semantics replicate the search kernels exactly: flat OR needs >= 1
+    scoring term present; mode='and' needs ALL terms; boolean queries need
+    every MUST term + every phrase positionally verified + no MUST_NOT
+    term; dictionary rewrites (wildcard/fuzzy/range) explain the expanded
+    OR, each expansion scoring with its own df. Tombstoned (deleted) docs
+    never match — the liveDocs skip, while the reported stats stay stale
+    until expunge, exactly like Lucene. AND/OR/NOT tree grouping is
+    refused (a tree's match condition is not a flat clause list — run
+    search() and read the tree kernel's verdict instead).
+
+    Dataflow: the postings scan prunes to the query's terms (pushed
+    ``In(th, ...)``) and — under pmod sharding — to the ONE shard that can
+    hold the doc; per-shard kernels emit <= |terms| + |phrases| tiny rows
+    (the doc's tf/dl per clause), never a per-doc result set. The BM25
+    arithmetic over that bounded clause list runs driver-side, the same
+    bounded-metadata budget as the k.shards client merge.
+    """
+    if isinstance(index, str):
+        index = IndexHandle.open(spark, index)
+    index._record_query()
+    target = int(doc_id)
+    query = fold_spaced_fields(query)
+    unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
+    has_phrase = unquoted != query
+    if _TREE_RE.search(unquoted):
+        raise ValueError(
+            "explain_score does not support AND/OR/NOT tree grouping — "
+            "a tree's match condition is not a flat clause list; run "
+            "search() for tree queries"
+        )
+    must: set[str] = set()
+    must_not: set[str] = set()
+    phrases: list[tuple[list[str], int]] = []
+    if _RANGE_RE.search(unquoted):
+        if has_phrase:
+            raise ValueError("phrases cannot be combined with range clauses")
+        qweights = expand_ranges(spark, index, query)
+    elif "*" in unquoted or "~" in unquoted or "?" in unquoted:
+        if has_phrase:
+            raise ValueError(
+                "phrases cannot be combined with wildcard/fuzzy clauses"
+            )
+        qweights = expand_wildcards(spark, index, query)
+    else:
+        qweights, must, must_not, phrases = parse_bool_query(
+            query, index.keyword_fields
+        )
+    if phrases and not index.positions:
+        raise ValueError(
+            f"phrase query against index {index.index_dir!r} built with "
+            "positions=False (omitted term positions) — rebuild with "
+            "positions=True to run phrase/slop queries"
+        )
+    boolean = bool(must or must_not or phrases)
+    if boolean and mode != "or":
+        raise ValueError(
+            "boolean operators (+/-/phrase) define their own clause "
+            f"semantics; mode={mode!r} is not combinable with them"
+        )
+    if mode not in ("or", "and"):
+        raise ValueError(
+            f"explain_score explains scoring searches; mode={mode!r} "
+            "has no score to explain"
+        )
+    out_schema = (
+        "term string, clause string, qweight double, tf long, dl long, "
+        "df long, idf double, tf_norm double, contribution double, "
+        "satisfied boolean, matches boolean, total_score double"
+    )
+    if not qweights and not must_not:
+        return _local_df(spark, [], None, out_schema)
+
+    terms = sorted(set(qweights) | must_not)
+    hashes = sorted(term_hash(t) for t in terms)
+    phrase_tokens = {t for toks, _ in phrases for t in toks}
+    kcols = _KERNEL_COLS[:6] + (["positions"] if phrases else [])
+    # (skips/block maxima are pruning state — a single-doc probe never
+    # needs them)
+    kcols = [
+        c for c in kcols
+        if c in ("shard_id", "th", "doc_ids", "tfs", "doclens", "positions")
+    ]
+    posts = index.postings(spark).where(F.col("th").isin(hashes))
+    if index.sharding == "pmod_doc_id":
+        posts = posts.where(
+            F.col("shard_id") == int(target % index.num_shards)
+        )
+    posts = posts.select(*kcols)
+    q_pairs = [(term_hash(t), t) for t in terms]
+    stats_small = (
+        index.stats(spark)
+        .where(F.col("th").isin(hashes) & F.col("term").isin(terms))
+        .select("th", "term", F.col("df").alias("df_g"))
+    )
+    posts = posts.join(F.broadcast(stats_small), "th")
+    phrase_specs = [(tuple(toks), int(slop)) for toks, slop in phrases]
+    want_pos = bool(phrase_specs)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows_out: list[tuple] = []
+        tf_of: dict[str, int] = {}
+        dl_of: dict[str, int] = {}
+        pdata: dict[str, tuple] = {}
+        for r in pdf.itertuples(index=False):
+            docs, tfs, dls = decode_posting_list(r.doc_ids, r.tfs, r.doclens)
+            i = int(np.searchsorted(docs, target))
+            hit = i < docs.size and int(docs[i]) == target
+            if hit:
+                tf_of[r.term] = int(tfs[i])
+                dl_of[r.term] = int(dls[i])
+            if want_pos and r.term in phrase_tokens and hit:
+                pdata[r.term] = (docs, tfs, decode_positions(r.positions, tfs))
+        for t, tf in tf_of.items():
+            rows_out.append((t, tf, dl_of[t], False))
+        cand = np.array([target], dtype=np.int64)
+        for toks, slop in phrase_specs:
+            if all(t in pdata for t in toks):
+                ok = bool(
+                    _phrase_match_mask(cand, list(toks), slop, pdata)[0]
+                )
+            else:
+                ok = False
+            rows_out.append((" ".join(toks), 0, 0, ok))
+        if not rows_out:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype=np.int64),
+                 "dl": pd.Series(dtype=np.int64),
+                 "phrase_ok": pd.Series(dtype=bool)}
+            )
+        return pd.DataFrame(
+            rows_out, columns=["term", "tf", "dl", "phrase_ok"]
+        )
+
+    probe = (
+        posts.groupBy("shard_id")
+        .applyInPandas(
+            lambda pdf: kernel(pdf),
+            "term string, tf long, dl long, phrase_ok boolean",
+        )
+        .toPandas()
+    )
+    tf_of = {}
+    dl_of = {}
+    phrase_ok: dict[str, bool] = {}
+    # a term row always carries the doc's dl >= 1; phrase verdict rows
+    # carry tf=dl=0, so the two never collide even for one-token phrases
+    pnames = {" ".join(toks) for toks, _ in phrase_specs}
+    for r in probe.itertuples(index=False):
+        if r.term in pnames and (r.tf == 0 and r.dl == 0):
+            phrase_ok[r.term] = phrase_ok.get(r.term, False) or bool(
+                r.phrase_ok
+            )
+        else:
+            tf_of[r.term] = int(r.tf)
+            dl_of[r.term] = int(r.dl)
+    dfm = index.df_of_terms(spark, sorted(set(qweights)))
+    n_docs, avgdl = float(index.n_docs), float(index.avgdl)
+    deleted = index.deleted_array(spark)
+    is_deleted = deleted is not None and bool(
+        np.any(deleted == np.int64(target))
+    )
+
+    out_rows: list[tuple] = []
+    contributions: list[float] = []
+    any_should = False
+    must_ok, not_ok = True, True
+    for t in sorted(qweights):
+        qw = float(qweights[t])
+        tf = tf_of.get(t, 0)
+        dl = dl_of.get(t, 0)
+        dfv = int(dfm.get(t, 0))
+        idf = float(scoring.idf_np(np.array([dfv], np.float64), n_docs)[0])
+        if tf > 0:
+            tfn = float(
+                scoring.tf_norm_np(
+                    np.array([tf], np.float64),
+                    np.array([dl], np.float64),
+                    avgdl,
+                )[0]
+            )
+        else:
+            tfn = 0.0
+        contrib = qw * idf * tfn if tf > 0 else 0.0
+        clause = "must" if t in must else "should"
+        sat = tf > 0
+        if t in must and not sat:
+            must_ok = False
+        if clause == "should" and sat:
+            any_should = True
+        contributions.append(contrib)
+        out_rows.append(
+            (t, clause, qw, tf, dl, dfv, idf, tfn, contrib, sat)
+        )
+    for t in sorted(must_not):
+        tf = tf_of.get(t, 0)
+        sat = tf == 0
+        if not sat:
+            not_ok = False
+        out_rows.append(
+            (t, "must_not", 0.0, tf, dl_of.get(t, 0), 0, 0.0, 0.0, 0.0, sat)
+        )
+    phrases_sat = True
+    for toks, slop in phrase_specs:
+        name = " ".join(toks)
+        ok = phrase_ok.get(name, False)
+        phrases_sat = phrases_sat and ok
+        label = name if slop == 0 else f'"{name}"~{slop}'
+        out_rows.append(
+            (label, "phrase", 0.0, 0, 0, 0, 0.0, 0.0, 0.0, ok)
+        )
+    if mode == "and":
+        matches = all(tf_of.get(t, 0) > 0 for t in qweights)
+    elif boolean:
+        matches = (
+            must_ok
+            and not_ok
+            and phrases_sat
+            and (bool(must) or bool(phrase_specs) or any_should)
+        )
+    else:
+        matches = any_should
+    if is_deleted:
+        matches = False
+    total = float(
+        np.float64(sum(contributions)).astype(score_dtype)
+    ) if matches else 0.0
+    out_rows = [
+        r + (matches, total)
+        for r in sorted(out_rows, key=lambda r: (-r[8], r[0]))
+    ]
+    return _local_df(spark, out_rows, None, out_schema)
