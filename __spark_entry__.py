@@ -785,8 +785,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path (value=''); variant='facet' = faceted search — per-value
         matching-doc counts over the lang keyword field (in-index shard
         cogroup of query postings x facet-value postings; |values| x
-        shards rows, never per-doc)."""
-        n = ksq.count_matches(spark, _index_dir(spark, sf), "join hash")
+        shards rows, never per-doc); variant='range' = numeric range
+        facets (Lucene LongRangeFacetCounts analog) over the n_chars
+        docvalue sidecar — per-shard constant-size partials, declared
+        ranges incl. zero counts; variant='stat' = match_stats (Solr
+        StatsComponent analog), the exactly-integral stats of n_chars
+        over the match set (count/missing/vmin/vmax/vsum — mean/stddev
+        are float-summation-order-sensitive and gate via pytest
+        instead)."""
+        d = _index_dir(spark, sf)
+        n = ksq.count_matches(spark, d, "join hash")
         total = spark.createDataFrame(
             [("total", "", n)], "variant string, value string, n_hits long"
         )
@@ -797,7 +805,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value",
             F.col("count").alias("n_hits"),
         )
-        return total.unionByName(fac)
+        rng = ksq.facet_ranges(
+            spark, d, "join hash", "n_chars",
+            [("lt300", None, 300), ("mid", 300, 450), ("ge450", 450, None)],
+        ).select(
+            F.lit("range").alias("variant"),
+            F.col("label").alias("value"),
+            F.col("count").alias("n_hits"),
+        )
+        stat = ksq.match_stats(spark, d, "join hash", "n_chars").select(
+            F.expr(
+                "stack(5, 'count', count, 'missing', missing, "
+                "'vmin', vmin, 'vmax', vmax, 'vsum', vsum) "
+                "AS (value, n_hits)"
+            )
+        ).withColumn("variant", F.lit("stat")).select(
+            "variant", "value", F.col("n_hits").cast("long").alias("n_hits")
+        )
+        return total.unionByName(fac).unionByName(rng).unionByName(stat)
 
     q["count_matches"] = count_q
 
@@ -1665,6 +1690,25 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         SELECT 'facet' AS variant, d.lang AS value, count(*) AS n_hits
         FROM documents d JOIN hitdocs USING (doc_id)
         GROUP BY d.lang
+        UNION ALL
+        SELECT 'range', 'lt300', count(*) FROM documents d
+        JOIN hitdocs USING (doc_id) WHERE d.n_chars < 300
+        UNION ALL
+        SELECT 'range', 'mid', count(*) FROM documents d
+        JOIN hitdocs USING (doc_id)
+        WHERE d.n_chars >= 300 AND d.n_chars < 450
+        UNION ALL
+        SELECT 'range', 'ge450', count(*) FROM documents d
+        JOIN hitdocs USING (doc_id) WHERE d.n_chars >= 450
+        UNION ALL
+        SELECT 'stat', s.value, s.n_hits FROM (
+          SELECT count(n_chars)::BIGINT AS "count",
+                 (count(*) - count(n_chars))::BIGINT AS missing,
+                 min(n_chars)::BIGINT AS vmin,
+                 max(n_chars)::BIGINT AS vmax,
+                 sum(n_chars)::BIGINT AS vsum
+          FROM documents d JOIN hitdocs USING (doc_id)
+        ) UNPIVOT (n_hits FOR value IN ("count", missing, vmin, vmax, vsum)) s
     """
 
     o["wildcard_expand"] = f"""

@@ -30,6 +30,9 @@ def __getattr__(name):
         "search_with_total": ("katta_spark.query", "search_with_total"),
         "search_after": ("katta_spark.query", "search_after"),
         "count_matches": ("katta_spark.query", "count_matches"),
+        "facet_counts": ("katta_spark.query", "facet_counts"),
+        "facet_ranges": ("katta_spark.query", "facet_ranges"),
+        "match_stats": ("katta_spark.query", "match_stats"),
         "explain_score": ("katta_spark.query", "explain_score"),
         "get_details": ("katta_spark.query", "get_details"),
         "IndexHandle": ("katta_spark.query", "IndexHandle"),

@@ -38,8 +38,11 @@ from katta_spark.codec import (
     decode_blocks,
     decode_positions,
     decode_posting_list,
+    f64_to_u64_order,
     i64_to_u64_order,
     read_skips,
+    u64_to_f64_order,
+    u64_to_i64_order,
     vb_decode,
 )
 from katta_spark.tokenizer import tokenize_str
@@ -2036,6 +2039,126 @@ def _make_dv_group_cog(
     return cog
 
 
+_DV_RANGES_SCHEMA = "ridx int, n long"
+_DV_STATS_SCHEMA = (
+    "n long, missing long, kmin long, kmax long, sum_l long, sum_d double, "
+    "sumsq double"
+)
+
+
+def _make_dv_agg_cog(kernel, col: str, spec: tuple, kind: str,
+                     filtered: bool = False, deny=None):
+    """Wrap a match/score kernel with an in-index AGGREGATE over the
+    matched docs' docvalue column — the Lucene facet-module range-count
+    (LongRangeFacetCounts / DoubleRangeFacetCounts) and Solr
+    StatsComponent analog. The kernel emits every shard match (k=maxint,
+    prune=False upstream — MaxScore pruning would drop low-scoring
+    matches the aggregate must count); this stage looks each match's
+    value up in the shard's cogrouped docvalue sidecar and collapses to
+    a CONSTANT-size partial per shard — nothing per-doc ever leaves the
+    kernels, so the operator costs one postings+sidecar scan at any
+    corpus size.
+
+    spec = ('ranges', ((ge, le), ...)): closed intervals in MAPPED i64
+    key space (resolved driver-side — mapped keys are integers under a
+    strictly monotonic bijection, so >lo ⇔ ≥lo+1 and <hi ⇔ ≤hi-1 hold
+    exactly); emits (ridx, count) rows for non-empty ranges — ranges may
+    overlap (each doc counts in every range containing it, the Lucene
+    range-facet contract); docs with NULL / missing values count in no
+    range.
+
+    spec = ('stats',): emits one partial row per shard — n (matched docs
+    with a value), missing (matched docs without), kmin/kmax (mapped
+    keys, nullable), sum_l (exact int64 sum for the 'long' kind),
+    sum_d/sumsq (float64 sums of the ORIGINAL values, for mean/stddev).
+
+    ``filtered``/``deny`` compose exactly like the sort/group cogs:
+    Katta's Filter and the deletion tombstones restrict the match set
+    before anything is counted."""
+    mode = spec[0]
+    if mode == "ranges":
+        bounds = np.asarray(spec[1], dtype=np.int64).reshape(-1, 2)
+
+    def _empty() -> pd.DataFrame:
+        if mode == "ranges":
+            return pd.DataFrame({
+                "ridx": pd.array([], dtype="int32"),
+                "n": pd.array([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "n": pd.array([], dtype="int64"),
+            "missing": pd.array([], dtype="int64"),
+            "kmin": pd.array([], dtype="Int64"),
+            "kmax": pd.array([], dtype="Int64"),
+            "sum_l": pd.array([], dtype="int64"),
+            "sum_d": pd.array([], dtype="float64"),
+            "sumsq": pd.array([], dtype="float64"),
+        })
+
+    def cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return _empty()
+        dny = _deny_val(deny)
+        if filtered:
+            fmask = (right["col"] == _DV_FILTER_COL).to_numpy()
+            allowed = np.unique(right["fdoc"].to_numpy(np.int64)[fmask])
+            right = right.loc[~fmask]
+            hits = kernel(left, DocFilter(allowed, dny))
+        elif dny is not None:
+            hits = kernel(left, DocFilter(None, dny))
+        else:
+            hits = kernel(left)
+        if not len(hits):
+            return _empty()
+        docs, _scores, gkey, isnull = _group_lookup(hits, right, col)
+        vals = gkey[~isnull]
+        if mode == "ranges":
+            ridx: list[int] = []
+            ns: list[int] = []
+            for i in range(bounds.shape[0]):
+                c = int(np.count_nonzero(
+                    (vals >= bounds[i, 0]) & (vals <= bounds[i, 1])
+                ))
+                if c:
+                    ridx.append(i)
+                    ns.append(c)
+            return pd.DataFrame({
+                "ridx": np.asarray(ridx, dtype=np.int32),
+                "n": np.asarray(ns, dtype=np.int64),
+            })
+        n = int(vals.size)
+        missing = int(docs.size - n)
+        if n:
+            kmin = pd.array([int(vals.min())], dtype="Int64")
+            kmax = pd.array([int(vals.max())], dtype="Int64")
+            if kind == "double":
+                orig = u64_to_f64_order(i64_to_u64_order(vals))
+                sum_l = 0
+                sum_d = float(orig.sum())
+                sumsq = float((orig * orig).sum())
+            else:
+                # exact int64 sum (overflow needs ~9e18 — a shard would
+                # have to hold 1e14 docs of 1e4-valued keys)
+                sum_l = int(vals.sum(dtype=np.int64))
+                sum_d = float(sum_l)
+                sumsq = float((vals.astype(np.float64) ** 2).sum())
+        else:
+            kmin = pd.array([pd.NA], dtype="Int64")
+            kmax = pd.array([pd.NA], dtype="Int64")
+            sum_l, sum_d, sumsq = 0, 0.0, 0.0
+        return pd.DataFrame({
+            "n": np.asarray([n], dtype=np.int64),
+            "missing": np.asarray([missing], dtype=np.int64),
+            "kmin": kmin,
+            "kmax": kmax,
+            "sum_l": np.asarray([sum_l], dtype=np.int64),
+            "sum_d": np.asarray([sum_d], dtype=np.float64),
+            "sumsq": np.asarray([sumsq], dtype=np.float64),
+        })
+
+    return cog
+
+
 # Kernel-mode registry — the content-server extension point (SURVEY.md
 # §2.12; reference IContentServer, node/IContentServer.java:28-107):
 # registering a factory adds a new search mode. Factories share the
@@ -2074,6 +2197,7 @@ def search(
     _with_total: bool = False,
     _dv_sort: tuple | None = None,
     _dv_group: tuple | None = None,
+    _dv_agg: tuple | None = None,
     _cursor: tuple | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(doc_id, shard_id, score) ordered
@@ -2140,7 +2264,10 @@ def search(
             "pass one"
         )
     if (offset or _cursor is not None) and (
-        _dv_sort is not None or _dv_group is not None or not ordered
+        _dv_sort is not None
+        or _dv_group is not None
+        or _dv_agg is not None
+        or not ordered
     ):
         raise ValueError(
             "offset/search_after page the score-ranked result; use "
@@ -2222,6 +2349,8 @@ def search(
             f"semantics; mode={mode!r} is not combinable with them"
         )
     if not qweights or k <= 0:
+        if _dv_agg is not None:
+            return _local_df(spark, [], None, _dv_agg[3])
         return _local_df(spark, [], None, empty_schema)
 
     # fetch set = scoring terms ∪ excluded terms (the kernel needs the
@@ -2348,12 +2477,21 @@ def search(
             "doc_id long",
         )
         filter_doc_col = "doc_id"
-    if _dv_sort is not None or _dv_group is not None:
+    if _dv_sort is not None or _dv_group is not None or _dv_agg is not None:
         if _with_total:
             raise ValueError(
-                "_dv_sort/_dv_group do not combine with _with_total"
+                "_dv_sort/_dv_group/_dv_agg do not combine with _with_total"
             )
-        if _dv_group is not None:
+        if _dv_agg is not None:
+            agg_col, agg_spec, agg_kind, agg_schema = _dv_agg
+            dv_cols = [agg_col]
+            dv_cog = _make_dv_agg_cog(
+                kernel, agg_col, agg_spec, agg_kind,
+                filtered=filter_df is not None, deny=deny,
+            )
+            extra_schema = None
+            extra_cols = []
+        elif _dv_group is not None:
             group_col, pass_spec = _dv_group
             dv_cols = [group_col]
             dv_cog = _make_dv_group_cog(
@@ -2390,6 +2528,14 @@ def search(
             if shard_ids is not None:
                 fdf = fdf.where(F.col("shard_id").isin(shard_ids))
             dvdf = _dv_with_filter(dvdf, fdf)
+        if _dv_agg is not None:
+            # aggregate cogs collapse to constant-size per-shard partials
+            # with their own schema — no per-doc columns to select
+            return (
+                postings.groupBy("shard_id")
+                .cogroup(dvdf.groupBy("shard_id"))
+                .applyInPandas(dv_cog, agg_schema)
+            )
         hits = (
             postings.groupBy("shard_id")
             .cogroup(dvdf.groupBy("shard_id"))
@@ -3843,6 +3989,278 @@ def facet_counts(
         .select("value", "count")
         .orderBy(F.desc("count"), F.asc("value"))
         .limit(k)
+    )
+
+
+def _dv_numeric_kind(h: IndexHandle, col: str) -> str:
+    """The docvalue kind of ``col``, refusing strings — range facets and
+    match stats are numeric operators (Lucene Long/DoubleRangeFacetCounts;
+    string sidecar values are per-index dictionary RANKS, meaningless to
+    sum or bin)."""
+    kinds = h.docvalue_kinds()
+    if col not in kinds:
+        raise ValueError(
+            f"column {col!r} is not in the index's docvalue sidecar "
+            f"(available: {sorted(kinds)}); rebuild with docvalue_cols "
+            "including it"
+        )
+    if kinds[col] == "string":
+        raise ValueError(
+            f"column {col!r} is a string docvalue; facet_ranges/"
+            "match_stats are numeric operators (use facet_counts or "
+            "search_grouped for string fields)"
+        )
+    return kinds[col]
+
+
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
+def _mapped_point(v, kind: str) -> int:
+    """A range edge mapped into the sidecar's order-preserving i64 key
+    space (identity for integral kinds; the float bijection for doubles).
+    date/timestamp docvalue columns store unix_date / unix_micros — edges
+    for them are those integers."""
+    if isinstance(v, float) and v != v:
+        raise ValueError("range edges cannot be NaN")
+    if kind == "long":
+        return int(v)
+    u = f64_to_u64_order(np.asarray([float(v)], dtype=np.float64))
+    return int(u64_to_i64_order(u)[0])
+
+
+def _resolve_ranges(ranges, kind: str):
+    """(labels, [(ge, le), ...]) — each input range resolved to a CLOSED
+    interval in mapped i64 key space. Accepts (label, lo, hi) with
+    half-open [lo, hi) semantics, or (label, lo, hi, lo_incl, hi_incl)
+    with explicit inclusivity (Lucene LongRange's minInclusive /
+    maxInclusive); lo=None / hi=None open the end (an open top excludes
+    NaN for double columns — Lucene ranges never match NaN). The mapped
+    keys are integers under a strictly monotonic bijection, so
+    exclusive bounds shift by exactly one key: >lo ⇔ ≥lo+1, <hi ⇔ ≤hi-1."""
+    if not ranges:
+        raise ValueError("facet_ranges needs at least one range")
+    labels: list[str] = []
+    bounds: list[tuple[int, int]] = []
+    for r in ranges:
+        if not isinstance(r, (tuple, list)) or not 3 <= len(r) <= 5:
+            raise ValueError(
+                "each range is (label, lo, hi) or "
+                "(label, lo, hi, lo_incl, hi_incl); got "
+                f"{r!r}"
+            )
+        label, lo, hi = r[0], r[1], r[2]
+        lo_incl = bool(r[3]) if len(r) > 3 else True
+        hi_incl = bool(r[4]) if len(r) > 4 else False
+        if lo is not None and hi is not None and float(lo) > float(hi):
+            raise ValueError(f"range {label!r}: lo {lo!r} > hi {hi!r}")
+        if lo is None:
+            ge = _I64_MIN
+        else:
+            ge = _mapped_point(lo, kind) + (0 if lo_incl else 1)
+        if hi is None:
+            le = (
+                _mapped_point(float("inf"), kind)
+                if kind == "double"
+                else _I64_MAX
+            )
+        else:
+            le = _mapped_point(hi, kind) - (0 if hi_incl else 1)
+        labels.append(str(label))
+        bounds.append((
+            max(_I64_MIN, min(_I64_MAX, ge)),
+            max(_I64_MIN, min(_I64_MAX, le)),
+        ))
+    return labels, bounds
+
+
+def _dv_agg_common(index, query_kw: dict):
+    """(handles, list_input) — normalize the index argument for the dv
+    aggregate operators and fold their shared search() kwargs."""
+    ihs = index if isinstance(index, (list, tuple)) else [index]
+    if not ihs:
+        raise ValueError("need at least one index")
+    query_kw.update(
+        k=2**31 - 1, prune=False, ordered=False, score_dtype="float64",
+    )
+    return list(ihs)
+
+
+def facet_ranges(
+    spark: SparkSession,
+    index: "IndexHandle | str | list[IndexHandle | str]",
+    query: str,
+    col: str,
+    ranges: list,
+    mode: str = "or",
+    shard_ids: list[int] | None = None,
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
+) -> DataFrame:
+    """(label, count): matching-document counts per declared numeric range
+    of docvalue column ``col`` — the Lucene facet-module
+    LongRangeFacetCounts / DoubleRangeFacetCounts analog (beyond-Katta,
+    layered over Katta's scatter-gather shape exactly like facet_counts;
+    the reference leaves aggregation to the Lucene consumer).
+
+    ``ranges``: (label, lo, hi) half-open [lo, hi), or (label, lo, hi,
+    lo_incl, hi_incl) with explicit inclusivity; None opens an end.
+    Ranges may OVERLAP (each doc counts in every range containing it —
+    the Lucene contract) and every declared range appears in the output,
+    zero counts included, in declaration order. Docs whose ``col`` is
+    NULL count in no range. For date/timestamp docvalue columns the
+    sidecar stores unix_date / unix_micros — pass edges in those units.
+
+    Unlike facet_counts, the FULL query surface applies (boolean/
+    phrase/tree/rewrites): the match set comes from the standard scoring
+    kernels with pruning disabled, cogrouped with the docvalue sidecar
+    (_make_dv_agg_cog) — per shard only the non-empty (range, count)
+    partials leave the kernel, so cost is one postings+sidecar scan at
+    any corpus size. ``filter_df`` and deletion tombstones compose like
+    in search(). A LIST of doc-disjoint indexes sums per-range counts
+    (numeric mapped keys are globally comparable across indexes)."""
+    kw = dict(
+        mode=mode, shard_ids=shard_ids, filter_df=filter_df,
+        filter_doc_col=filter_doc_col,
+    )
+    ihs = _dv_agg_common(index, kw)
+    ihs = [
+        IndexHandle.open(spark, ix) if isinstance(ix, str) else ix
+        for ix in ihs
+    ]
+    kind = _dv_numeric_kind(ihs[0], col)
+    for h in ihs[1:]:
+        if _dv_numeric_kind(h, col) != kind:
+            raise ValueError(
+                f"column {col!r} has kind {kind!r} in one index and "
+                f"{_dv_numeric_kind(h, col)!r} in another — range edges "
+                "cannot map consistently"
+            )
+    labels, bounds = _resolve_ranges(ranges, kind)
+    spec = ("ranges", tuple(bounds))
+    parts = None
+    for h in ihs:
+        p = search(
+            spark, h, query,
+            _dv_agg=(col, spec, kind, _DV_RANGES_SCHEMA), **kw,
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    ldf = _local_df(
+        spark,
+        [(i, lab) for i, lab in enumerate(labels)],
+        ["ridx", "label"],
+        "ridx int, label string",
+    )
+    return (
+        ldf.join(
+            parts.groupBy("ridx").agg(F.sum("n").alias("count")),
+            "ridx",
+            "left",
+        )
+        .select(
+            "ridx", "label",
+            F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
+        )
+        .orderBy("ridx")
+        .select("label", "count")
+    )
+
+
+def match_stats(
+    spark: SparkSession,
+    index: "IndexHandle | str | list[IndexHandle | str]",
+    query: str,
+    col: str,
+    mode: str = "or",
+    shard_ids: list[int] | None = None,
+    filter_df: DataFrame | None = None,
+    filter_doc_col: str = "doc_id",
+) -> DataFrame:
+    """One row of summary statistics of docvalue column ``col`` over the
+    query's matching documents — the Solr StatsComponent analog
+    (count/missing/min/max/sum/mean/stddev), run entirely IN-INDEX: each
+    shard kernel collapses its match set to a constant-size partial
+    (_make_dv_agg_cog 'stats' mode), partials combine associatively, and
+    min/max map back to original values through the order-preserving
+    bijection — no stored-field join, no per-doc rows past the kernels.
+
+    Columns: ``count`` (matched docs with a value), ``missing`` (matched
+    docs whose ``col`` is NULL), ``vmin``/``vmax``/``vsum`` (typed by the
+    column kind — exact int64 sum for integral columns), ``mean``,
+    ``stddev`` (sample stddev, NULL when count < 2). count=0 leaves
+    vmin/vmax/mean/stddev NULL and vsum 0 (the empty sum). The full
+    query surface applies; ``filter_df``, ``shard_ids`` and deletion
+    tombstones compose like in search(). A LIST of doc-disjoint indexes
+    combines partials across all of them."""
+    kw = dict(
+        mode=mode, shard_ids=shard_ids, filter_df=filter_df,
+        filter_doc_col=filter_doc_col,
+    )
+    ihs = _dv_agg_common(index, kw)
+    ihs = [
+        IndexHandle.open(spark, ix) if isinstance(ix, str) else ix
+        for ix in ihs
+    ]
+    kind = _dv_numeric_kind(ihs[0], col)
+    for h in ihs[1:]:
+        if _dv_numeric_kind(h, col) != kind:
+            raise ValueError(
+                f"column {col!r} has kind {kind!r} in one index and "
+                f"{_dv_numeric_kind(h, col)!r} in another"
+            )
+    parts = None
+    for h in ihs:
+        p = search(
+            spark, h, query,
+            _dv_agg=(col, ("stats",), kind, _DV_STATS_SCHEMA), **kw,
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    g = parts.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("count"),
+        F.coalesce(F.sum("missing"), F.lit(0)).cast("long").alias("missing"),
+        F.min("kmin").alias("kmin"),
+        F.max("kmax").alias("kmax"),
+        F.coalesce(F.sum("sum_l"), F.lit(0)).cast("long").alias("sum_l"),
+        F.coalesce(F.sum("sum_d"), F.lit(0.0)).alias("sum_d"),
+        F.coalesce(F.sum("sumsq"), F.lit(0.0)).alias("sumsq"),
+    )
+    cnt = F.col("count")
+    mean = F.when(cnt > 0, F.col("sum_d") / cnt)
+    # sample variance from the sum/sumsq partials; clamped at 0 against
+    # float round-off on near-constant columns
+    stddev = F.when(
+        cnt > 1,
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("sumsq") - F.col("sum_d") * F.col("sum_d") / cnt)
+                / (cnt - 1),
+            )
+        ),
+    )
+    if kind == "double":
+
+        def _inv(s: pd.Series) -> pd.Series:
+            # null-safe: when() masks the fill value back to NULL
+            arr = s.fillna(0).to_numpy(np.int64)
+            return pd.Series(u64_to_f64_order(i64_to_u64_order(arr)))
+
+        inv = F.pandas_udf(_inv, "double")
+        vmin = F.when(cnt > 0, inv(F.col("kmin")))
+        vmax = F.when(cnt > 0, inv(F.col("kmax")))
+        vsum = F.col("sum_d")
+    else:
+        vmin = F.when(cnt > 0, F.col("kmin"))
+        vmax = F.when(cnt > 0, F.col("kmax"))
+        vsum = F.col("sum_l")
+    return g.select(
+        cnt.alias("count"),
+        F.col("missing"),
+        vmin.alias("vmin"),
+        vmax.alias("vmax"),
+        vsum.alias("vsum"),
+        mean.alias("mean"),
+        stddev.alias("stddev"),
     )
 
 
