@@ -77,8 +77,9 @@ def main() -> None:
         # Query rows are ~1 s each on a shared, randomly-interfered host
         # (load spikes with no local process, see BENCH/host_probes.json):
         # min-of-2 rejects a one-off spike without hiding real cost.
-        # Secondary build/compact rows stay single-shot (too expensive to
-        # repeat; labeled in "timing" below).
+        # Secondary build/compact rows stay single-shot (too expensive
+        # to repeat; labeled in "timing" below) — except the nopos build,
+        # which is compared head-to-head with the headline build.
         return timed(name, fn, repeats=2)
 
     def timed_build(name, build_to, final_dir):
@@ -120,13 +121,17 @@ def main() -> None:
         # postings encode cost on long documents (the r3→r4 +30%).
         nopos_dir = tempfile.mkdtemp(prefix="katta_bench_nopos_")
         try:
-            timed(
+            # min-of-2 like build_documents_index — the rows are compared
+            # head-to-head (positions encode cost), so they must share a
+            # timing basis or host noise inverts the story.
+            timed_build(
                 "build_documents_nopos",
-                lambda: ksb.build_index(
-                    spark, docs, nopos_dir, num_shards=8,
+                lambda dest: ksb.build_index(
+                    spark, docs, dest, num_shards=8,
                     doc_id_col="doc_id", keyword_cols=("lang", "source"),
                     docvalue_cols=("n_chars",), positions=False,
                 ),
+                nopos_dir,
             )
             extra["documents_nopos_docs_per_sec"] = round(
                 n_docs / timings["build_documents_nopos"], 1
@@ -434,9 +439,9 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "bench_turns": BENCH_TURNS,
-                "timing": "query + headline-build rows min-of-2 "
-                          "(host-spike rejection); secondary build/compact "
-                          "rows single-shot",
+                "timing": "query, headline-build, and nopos-build rows "
+                          "min-of-2 (host-spike rejection); other "
+                          "build/compact rows single-shot",
                 # host condition (clean regime ~5-18; throttled ~0.01 —
                 # bus-bound rows scale with this, see BENCH/HOST_LOG.md)
                 "host_memcpy_gb_s": host_memcpy_gb_s(),
