@@ -28,6 +28,13 @@ Commands:
   group     <index_dir> <query> <group_col> [--k-groups N] [--k-docs N]
             grouped search over a docvalue column (Lucene grouping-module
             analog; two-pass per-shard-capped, see query.search_grouped)
+  facet     <index_dir> <query> <col> [-k K] [--ranges label:lo:hi,...]
+            per-value match counts over a keyword field (facet_counts),
+            or — with --ranges — numeric range facets over a docvalue
+            column (facet_ranges, Lucene LongRangeFacetCounts analog)
+  stats     <index_dir> <query> <col>
+            summary statistics of a numeric docvalue column over the
+            match set (match_stats, Solr StatsComponent analog)
   delete    <index_dir> --query Q | --ids 1,2,3
             tombstone documents (IndexWriter.deleteDocuments; searches
             skip them immediately, stats stay stale until expunge)
@@ -117,6 +124,25 @@ def main(argv: list[str] | None = None) -> int:
         help="group ordering (Lucene groupSort): by best hit, or by the "
         "group value asc/desc",
     )
+
+    p_facet = sub.add_parser("facet")
+    p_facet.add_argument("index_dir")
+    p_facet.add_argument("query")
+    p_facet.add_argument("col")
+    p_facet.add_argument(
+        "--ranges",
+        help="numeric range facets over a docvalue column: "
+        "'label:lo:hi,label:lo:hi,...' (empty lo/hi opens the end, "
+        "half-open [lo,hi)); without --ranges, per-value counts over a "
+        "keyword field",
+    )
+    p_facet.add_argument("-k", type=int, default=20,
+                         help="top-k values (value facets only)")
+
+    p_stats = sub.add_parser("stats")
+    p_stats.add_argument("index_dir")
+    p_stats.add_argument("query")
+    p_stats.add_argument("col")
 
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("out_dir")
@@ -264,6 +290,48 @@ def main(argv: list[str] | None = None) -> int:
                     f"{str(gv):>16}  {r.group_total:>8}  {r.doc_id:>20d}  "
                     f"{r.score:.6f}"
                 )
+        elif args.cmd == "facet":
+            if args.ranges:
+                from katta_spark.query import facet_ranges
+
+                ranges = []
+                for part in args.ranges.split(","):
+                    bits = part.split(":")
+                    if len(bits) != 3:
+                        raise SystemExit(
+                            f"bad range {part!r}: want label:lo:hi"
+                        )
+                    lab, lo, hi = bits
+                    ranges.append((
+                        lab,
+                        float(lo) if lo else None,
+                        float(hi) if hi else None,
+                    ))
+                rows = facet_ranges(
+                    spark, args.index_dir, args.query, args.col, ranges
+                ).collect()
+                for r in rows:
+                    print(f"{r['label']:>16}  {r['count']}")
+            else:
+                from katta_spark.query import facet_counts
+
+                rows = facet_counts(
+                    spark, args.index_dir, args.query, args.col, k=args.k
+                ).collect()
+                for r in rows:
+                    print(f"{str(r['value']):>16}  {r['count']}")
+        elif args.cmd == "stats":
+            from katta_spark.query import match_stats
+
+            r = match_stats(
+                spark, args.index_dir, args.query, args.col
+            ).collect()[0]
+            print(json.dumps(
+                {k: r[k] for k in (
+                    "count", "missing", "vmin", "vmax", "vsum",
+                    "mean", "stddev",
+                )}
+            ))
         elif args.cmd == "compact":
             from katta_spark.compact import compact
 
