@@ -100,6 +100,10 @@ def main() -> None:
         return out
 
     extra: dict[str, float] = {}
+    # Bracket the suite with the bus probe: a throttle transition
+    # mid-suite (documented: regimes flip with no local cause) shows up
+    # as pre/post disagreement instead of silently skewing half the rows.
+    extra["host_memcpy_gb_s_pre"] = host_memcpy_gb_s()
     try:
         # q0: index build over the documents table (docs/sec reported).
         n_docs = docs.count()
