@@ -62,6 +62,10 @@ def main() -> None:
     head_d = _load("scaling_2m_headline_d.json")
     head_e = _load("scaling_2m_headline_e.json")
     small = _load("scaling_2m_smallhost.json")
+    # Optional final-HEAD re-measurement of the small-host shape (the
+    # original suite 2 predates the InferFiltersFromGenerate dictionary
+    # fix, so a re-run is a SEPARATE suite — different job, no pooling).
+    small_b = _load("scaling_2m_smallhost_b.json")
     trend4 = _load("scaling_4m_trend.json")
     probes = _load("host_probes.json")
     assert head_a and head_b, "headline suite JSONs missing"
@@ -150,6 +154,8 @@ previously produced a >1.0 "ceiling efficiency" artifact).
 | 1c ({d_tag.replace('campaigns ', '').replace('campaign ', '')}, final HEAD) | {_shape(head_d)} | {head_d['turns']:,} | {head_d['median_eff']:.3f} | {head_d['median_normalized_eff']:.3f} | {'PASS' if head_d['median_eff'] >= 0.8 else 'FAIL'} |""" if head_d else "")
                  + (f"""
 | 2 (small-host) | {_shape(small)} | {small['turns']:,} | {small['median_eff']:.3f} | {small['median_normalized_eff']:.3f} | {'PASS' if small['median_eff'] >= 0.8 else 'FAIL'} |""" if small else "")
+                 + (f"""
+| 2b (small-host, final HEAD) | {_shape(small_b)} | {small_b['turns']:,} | {small_b['median_eff']:.3f} | {small_b['median_normalized_eff']:.3f} | {'PASS' if small_b['median_eff'] >= 0.8 else 'FAIL'} |""" if small_b else "")
                  + (f"""
 | 3 (input trend) | {_shape(trend4)} | {trend4['turns']:,} | {trend4['median_eff']:.3f} | {trend4['median_normalized_eff']:.3f} | {'PASS' if trend4['median_eff'] >= 0.8 else 'FAIL'} |""" if trend4 else "")
                  + f"""
@@ -275,6 +281,30 @@ executors) describes.
 median normalized = {small['median_normalized_eff']:.3f}.**
 Median-invocation detail: tp(N) best {max(smed['all_low']):,.0f},
 tp(4N) best {max(smed['all_high']):,.0f}.""")
+
+    if small_b:
+        sbmed = _median_inv(small_b)
+        parts.append(f"""
+### Suite 2b — the SAME small-host shape re-measured on the final
+round-5 HEAD
+
+Suite 2 above measured the mid-round job (it predates the
+InferFiltersFromGenerate dictionary fix that campaign D's preamble
+describes), so the shape was re-measured as a fresh
+{len(small_b['invocations'])}-invocation campaign on the shipped HEAD.
+It is reported separately, not merged into suite 2's median: a
+different job's invocations cannot share a median.
+
+| invocation | tp(N) best | tp(4N) best | raw eff | ALU ceiling eff | normalized |
+|---|---|---|---|---|---|
+{_inv_table(small_b)}
+
+**Final-HEAD small-host median raw scaling efficiency =
+{small_b['median_eff']:.3f} (target >= 0.8:
+{'PASS' if small_b['median_eff'] >= 0.8 else 'FAIL'}); median
+normalized = {small_b['median_normalized_eff']:.3f}.**
+Median-invocation detail: tp(N) best {max(sbmed['all_low']):,.0f},
+tp(4N) best {max(sbmed['all_high']):,.0f}.""")
 
     if trend4:
         parts.append(f"""
@@ -449,6 +479,7 @@ PASSES at 0.849 raw.""")
         "headline_median_eff": head["median_eff"],
         "headline_median_normalized": head["median_normalized_eff"],
         "smallhost_median_eff": small and small["median_eff"],
+        "smallhost_finalhead_median_eff": small_b and small_b["median_eff"],
         "trend4m_median_eff": trend4 and trend4["median_eff"],
     }))
 
