@@ -47,6 +47,23 @@ def host_memcpy_gb_s() -> float:
     return round(0.0625 / best, 3)
 
 
+def host_memstream_gb_s() -> float:
+    """SUSTAINED streaming rate (~1.5 s continuous memcpy). The throttle
+    is a token bucket: short bursts (the probe above) can read ~3 GB/s
+    while a sustained stream — what a multi-second build actually does —
+    collapses to ~0.01-0.1 GB/s in the throttled regime (measured
+    2026-08-19: burst 2.7-3.0, sustained 0.01 per proc). Reporting both
+    rates makes the regime unambiguous in every BENCH JSON."""
+    import numpy as np
+
+    buf = np.ones(16 * 1024 * 1024, dtype=np.int64)  # 128 MB per pass
+    moved, t0 = 0, time.time()
+    while time.time() - t0 < 1.5:
+        buf.copy()
+        moved += buf.nbytes
+    return round(moved / (time.time() - t0) / 1e9, 3)
+
+
 def main() -> None:
     from katta_spark.session import get_spark
     import katta_spark.build as ksb
@@ -104,6 +121,7 @@ def main() -> None:
     # mid-suite (documented: regimes flip with no local cause) shows up
     # as pre/post disagreement instead of silently skewing half the rows.
     extra["host_memcpy_gb_s_pre"] = host_memcpy_gb_s()
+    extra["host_memstream_gb_s_pre"] = host_memstream_gb_s()
     try:
         # q0: index build over the documents table (docs/sec reported).
         n_docs = docs.count()
@@ -451,6 +469,7 @@ def main() -> None:
                 # host condition (clean regime ~5-18; throttled ~0.01 —
                 # bus-bound rows scale with this, see BENCH/HOST_LOG.md)
                 "host_memcpy_gb_s": host_memcpy_gb_s(),
+                "host_memstream_gb_s": host_memstream_gb_s(),
                 "host_load1": float(
                     open("/proc/loadavg").read().split()[0]
                 ),
