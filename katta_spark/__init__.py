@@ -40,6 +40,9 @@ def __getattr__(name):
         "delete_by_query": ("katta_spark.delete", "delete_by_query"),
         "compact": ("katta_spark.compact", "compact"),
         "expunge": ("katta_spark.compact", "expunge"),
+        "plan_compaction": ("katta_spark.merge_policy", "plan_compaction"),
+        "auto_compact": ("katta_spark.merge_policy", "auto_compact"),
+        "live_index_dirs": ("katta_spark.merge_policy", "live_index_dirs"),
     }
     if name in _lazy:
         import importlib

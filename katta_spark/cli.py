@@ -152,6 +152,20 @@ def main(argv: list[str] | None = None) -> int:
         "(the optimize() analog, IndexerJob.java:118-179)",
     )
 
+    p_auto = sub.add_parser("autoCompact")
+    p_auto.add_argument(
+        "index_root",
+        help="delta-index root (stream_build output): plan tiered merges "
+        "over the live delta_*/merged_* segments and execute them "
+        "(TieredMergePolicy + background-merge analog)",
+    )
+    p_auto.add_argument("--max-rounds", type=int, default=1)
+    p_auto.add_argument("--max-merge-at-once", type=int, default=10)
+    p_auto.add_argument("--floor-docs", type=int, default=1024)
+    p_auto.add_argument("--max-merged-docs", type=int, default=None)
+    p_auto.add_argument("--tier-ratio", type=float, default=10.0)
+    p_auto.add_argument("--expunge-deletes-pct", type=float, default=0.25)
+
     p_del = sub.add_parser("delete")
     p_del.add_argument("index_dir")
     grp = p_del.add_mutually_exclusive_group(required=True)
@@ -338,6 +352,18 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(
                 compact(spark, args.index_dirs.split(","), args.out_dir)
             ))
+        elif args.cmd == "autoCompact":
+            from katta_spark.merge_policy import auto_compact
+
+            print(json.dumps(auto_compact(
+                spark, args.index_root,
+                max_rounds=args.max_rounds,
+                max_merge_at_once=args.max_merge_at_once,
+                floor_docs=args.floor_docs,
+                max_merged_docs=args.max_merged_docs,
+                tier_ratio=args.tier_ratio,
+                expunge_deletes_pct=args.expunge_deletes_pct,
+            )))
         elif args.cmd == "delete":
             from katta_spark.delete import delete_by_query, delete_docs
 
