@@ -301,6 +301,21 @@ def main() -> None:
             return kvocab.apply_bpe(docs, merges).count()
 
         timed_q("bpe_learn_apply", _bpe)
+        # trained quality classifier (GPT-3 filter shape): positives =
+        # deterministic 1-in-41 corpus slice, negatives = disjoint slice;
+        # train MLlib LR on hashed BoW, score the whole corpus, Pareto-keep
+        from katta_spark import quality_model as qm
+
+        def _quality_classifier():
+            model = qm.train_quality_classifier(
+                docs.where("doc_id % 41 = 0"),
+                docs.where("doc_id % 41 = 1"),
+                n_features=1 << 16,
+                max_iter=20,
+            )
+            return qm.pareto_filter(qm.score_quality(model, docs)).count()
+
+        timed_q("quality_classifier", _quality_classifier)
         # eval-set decontamination: benchmark = deterministic 1-in-41
         # corpus slice (broadcast side), corpus probe shuffle-free
         timed_q(

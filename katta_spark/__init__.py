@@ -40,6 +40,10 @@ def __getattr__(name):
         "delete_by_query": ("katta_spark.delete", "delete_by_query"),
         "compact": ("katta_spark.compact", "compact"),
         "expunge": ("katta_spark.compact", "expunge"),
+        "train_quality_classifier": (
+            "katta_spark.quality_model", "train_quality_classifier"),
+        "score_quality": ("katta_spark.quality_model", "score_quality"),
+        "pareto_filter": ("katta_spark.quality_model", "pareto_filter"),
         "plan_compaction": ("katta_spark.merge_policy", "plan_compaction"),
         "auto_compact": ("katta_spark.merge_policy", "auto_compact"),
         "live_index_dirs": ("katta_spark.merge_policy", "live_index_dirs"),
