@@ -80,6 +80,59 @@ def test_incompatible_configs_never_group():
     assert plan == [["a", "b"]]
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _seg_st = st.builds(
+        lambda n, docs, deleted_frac, cfg: SegmentInfo(
+            index_dir=f"seg_{n:04d}",
+            n_docs=docs,
+            deleted=int(docs * deleted_frac),
+            config=cfg,
+        ),
+        st.integers(0, 9999),
+        st.integers(0, 10_000_000),
+        st.floats(0.0, 1.0),
+        st.sampled_from([CFG, (8, "pmod_xxhash64", (), True, None)]),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        segs=st.lists(_seg_st, max_size=40, unique_by=lambda s: s.index_dir),
+        fan_in=st.integers(2, 12),
+        floor=st.integers(1, 1 << 20),
+        ratio=st.floats(1.0, 100.0),
+        cap=st.one_of(st.none(), st.integers(1, 1 << 22)),
+    )
+    def test_planner_invariants_fuzz(segs, fan_in, floor, ratio, cap):
+        plan = plan_compaction(
+            segs,
+            max_merge_at_once=fan_in,
+            floor_docs=floor,
+            tier_ratio=ratio,
+            max_merged_docs=cap,
+        )
+        by_dir = {s.index_dir: s for s in segs}
+        seen = [d for g in plan for d in g]
+        assert len(seen) == len(set(seen))  # disjoint groups
+        for g in plan:
+            assert 1 <= len(g) <= fan_in
+            members = [by_dir[d] for d in g]
+            assert len({m.config for m in members}) == 1  # config purity
+            if len(g) == 1:  # only the expunge rule makes singletons
+                assert members[0].deleted > 0
+                assert members[0].deletes_pct >= 0.25
+            else:
+                sizes = sorted(max(m.live_docs, floor) for m in members)
+                assert sizes[-1] <= ratio * sizes[0]  # tier cohesion
+                if cap is not None:
+                    assert sum(m.live_docs for m in members) <= cap
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_planner_argument_validation():
     with pytest.raises(ValueError):
         plan_compaction([], max_merge_at_once=1)
