@@ -47,6 +47,7 @@ def __getattr__(name):
         "plan_compaction": ("katta_spark.merge_policy", "plan_compaction"),
         "auto_compact": ("katta_spark.merge_policy", "auto_compact"),
         "live_index_dirs": ("katta_spark.merge_policy", "live_index_dirs"),
+        "sweep_consumed": ("katta_spark.merge_policy", "sweep_consumed"),
     }
     if name in _lazy:
         import importlib

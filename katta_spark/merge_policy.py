@@ -238,12 +238,33 @@ def live_index_dirs(index_root: str) -> list[str]:
     return out
 
 
+def sweep_consumed(index_root: str) -> list[str]:
+    """Delete consumed (manifest-referenced) segment dirs still on disk
+    and stale uncommitted ``_tmp_*`` dirs; returns what was removed.
+    Run this once no reader can still hold a pre-merge segment list —
+    the undeploy-grace sweep (Katta nodes keep serving an old index
+    version until the new one is deployed; Lucene's IndexFileDeleter
+    refcounts do the same job in-process)."""
+    removed = []
+    for name in os.listdir(index_root):
+        if name.startswith(TMP_PREFIX):
+            shutil.rmtree(os.path.join(index_root, name), ignore_errors=True)
+            removed.append(name)
+    for name in sorted(_consumed_names(index_root)):
+        p = os.path.join(index_root, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
 def auto_compact(
     spark,
     index_root: str,
     max_rounds: int = 1,
     block: int = 128,
     slices: int = 16,
+    remove_inputs: bool = True,
     **policy_kwargs,
 ) -> dict:
     """Plan and execute merges over ``index_root`` until the policy is
@@ -252,20 +273,24 @@ def auto_compact(
     with Lucene's one IndexWriter; run it after stream_build drains, or
     on any schedule.
 
+    ``remove_inputs=False`` leaves consumed segment dirs on disk —
+    readers that listed the live set BEFORE a merge committed can finish
+    scanning them (new readers exclude them via the manifest); reclaim
+    later with :func:`sweep_consumed` once in-flight queries drain.
+
     Returns {"rounds": n, "merges": [{out, inputs, n_docs, seconds}],
     "live_before": [...], "live_after": [...]}.
     """
     from katta_spark.compact import compact
 
     # reap leftovers from a previous crash: stale tmp dirs (never
-    # committed — invisible to readers) and consumed inputs still on disk
+    # committed — invisible to readers); with remove_inputs also sweep
+    # consumed inputs a crashed predecessor left behind
     for name in os.listdir(index_root):
         if name.startswith(TMP_PREFIX):
             shutil.rmtree(os.path.join(index_root, name), ignore_errors=True)
-    for name in _consumed_names(index_root):
-        p = os.path.join(index_root, name)
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+    if remove_inputs:
+        sweep_consumed(index_root)
 
     live_before = live_index_dirs(index_root)
     gen = 0
@@ -294,8 +319,9 @@ def auto_compact(
                     {"inputs": [os.path.basename(d) for d in group]}, fh
                 )
             os.rename(tmp, final)  # commit point
-            for d in group:
-                shutil.rmtree(d, ignore_errors=True)
+            if remove_inputs:
+                for d in group:
+                    shutil.rmtree(d, ignore_errors=True)
             merges.append(
                 {
                     "out": final,

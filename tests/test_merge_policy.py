@@ -226,6 +226,39 @@ def test_stream_build_then_cli_auto_compact(
     ]
 
 
+def test_reader_grace_and_sweep(spark, tiny_transcripts, tmp_path):
+    """remove_inputs=False keeps consumed segments readable for in-flight
+    queries; sweep_consumed reclaims them afterward."""
+    from katta_spark.merge_policy import sweep_consumed
+
+    root = str(tmp_path)
+    for part in range(2):
+        build_index(
+            spark,
+            tiny_transcripts.where(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2)) == part
+            ),
+            os.path.join(root, f"delta_{part:03d}"),
+            num_shards=2,
+        )
+    old_live = live_index_dirs(root)
+    res = auto_compact(
+        spark, root, floor_docs=1 << 20, remove_inputs=False
+    )
+    assert len(res["merges"]) == 1
+    # the pre-merge list still fully scans (reader grace)...
+    assert all(os.path.isdir(d) for d in old_live)
+    got = search_multi(spark, old_live, "hotalpha", k=5).collect()
+    assert got
+    # ...new readers see only the merged segment
+    assert [os.path.basename(d) for d in live_index_dirs(root)] == [
+        "merged_0"
+    ]
+    removed = sweep_consumed(root)
+    assert sorted(removed) == ["delta_000", "delta_001"]
+    assert not any(os.path.isdir(d) for d in old_live)
+
+
 def test_crash_between_commit_and_cleanup(tmp_path):
     """A committed merge whose inputs are still on disk (crash before
     rmtree) must hide those inputs from readers — no double counting."""
