@@ -107,6 +107,14 @@ def score_quality(
     map pass — the plan adds no exchange over the input's."""
     from pyspark.ml.functions import vector_to_array
 
+    reserved = {"_tokens", "_features", "rawPrediction", "probability",
+                "prediction"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the scorer's "
+            "internal columns — rename them first"
+        )
     scored = model.model.transform(
         _featurize(docs, text_col, model.n_features)
     )

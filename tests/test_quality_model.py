@@ -65,6 +65,9 @@ def test_scoring_deterministic_and_bounded(spark, model_and_heldout):
     assert all(0.0 <= r.quality_prob <= 1.0 for r in a)
     # schema: input columns survive, internals dropped
     assert set(a[0].asDict()) == {"doc_id", "text", "quality_prob"}
+    # reserved-name collision refuses instead of clobbering
+    with pytest.raises(ValueError, match="collide"):
+        score_quality(model, held_pos.withColumn("prediction", F.lit(1)))
 
 
 def test_pareto_filter_rates_and_determinism(spark):
