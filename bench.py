@@ -311,7 +311,7 @@ def main() -> None:
                 docs.where("doc_id % 41 = 0"),
                 docs.where("doc_id % 41 = 1"),
                 n_features=1 << 16,
-                max_iter=20,
+                max_iter=12,
             )
             return qm.pareto_filter(qm.score_quality(model, docs)).count()
 
