@@ -124,19 +124,18 @@ def score_quality(
            "prediction")
 
 
-def pareto_filter(
-    scored: DataFrame,
+def pareto_keep_expr(
     alpha: float = 9.0,
     seed: int = 7,
     score_col: str = "quality_prob",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """GPT-3's keep rule, deterministic: keep a doc iff its per-doc
-    Pareto draw exceeds ``1 - score``. The draw inverts the Lomax CDF
-    at a md5(id|seed)-derived uniform — ``(1-u)^(-1/alpha) - 1`` is
-    exactly ``numpy.random.pareto(alpha)`` with u made a pure function
-    of the row. score=1 keeps (almost) everything; score=0 keeps a
-    ~``2^-alpha`` diversity tail. Pure codegen filter: no shuffle, no
+):
+    """Boolean Column: GPT-3's keep rule, deterministic. Keep a doc iff
+    its per-doc Pareto draw exceeds ``1 - score``. The draw inverts the
+    Lomax CDF at a md5(id|seed)-derived uniform — ``(1-u)^(-1/alpha)-1``
+    is exactly ``numpy.random.pareto(alpha)`` with u made a pure
+    function of the row. score=1 keeps (almost) everything; score=0
+    keeps a ~``2^-alpha`` diversity tail. Pure codegen: no shuffle, no
     Python, nested samples under a fixed seed as alpha falls."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
@@ -157,4 +156,15 @@ def pareto_filter(
         / F.lit(float(16**8))
     )
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
-    return scored.where(draw > F.lit(1.0) - F.col(score_col))
+    return draw > F.lit(1.0) - F.col(score_col)
+
+
+def pareto_filter(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    seed: int = 7,
+    score_col: str = "quality_prob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``scored`` filtered by :func:`pareto_keep_expr` — see there."""
+    return scored.where(pareto_keep_expr(alpha, seed, score_col, id_col))

@@ -1009,6 +1009,8 @@ def curate(
     dedup_threshold: float = 0.8, num_hashes: int = 8, bands: int = 4,
     n: int = 3, id_col: str = "doc_id", text_col: str = "text",
     bench_text_col: str = "text",
+    quality: DataFrame | None = None, quality_alpha: float = 9.0,
+    quality_seed: int = 7,
 ) -> DataFrame:
     """(doc_id, keep, reason): the end-to-end curation verdict — the
     composed pipeline every training corpus runs before a model sees it,
@@ -1021,6 +1023,12 @@ def curate(
                             verified LSH∩Jaccard pairs; min doc_id kept)
       4 = contaminated     (>=1 distinct n-gram shingle in the benchmark
                             set; skipped when bench is None)
+      5 = low quality      (the GPT-3 Pareto keep rule rejects the doc's
+                            classifier score — ``quality`` is a
+                            (doc_id, quality_prob) frame from
+                            :func:`quality_model.score_quality`; skipped
+                            when None. Docs absent from ``quality`` pass —
+                            unscored is not low-quality.)
       0 = keep
 
     Every doc gets a verdict row — curation REPORTS, the caller filters
@@ -1052,11 +1060,24 @@ def curate(
         j = j.join(dec, "doc_id", "left")
     else:
         j = j.withColumn("contaminated", F.lit(False))
+    if quality is not None:
+        from katta_spark.quality_model import pareto_keep_expr
+
+        q = quality.select(
+            F.col(id_col).alias("doc_id"),
+            (~pareto_keep_expr(
+                quality_alpha, quality_seed, id_col=id_col
+            )).alias("low_quality"),
+        )
+        j = j.join(q, "doc_id", "left")
+    else:
+        j = j.withColumn("low_quality", F.lit(False))
     reason = (
         F.when(F.col("n_tokens") < min_tokens, 1)
         .when(F.col("top_2gram_frac") > max_top2_frac, 2)
         .when(F.coalesce(F.col("is_dup"), F.lit(False)), 3)
         .when(F.coalesce(F.col("contaminated"), F.lit(False)), 4)
+        .when(F.coalesce(F.col("low_quality"), F.lit(False)), 5)
         .otherwise(0)
     )
     return j.select(

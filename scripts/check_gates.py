@@ -53,6 +53,12 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # refuse rather than vacuously passing with zero gates run
+        print(f"ERROR: unknown gate name(s): {sorted(unknown)}; "
+              f"known: {sorted(qs)}")
+        sys.exit(2)
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -96,6 +96,33 @@ def test_pareto_filter_rates_and_determinism(spark):
         pareto_filter(s, alpha=0)
 
 
+def test_curate_quality_stage(spark, model_and_heldout):
+    """curate(quality=...) adds reason 5 exactly where the Pareto rule
+    rejects, and changes nothing else vs the quality-free verdict."""
+    from katta_spark.quality_model import pareto_keep_expr
+    from katta_spark.textops import curate
+
+    model, held_pos, held_neg = model_and_heldout
+    docs = held_pos.unionByName(held_neg)
+    scored = score_quality(model, docs).select("doc_id", "quality_prob")
+    base = {r.doc_id: (r.keep, r.reason)
+            for r in curate(docs, min_tokens=2).collect()}
+    got = {r.doc_id: (r.keep, r.reason)
+           for r in curate(docs, min_tokens=2, quality=scored).collect()}
+    rejected = {
+        r.doc_id
+        for r in scored.where(~pareto_keep_expr()).collect()
+    }
+    assert rejected  # junk held-out docs score ~0 -> some rejections
+    for d, (keep, reason) in got.items():
+        if base[d][1] != 0:  # earlier rules win unchanged
+            assert (keep, reason) == base[d]
+        elif d in rejected:
+            assert (keep, reason) == (False, 5)
+        else:
+            assert (keep, reason) == (True, 0)
+
+
 def test_score_and_filter_add_no_exchange(spark, model_and_heldout):
     model, held_pos, _ = model_and_heldout
     out = pareto_filter(score_quality(model, held_pos))
