@@ -198,7 +198,57 @@ def main(argv: list[str] | None = None) -> int:
         "next to the analyzed 'text')",
     )
 
+    p_struct = sub.add_parser("showStructure")
+    p_struct.add_argument(
+        "root",
+        help="registry root: print every deployed index's layout from "
+        "metadata alone (Katta.java showStructure — no Spark session, "
+        "no data scan)",
+    )
+
+    sub.add_parser("version")
+
     args = ap.parse_args(argv)
+
+    # metadata-only commands: no Spark session needed
+    if args.cmd == "version":
+        import pyspark
+
+        from katta_spark import __version__
+        from katta_spark.build import FORMAT_VERSION
+
+        print(json.dumps({
+            "katta_spark": __version__,
+            "index_format": FORMAT_VERSION,
+            "pyspark": pyspark.__version__,
+        }))
+        return 0
+    if args.cmd == "showStructure":
+        from katta_spark.merge_policy import segment_info
+        from katta_spark.registry import list_indexes
+
+        rows = []
+        for name, d in list_indexes(args.root).items():
+            try:
+                info = segment_info(d)
+            except Exception as exc:  # unreadable index: show, don't die
+                rows.append({"index": name, "error": str(exc)[:200]})
+                continue
+            n_shards, sharding, kw, positions, dv = info.config
+            rows.append({
+                "index": name,
+                "n_docs": info.n_docs,
+                "tombstones": info.deleted,
+                "n_shards": n_shards,
+                "sharding": sharding,
+                "keyword_fields": list(kw),
+                "positions": positions,
+                "docvalues": bool(dv),
+                "postings_bytes": info.bytes,
+            })
+        for r in rows:
+            print(json.dumps(r))
+        return 0
 
     from pyspark.sql import SparkSession
 

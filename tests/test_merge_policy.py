@@ -225,6 +225,21 @@ def test_stream_build_then_cli_auto_compact(
         (r.doc_id, round(r.score, 9)) for r in want
     ]
 
+    # showStructure (Katta.java CLI analog) reads the post-merge registry
+    # from metadata alone — no Spark session
+    assert cli.main(["showStructure", root]) == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["index"] for r in lines] == ["merged_0"]
+    assert lines[0]["n_docs"] == tiny_transcripts.count()
+    assert lines[0]["n_shards"] == 4 and lines[0]["positions"] is True
+
+    assert cli.main(["version"]) == 0
+    v = json.loads(capsys.readouterr().out.strip())
+    assert {"katta_spark", "index_format", "pyspark"} <= set(v)
+
 
 def test_reader_grace_and_sweep(spark, tiny_transcripts, tmp_path):
     """remove_inputs=False keeps consumed segments readable for in-flight
