@@ -241,6 +241,41 @@ def test_stream_build_then_cli_auto_compact(
     assert {"katta_spark", "index_format", "pyspark"} <= set(v)
 
 
+def test_cascade_two_rounds(spark, tiny_transcripts, tmp_path):
+    """max_rounds=2 cascades: four dust deltas merge pairwise under a
+    fan-in cap of 2, then the two tier-1 merges merge into one."""
+    root = str(tmp_path)
+    for part in range(4):
+        build_index(
+            spark,
+            tiny_transcripts.where(
+                F.pmod(F.xxhash64("conv_id", F.lit(3)), F.lit(4)) == part
+            ),
+            os.path.join(root, f"delta_{part:03d}"),
+            num_shards=2,
+        )
+    want = search_multi(
+        spark, live_index_dirs(root), "hotbeta", k=8, score_dtype="float64"
+    ).collect()
+    res = auto_compact(
+        spark, root, max_rounds=2, max_merge_at_once=2, floor_docs=1 << 20
+    )
+    assert res["rounds"] == 2
+    assert [sorted(m["inputs"]) for m in res["merges"]] == [
+        ["delta_000", "delta_001"],
+        ["delta_002", "delta_003"],
+        ["merged_0", "merged_1"],
+    ]
+    after = live_index_dirs(root)
+    assert [os.path.basename(d) for d in after] == ["merged_2"]
+    got = search_multi(
+        spark, after, "hotbeta", k=8, score_dtype="float64"
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+        (r.doc_id, round(r.score, 9)) for r in want
+    ]
+
+
 def test_reader_grace_and_sweep(spark, tiny_transcripts, tmp_path):
     """remove_inputs=False keeps consumed segments readable for in-flight
     queries; sweep_consumed reclaims them afterward."""
