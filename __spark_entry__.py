@@ -906,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         in-row codegen — adds ZERO exchanges; variant='unigram_lm' =
         CCNet-style LM-perplexity filter over a corpus-derived unigram LM
         (n=n_tokens, r1=cross_entropy nats, r2=perplexity, r3=min_logp);
+        variant='bigram_lm' = the order-2 step toward CCNet's KenLM
+        (Dirichlet-smoothed bigram with unigram prior, alpha=1; the
+        first token scores under the unigram; same n/r1-r3 meaning);
         variant='boilerplate' = CROSS-doc frequent-3-gram signals, Lee et
         al. 2021 (n=n_grams, r1=frequent_frac at min_df=2, r2=max_df_frac,
         r3=avg_df_frac); variant='dsir' = DSIR importance weights (Xie et
@@ -937,6 +940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("perplexity").alias("r2"),
             F.col("min_logp").alias("r3"),
         )
+        lm2 = tx.bigram_lm_scores(docs).select(
+            F.lit("bigram_lm").alias("variant"), "doc_id",
+            F.col("n_tokens").cast("int").alias("n"),
+            F.col("cross_entropy").alias("r1"),
+            F.col("perplexity").alias("r2"),
+            F.col("min_logp").alias("r3"),
+        )
         bp = tx.boilerplate_scores(docs).select(
             F.lit("boilerplate").alias("variant"), "doc_id",
             F.col("n_grams").cast("int").alias("n"),
@@ -952,8 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("unseen_frac").alias("r3"),
         )
         return (
-            ql.unionByName(rep).unionByName(lm).unionByName(bp)
-            .unionByName(ds)
+            ql.unionByName(rep).unionByName(lm).unionByName(lm2)
+            .unionByName(bp).unionByName(ds)
         )
 
     q["quality_scores"] = quality
@@ -2039,6 +2049,37 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
         uni AS (SELECT tok, count(*)::DOUBLE AS c FROM toku GROUP BY tok),
         tot AS (SELECT sum(c) AS total FROM uni),
         lp AS (SELECT tok, ln(c / total) AS logp FROM uni CROSS JOIN tot),
+        puni AS (SELECT tok, c / total AS pu FROM uni CROSS JOIN tot),
+        pairsq AS (
+          SELECT doc_id, unnest(prevs) AS prev, unnest(curs) AS cur FROM (
+            SELECT doc_id,
+              CASE WHEN len(t) >= 2 THEN
+                [t[i] FOR i IN range(1, len(t))]
+              ELSE []::VARCHAR[] END AS prevs,
+              CASE WHEN len(t) >= 2 THEN
+                [t[i + 1] FOR i IN range(1, len(t))]
+              ELSE []::VARCHAR[] END AS curs
+            FROM toksq
+          )
+        ),
+        bgc AS (
+          SELECT prev, cur, count(*)::DOUBLE AS cbg
+          FROM pairsq GROUP BY prev, cur
+        ),
+        prevc AS (SELECT prev, sum(cbg) AS cprev FROM bgc GROUP BY prev),
+        bglp AS (
+          SELECT p.doc_id,
+                 ln((b.cbg + pu.pu) / (pc.cprev + 1)) AS logp
+          FROM pairsq p
+          JOIN bgc b USING (prev, cur)
+          JOIN prevc pc USING (prev)
+          JOIN puni pu ON pu.tok = p.cur
+          UNION ALL
+          SELECT f.doc_id, ln(pu.pu) AS logp
+          FROM (
+            SELECT doc_id, t[1] AS tok FROM toksq WHERE len(t) >= 1
+          ) f JOIN puni pu USING (tok)
+        ),
         g3occ AS (SELECT doc_id, unnest(g3) AS gram FROM grams),
         dftab AS (
           SELECT gram, count(DISTINCT doc_id)::DOUBLE AS df
@@ -2104,6 +2145,14 @@ ORDER BY s DESC, doc_id ASC LIMIT 10
                round(exp(-avg(logp)), 4) AS r2,
                round(min(logp), 4) AS r3
         FROM toku JOIN lp USING (tok)
+        GROUP BY doc_id
+        UNION ALL
+        SELECT 'bigram_lm' AS variant, doc_id,
+               count(*) AS n,
+               round(-avg(logp), 4) AS r1,
+               round(exp(-avg(logp)), 4) AS r2,
+               round(min(logp), 4) AS r3
+        FROM bglp
         GROUP BY doc_id
         UNION ALL
         SELECT 'boilerplate' AS variant, doc_id,

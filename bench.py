@@ -273,6 +273,7 @@ def main() -> None:
         timed_q("quality_scores", lambda: tx.quality_scores(docs).count())
         timed_q("repetition_scores", lambda: tx.repetition_scores(docs).count())
         timed_q("unigram_lm", lambda: tx.unigram_lm_scores(docs).count())
+        timed_q("bigram_lm", lambda: tx.bigram_lm_scores(docs).count())
         timed_q("boilerplate", lambda: tx.boilerplate_scores(docs).count())
         # ExactSubstr dedup profile (Lee et al. 2021): duplicated k-gram
         # span union per doc; k=16 at this doc length (production k=50)

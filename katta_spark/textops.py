@@ -854,6 +854,103 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    alpha: float = 1.0, broadcast_stats: bool = True,
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy, perplexity, min_logp).
+
+    The order-2 step from :func:`unigram_lm_scores` toward CCNet's
+    KenLM filter (Wenzek et al. 2019 train a 5-gram LM): a corpus-
+    derived BIGRAM model with Dirichlet smoothing against the unigram
+    prior — p(t_i | t_{i-1}) = (c(t_{i-1}, t_i) + alpha * p_uni(t_i)) /
+    (c_left(t_{i-1}) + alpha), where c_left(w) counts w's occurrences
+    as a bigram left-hand side (Chen & Goodman 1999's additive/prior
+    smoothing family). The first token of a document scores under the
+    unigram model; cross_entropy = -mean ln p over all n_tokens terms,
+    perplexity = exp(ce), min_logp = the most surprising term. A
+    word-salad document (plausible words, implausible transitions)
+    scores high here while passing the unigram filter.
+
+    100-TB shape: the same two-pass train/apply split as the unigram
+    scorer, one order up. Pass 1 builds the bigram count table from an
+    IN-ROW zip of each doc's adjacent tokens (slice + arrays_zip — no
+    self-join to form pairs) collapsed map-side to ~bigram-type rows;
+    the left-marginal and unigram tables are further collapses of it.
+    Pass 2 joins the three stat tables back onto the occurrence stream —
+    broadcast by default (Zipf-truncated bigram types; set
+    broadcast_stats=False past broadcastable size to let AQE pick
+    shuffle-hash) — and the per-doc collapse combines map-side. Trained
+    on the scored corpus itself, every observed transition has count
+    >= 1, so there is no OOV path (exactly like the unigram leg).
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col)).alias("t"),
+    ).where(F.size("t") >= 1)
+    m = F.size("t")
+    pairs = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.arrays_zip(
+                F.slice("t", 1, m - 1).alias("prev"),
+                F.slice("t", 2, m - 1).alias("cur"),
+            )
+        ).alias("pc"),
+    ).where(F.col("pc").isNotNull()).select(
+        "doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
+    )
+    occ = toks.select("doc_id", F.explode_outer("t").alias("tok")).where(
+        F.col("tok") != ""
+    )
+    uni = occ.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = uni.agg(F.sum("c").alias("tot"))
+    puni = uni.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("c") / F.col("tot")).alias("pu")
+    )
+    bgc = pairs.groupBy("prev", "cur").agg(
+        F.count("*").cast("double").alias("cbg")
+    )
+    prevc = bgc.groupBy("prev").agg(F.sum("cbg").alias("cprev"))
+    if broadcast_stats:
+        puni, bgc, prevc = F.broadcast(puni), F.broadcast(bgc), F.broadcast(prevc)
+    trans = (
+        pairs.join(bgc, ["prev", "cur"])
+        .join(prevc, "prev")
+        .join(puni.withColumnRenamed("tok", "cur"), "cur")
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cbg") + F.lit(float(alpha)) * F.col("pu"))
+                / (F.col("cprev") + F.lit(float(alpha)))
+            ).alias("logp"),
+        )
+    )
+    first = (
+        toks.select("doc_id", F.element_at("t", 1).alias("tok"))
+        .join(puni, "tok")
+        .select("doc_id", F.log("pu").alias("logp"))
+    )
+    return (
+        trans.unionByName(first)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.avg("logp")).alias("_ce"),
+            F.min("logp").alias("_min_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_ce", 4).alias("cross_entropy"),
+            F.round(F.exp("_ce"), 4).alias("perplexity"),
+            F.round("_min_logp", 4).alias("min_logp"),
+        )
+    )
+
+
 def boilerplate_scores(
     docs: DataFrame, n: int = 3, min_df: int = 2,
     id_col: str = "doc_id", text_col: str = "text",

@@ -506,6 +506,67 @@ def test_unigram_lm_hand_checked(spark):
     assert got[2].min_logp == pytest.approx(round(math.log(0.2), 4))
 
 
+def test_bigram_lm_reference_values(spark):
+    """Exact values vs a pure-Python reference of the documented model:
+    p(cur|prev) = (c(prev,cur) + p_uni(cur)) / (c_left(prev) + 1), first
+    token under the unigram; single-token docs score unigram-only; empty
+    docs drop; word salad (good words, bad transitions) scores above the
+    coherent doc that shares its vocabulary."""
+    import math
+    from collections import Counter
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "mat on cat the zq",
+        4: "solo",
+        5: "",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in tx.bigram_lm_scores(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    toks = {k: v.split() for k, v in texts.items() if v}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    total = sum(uni.values())
+    bg = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values()
+        for i in range(len(ts) - 1)
+    )
+    left = Counter()
+    for (p, _), c in bg.items():
+        left[p] += c
+    for k, ts in toks.items():
+        lps = [math.log(uni[ts[0]] / total)]
+        for i in range(1, len(ts)):
+            pu = uni[ts[i]] / total
+            lps.append(
+                math.log((bg[(ts[i - 1], ts[i])] + pu) / (left[ts[i - 1]] + 1))
+            )
+        ce = -sum(lps) / len(lps)
+        assert got[k].n_tokens == len(ts)
+        assert got[k].cross_entropy == pytest.approx(round(ce, 4), abs=2e-4)
+        assert got[k].perplexity == pytest.approx(
+            round(math.exp(ce), 4), abs=2e-3
+        )
+        assert got[k].min_logp == pytest.approx(
+            round(min(lps), 4), abs=2e-4
+        )
+    # the transition signal: salad doc 3 beats coherent doc 1 on ce
+    assert got[3].cross_entropy > got[1].cross_entropy
+    with pytest.raises(ValueError):
+        tx.bigram_lm_scores(docs, alpha=0)
+
+
+def test_bigram_lm_plan_broadcasts_stats(docs):
+    out = tx.bigram_lm_scores(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_unigram_lm_plan_broadcasts_vocab(docs):
     """100-TB shape: the vocab-sized logp table broadcasts back onto the
     corpus — no SortMergeJoin anywhere; the per-doc collapse combines
