@@ -41,6 +41,7 @@ def stream_build(
     num_shards: int = 4,
     available_now: bool = True,
     checkpoint_dir: str | None = None,
+    merge_policy: dict | None = None,
 ):
     """Incrementally index transcript parquet files as they arrive.
 
@@ -52,7 +53,15 @@ def stream_build(
     The streaming checkpoint makes ingestion exactly-once per file, and
     each delta build is itself resumable (lineage) — end-to-end at-least-
     once build with idempotent commits.
-    """
+
+    ``merge_policy`` (a kwargs dict for
+    :func:`katta_spark.merge_policy.auto_compact`, e.g. ``{}`` for the
+    defaults) runs the tiered merge policy after the drain, bounding the
+    live segment count as ingestion continues — Lucene's
+    background-merge-after-flush loop. Only valid with
+    ``available_now=True`` (a continuous stream would schedule
+    ``auto_compact`` out-of-band; merging inside foreachBatch would
+    stall the trigger)."""
     os.makedirs(index_root, exist_ok=True)
     checkpoint_dir = checkpoint_dir or os.path.join(index_root, "_checkpoint")
 
@@ -72,9 +81,18 @@ def stream_build(
         .writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+    if merge_policy is not None and not available_now:
+        raise ValueError(
+            "merge_policy requires available_now=True — schedule "
+            "auto_compact out-of-band for a continuous stream"
+        )
     if available_now:
         q = stream.trigger(availableNow=True).start()
         q.awaitTermination()
+        if merge_policy is not None:
+            from katta_spark.merge_policy import auto_compact
+
+            auto_compact(spark, index_root, **merge_policy)
         return q
     return stream.start()
 

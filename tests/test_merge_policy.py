@@ -241,6 +241,37 @@ def test_stream_build_then_cli_auto_compact(
     assert {"katta_spark", "index_format", "pyspark"} <= set(v)
 
 
+def test_stream_build_inline_merge_policy(spark, tiny_transcripts, tmp_path):
+    """stream_build(merge_policy={...}) bounds the live segment count as
+    drains accumulate — the background-merge-after-flush loop."""
+    from katta_spark.streaming import stream_build
+
+    src = str(tmp_path / "in")
+    root = str(tmp_path / "idx")
+    policy = {"floor_docs": 1 << 20}
+    third = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    tiny_transcripts.where(third == 0).write.parquet(src)
+    stream_build(spark, src, root, num_shards=2, merge_policy=policy)
+    assert len(live_index_dirs(root)) == 1  # single segment: no merge
+    for part in (1, 2):
+        tiny_transcripts.where(third == part).write.mode("append").parquet(src)
+        stream_build(spark, src, root, num_shards=2, merge_policy=policy)
+        assert len(live_index_dirs(root)) == 1  # merged back down
+    got = search_multi(
+        spark, live_index_dirs(root), "hotalpha", k=5, score_dtype="float64"
+    ).collect()
+    want = {r.doc_id for r in got}
+    # the merged index covers the whole corpus: equal to one-shot build
+    one = str(tmp_path / "one")
+    build_index(spark, tiny_transcripts, one, num_shards=2)
+    ref = search_multi(spark, [one], "hotalpha", k=5, score_dtype="float64")
+    assert want == {r.doc_id for r in ref.collect()}
+    with pytest.raises(ValueError, match="available_now"):
+        stream_build(
+            spark, src, root, available_now=False, merge_policy=policy
+        )
+
+
 def test_cascade_two_rounds(spark, tiny_transcripts, tmp_path):
     """max_rounds=2 cascades: four dust deltas merge pairwise under a
     fan-in cap of 2, then the two tier-1 merges merge into one."""
