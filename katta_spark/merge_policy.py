@@ -250,7 +250,20 @@ def sweep_consumed(index_root: str) -> list[str]:
         if name.startswith(TMP_PREFIX):
             shutil.rmtree(os.path.join(index_root, name), ignore_errors=True)
             removed.append(name)
-    for name in sorted(_consumed_names(index_root)):
+
+    # Deletion ORDER is the crash-safety invariant: a consumed merged_N
+    # dir carries the manifest that hides ITS inputs from readers, so it
+    # must outlive them on disk. Delete leaf segments first, then merged
+    # segments in ascending generation (a merge only ever consumes
+    # lower-generation segments) — a crash at any point leaves every
+    # still-present consumed dir hidden by a still-present manifest.
+    def _order(name: str) -> tuple:
+        if name.startswith(MERGED_PREFIX):
+            tail = name[len(MERGED_PREFIX):]
+            return (1, int(tail) if tail.isdigit() else 0, name)
+        return (0, 0, name)
+
+    for name in sorted(_consumed_names(index_root), key=_order):
         p = os.path.join(index_root, name)
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)

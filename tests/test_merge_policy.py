@@ -340,6 +340,36 @@ def test_reader_grace_and_sweep(spark, tiny_transcripts, tmp_path):
     assert not any(os.path.isdir(d) for d in old_live)
 
 
+def test_sweep_deletes_manifest_holders_last(tmp_path):
+    """A consumed merged segment's manifest hides its own inputs, so the
+    sweep must delete inputs before the manifest holder — otherwise a
+    crash mid-sweep would resurface consumed deltas (double counting)."""
+    from katta_spark.merge_policy import sweep_consumed
+
+    root = str(tmp_path)
+    # chain: merged_0 consumed delta_000+delta_001; merged_1 consumed
+    # merged_0+delta_002 — everything still on disk (grace mode)
+    for name in ("delta_000", "delta_001", "delta_002", "merged_0",
+                 "merged_1"):
+        os.makedirs(os.path.join(root, name))
+    with open(os.path.join(root, "merged_0", "_INPUTS.json"), "w") as fh:
+        json.dump({"inputs": ["delta_000", "delta_001"]}, fh)
+    with open(os.path.join(root, "merged_1", "_INPUTS.json"), "w") as fh:
+        json.dump({"inputs": ["merged_0", "delta_002"]}, fh)
+    assert [os.path.basename(d) for d in live_index_dirs(root)] == [
+        "merged_1"
+    ]
+    removed = sweep_consumed(root)
+    # leaves strictly before the merged dir whose manifest hides them
+    assert removed.index("delta_000") < removed.index("merged_0")
+    assert removed.index("delta_001") < removed.index("merged_0")
+    assert removed.index("delta_002") < removed.index("merged_0")
+    assert [os.path.basename(d) for d in live_index_dirs(root)] == [
+        "merged_1"
+    ]
+    assert sorted(os.listdir(root)) == ["merged_1"]
+
+
 def test_crash_between_commit_and_cleanup(tmp_path):
     """A committed merge whose inputs are still on disk (crash before
     rmtree) must hide those inputs from readers — no double counting."""
