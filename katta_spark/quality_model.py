@@ -94,7 +94,24 @@ def train_quality_classifier(
         maxIter=max_iter,
         regParam=reg_param,
     )
-    return QualityModel(model=lr.fit(data), n_features=n_features)
+    fitted = lr.fit(data)
+    # Persistence round-trip strips the training summary: the summary
+    # holds the SparkSession, and the scoring UDF's closure would drag
+    # the whole session graph into every task (non-serializable once
+    # e.g. an Observation is registered — "Task not serializable:
+    # ObservationManager"). Saved models carry coefficients only.
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    tmp = tempfile.mkdtemp(prefix="katta_qm_")
+    try:
+        fitted.write().overwrite().save(tmp)
+        model = LogisticRegressionModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return QualityModel(model=model, n_features=n_features)
 
 
 def score_quality(
