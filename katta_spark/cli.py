@@ -159,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
         "over the live delta_*/merged_* segments and execute them "
         "(TieredMergePolicy + background-merge analog)",
     )
+    p_auto.add_argument(
+        "--dry-run", action="store_true",
+        help="print the planned merge groups (metadata only) and exit "
+        "without executing",
+    )
     p_auto.add_argument("--max-rounds", type=int, default=1)
     p_auto.add_argument("--max-merge-at-once", type=int, default=10)
     p_auto.add_argument("--floor-docs", type=int, default=1024)
@@ -403,8 +408,32 @@ def main(argv: list[str] | None = None) -> int:
                 compact(spark, args.index_dirs.split(","), args.out_dir)
             ))
         elif args.cmd == "autoCompact":
-            from katta_spark.merge_policy import auto_compact
+            from katta_spark.merge_policy import (
+                auto_compact,
+                live_index_dirs,
+                plan_compaction,
+                segment_infos,
+            )
 
+            if args.dry_run:
+                import os as _os
+
+                live = live_index_dirs(args.index_root)
+                plan = plan_compaction(
+                    segment_infos(live),
+                    max_merge_at_once=args.max_merge_at_once,
+                    floor_docs=args.floor_docs,
+                    max_merged_docs=args.max_merged_docs,
+                    tier_ratio=args.tier_ratio,
+                    expunge_deletes_pct=args.expunge_deletes_pct,
+                )
+                print(json.dumps({
+                    "live": [_os.path.basename(d) for d in live],
+                    "plan": [
+                        [_os.path.basename(d) for d in g] for g in plan
+                    ],
+                }))
+                return 0
             print(json.dumps(auto_compact(
                 spark, args.index_root,
                 max_rounds=args.max_rounds,

@@ -214,6 +214,13 @@ def test_stream_build_then_cli_auto_compact(
         spark, before, "hotalpha hotbeta", k=10, score_dtype="float64"
     ).collect()
 
+    assert cli.main(
+        ["autoCompact", root, "--dry-run", "--floor-docs", str(1 << 20)]
+    ) == 0
+    dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(dry["live"]) == 2 and dry["plan"] == [dry["live"]]
+    assert len(live_index_dirs(root)) == 2  # dry run executed nothing
+
     assert cli.main(["autoCompact", root, "--floor-docs", str(1 << 20)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     after = live_index_dirs(root)
