@@ -48,6 +48,9 @@ def __getattr__(name):
         "auto_compact": ("katta_spark.merge_policy", "auto_compact"),
         "live_index_dirs": ("katta_spark.merge_policy", "live_index_dirs"),
         "sweep_consumed": ("katta_spark.merge_policy", "sweep_consumed"),
+        "copy_index": ("katta_spark.deploy", "copy_index"),
+        "index_manifest": ("katta_spark.deploy", "index_manifest"),
+        "verify_index": ("katta_spark.deploy", "verify_index"),
     }
     if name in _lazy:
         import importlib

@@ -213,6 +213,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("version")
 
+    p_copy = sub.add_parser("copyIndex")
+    p_copy.add_argument("src")
+    p_copy.add_argument("dst")
+    p_copy.add_argument(
+        "--max-mb-per-sec", type=float, default=None,
+        help="deploy bandwidth cap (ShardManager install throttle / "
+        "ThrottledInputStream analog)",
+    )
+    p_copy.add_argument("--no-verify", action="store_true")
+
     args = ap.parse_args(argv)
 
     # metadata-only commands: no Spark session needed
@@ -227,6 +237,18 @@ def main(argv: list[str] | None = None) -> int:
             "index_format": FORMAT_VERSION,
             "pyspark": pyspark.__version__,
         }))
+        return 0
+    if args.cmd == "copyIndex":
+        from katta_spark.deploy import copy_index
+
+        rate = (
+            args.max_mb_per_sec * 1024 * 1024
+            if args.max_mb_per_sec is not None else None
+        )
+        print(json.dumps(copy_index(
+            args.src, args.dst,
+            max_bytes_per_sec=rate, verify=not args.no_verify,
+        )))
         return 0
     if args.cmd == "showStructure":
         from katta_spark.merge_policy import segment_info
