@@ -35,6 +35,8 @@ def __getattr__(name):
         "match_stats": ("katta_spark.query", "match_stats"),
         "explain_score": ("katta_spark.query", "explain_score"),
         "get_details": ("katta_spark.query", "get_details"),
+        "prepare_filter": ("katta_spark.query", "prepare_filter"),
+        "CachedFilter": ("katta_spark.query", "CachedFilter"),
         "IndexHandle": ("katta_spark.query", "IndexHandle"),
         "delete_docs": ("katta_spark.delete", "delete_docs"),
         "delete_by_query": ("katta_spark.delete", "delete_by_query"),

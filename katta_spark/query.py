@@ -65,6 +65,76 @@ class DocFilter(NamedTuple):
     deny: "np.ndarray | None"
 
 
+class CachedFilter:
+    """A prepared, reusable query filter — the CachingWrapperFilter
+    analog (Katta P3: Lucene caches a filter's per-reader bitset so
+    repeated filtered searches skip recomputing it; LuceneServer wraps
+    client filters in exactly that cache).
+
+    :func:`prepare_filter` derives the (doc_id, shard_id) frame ONCE,
+    hash-partitions it by shard_id with the session's shuffle
+    parallelism and persists it — so every subsequent
+    ``search(filter_df=<CachedFilter>)`` reuses the materialized
+    partitions and the cogroup re-shuffles only the postings side (the
+    filter side's exchange is satisfied by the cached partitioning).
+    Valid for any index sharing the sharding config it was prepared
+    under (shard assignment is a pure function of doc_id, num_shards
+    and the sharding fn); mismatches refuse. Single-index paths only —
+    multi-index searches offset shard ids per index, so pass the raw
+    DataFrame there. Call :meth:`unpersist` when done.
+    """
+
+    def __init__(self, df: "DataFrame", num_shards: int, sharding: str):
+        self.df = df
+        self.num_shards = num_shards
+        self.sharding = sharding
+
+    def unpersist(self) -> None:
+        self.df.unpersist()
+
+
+def prepare_filter(
+    spark: "SparkSession",
+    index: "IndexHandle | str",
+    filter_df: "DataFrame",
+    doc_col: str = "doc_id",
+) -> CachedFilter:
+    """Materialize ``filter_df`` as a :class:`CachedFilter` for repeated
+    filtered searches against ``index`` (or any sharding-compatible
+    index)."""
+    h = IndexHandle.open(spark, index) if isinstance(index, str) else index
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fdf = (
+        filter_df.select(F.col(doc_col).cast("long").alias("doc_id"))
+        .withColumn("shard_id", h.shard_expr(F.col("doc_id")))
+        .repartition(n, "shard_id")
+        .persist()
+    )
+    fdf.count()  # materialize now, not on the first search
+    return CachedFilter(fdf, h.num_shards, h.sharding)
+
+
+def _filter_frame(index, filter_df, filter_doc_col: str):
+    """The shard-keyed (doc_id, shard_id) frame for the cogroup: derive
+    it from a raw DataFrame, or reuse a CachedFilter's materialization
+    (after checking it was prepared under the same sharding config)."""
+    if isinstance(filter_df, CachedFilter):
+        if (
+            filter_df.num_shards != index.num_shards
+            or filter_df.sharding != index.sharding
+        ):
+            raise ValueError(
+                "CachedFilter was prepared for "
+                f"{filter_df.num_shards} shards/{filter_df.sharding!r}; "
+                f"this index has {index.num_shards} shards/"
+                f"{index.sharding!r} — prepare_filter against this index"
+            )
+        return filter_df.df
+    return filter_df.select(
+        F.col(filter_doc_col).cast("long").alias("doc_id")
+    ).withColumn("shard_id", index.shard_expr(F.col("doc_id")))
+
+
 def _keep_mask(d: np.ndarray, flt) -> "np.ndarray | None":
     """Boolean keep-mask of ``d`` under an allow-array or DocFilter;
     None when the filter is a no-op (no mask needed)."""
@@ -2522,9 +2592,7 @@ def search(
         if shard_ids is not None:
             dvdf = dvdf.where(F.col("shard_id").isin(shard_ids))
         if filter_df is not None:
-            fdf = filter_df.select(
-                F.col(filter_doc_col).cast("long").alias("doc_id")
-            ).withColumn("shard_id", index.shard_expr(F.col("doc_id")))
+            fdf = _filter_frame(index, filter_df, filter_doc_col)
             if shard_ids is not None:
                 fdf = fdf.where(F.col("shard_id").isin(shard_ids))
             dvdf = _dv_with_filter(dvdf, fdf)
@@ -2555,9 +2623,7 @@ def search(
                 lambda pdf: kernel(pdf), out_schema
             )
     else:
-        fdf = filter_df.select(
-            F.col(filter_doc_col).cast("long").alias("doc_id")
-        ).withColumn("shard_id", index.shard_expr(F.col("doc_id")))
+        fdf = _filter_frame(index, filter_df, filter_doc_col)
         if shard_ids is not None:
             fdf = fdf.where(F.col("shard_id").isin(shard_ids))
 
@@ -2768,6 +2834,11 @@ def search_multi(
     handles = [
         IndexHandle.open(spark, ix) if isinstance(ix, str) else ix for ix in indexes
     ]
+    if isinstance(filter_df, CachedFilter):
+        raise ValueError(
+            "CachedFilter is single-index (multi-index searches offset "
+            "shard ids per index) — pass the raw filter DataFrame"
+        )
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
     if offset and _cursor is not None:

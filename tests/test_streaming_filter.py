@@ -72,6 +72,43 @@ def test_filtered_search_matches_filtered_oracle(spark, tiny_transcripts, tmp_pa
     ).collect()
     assert ss and all(r.doc_id in allowed_set for r in ss)
 
+    # CachedFilter (P3, CachingWrapperFilter analog): prepared once,
+    # reused across queries, row-identical to the raw-DataFrame path;
+    # the prepared frame is persisted and its plan reuses the cache
+    from katta_spark.plans import physical_plan
+    from katta_spark.query import prepare_filter
+
+    cf = prepare_filter(spark, d, allowed_df)
+    try:
+        assert cf.df.is_cached
+        got_cf = search(
+            spark, d, "hotalpha hotbeta", k=10, filter_df=cf
+        ).collect()
+        assert [(r.doc_id, r.score) for r in got_cf] == [
+            (r.doc_id, r.score) for r in got
+        ]
+        # a second, different query reuses the same materialization
+        assert search(
+            spark, d, "hotalpha", k=10, filter_df=cf
+        ).collect() == search(
+            spark, d, "hotalpha", k=10, filter_df=allowed_df
+        ).collect()
+        plan = physical_plan(
+            search(spark, d, "hotalpha hotbeta", k=10, filter_df=cf)
+        )
+        assert "InMemoryTableScan" in plan
+        # sharding-config mismatch refuses
+        d2 = str(tmp_path / "idx2")
+        build_index(spark, tiny_transcripts, d2, num_shards=2)
+        with pytest.raises(ValueError, match="prepare_filter"):
+            search(spark, d2, "hotalpha", k=5, filter_df=cf).collect()
+        with pytest.raises(ValueError, match="single-index"):
+            search_multi(
+                spark, [d, d2], "hotalpha", k=5, filter_df=cf
+            ).collect()
+    finally:
+        cf.unpersist()
+
 
 def test_search_with_total(spark, tiny_transcripts, tmp_path):
     """A3/A4: top-k + exact totalHits in one job (Hits.java:34-51) — the
