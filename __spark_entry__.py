@@ -453,11 +453,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_total"] = bm25_total
 
     def bm25_not(spark, sf):
-        """F2 boolean MUST_NOT (-term, Lucene QueryParser syntax exposed
-        verbatim by Katta.java:825-826): docs containing the excluded term
-        are dropped inside the shard kernels; survivors' scores are
-        unchanged."""
-        return _bm25(spark, sf, "join hash -scan", 10)
+        """Tagged union (50-gate cap) — the three clause-level boolean
+        refinements of Lucene's QueryParser surface (Katta hands query
+        strings to it verbatim, Katta.java:825-826).
+        variant='not': MUST_NOT (-term) — docs with the excluded term
+        are dropped inside the shard kernels, survivors' scores
+        unchanged. variant='msm':
+        BooleanQuery.setMinimumNumberShouldMatch(2) over four SHOULD
+        terms — a doc must hold >= 2 DISTINCT optional clauses; scores
+        are the plain OR scores. variant='syn': SynonymQuery blended
+        scoring ('join' expands to the group (join, hash)): the group
+        scores as ONE pseudo-term with tf = sum of member tfs and
+        df = max member global df (SynonymQuery.java docFreq), beside a
+        plain 'merge' clause."""
+        d = _index_dir(spark, sf)
+        nt = ksq.search(
+            spark, d, "join hash -scan", k=10, score_dtype="float64"
+        ).select(
+            F.lit("not").alias("variant"), "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+        ms = ksq.search(
+            spark, d, "join hash scan filter", k=10, min_should_match=2,
+            score_dtype="float64",
+        ).select(
+            F.lit("msm").alias("variant"), "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+        sy = ksq.search(
+            spark, d, "join merge", k=10, synonyms={"join": ["hash"]},
+            score_dtype="float64",
+        ).select(
+            F.lit("syn").alias("variant"), "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+        return nt.unionByName(ms).unionByName(sy)
 
     q["bm25_not"] = bm25_not
 
@@ -1258,12 +1288,66 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_cursor_p2_sql})
     """
     # MUST_NOT: anti-join on the excluded term's matches (scores unchanged)
-    o["bm25_not"] = _bm25_sql(
+    _not_sql = _bm25_sql(
         [("join", 1.0), ("hash", 1.0)], 10,
         filter_clause=(
             "WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'scan')"
         ),
     )
+    # minimumNumberShouldMatch(2): plain OR scoring, constrained to docs
+    # holding >= 2 distinct of the four optional clauses
+    _msm_sql = _bm25_sql(
+        [("join", 1.0), ("hash", 1.0), ("scan", 1.0), ("filter", 1.0)], 10,
+        having="HAVING count(DISTINCT tf.term) >= 2",
+    )
+    # SynonymQuery: the group (join, hash) scores as ONE pseudo-term —
+    # per-doc tf summed over members, idf from the MAX member df
+    # (SynonymQuery.java docFreq) — beside the plain clause 'merge'
+    _syn_sql = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+gidf AS (
+  SELECT ln(1 + (c.n - g.df + 0.5) / (g.df + 0.5)) AS idf
+  FROM (SELECT max(df) AS df FROM (
+          SELECT count(*)::DOUBLE AS df FROM tf
+          WHERE term IN ('join', 'hash') GROUP BY term)) g, corpus c
+),
+pidf AS (
+  SELECT ln(1 + (c.n - s.df + 0.5) / (s.df + 0.5)) AS idf
+  FROM (SELECT count(*)::DOUBLE AS df FROM tf WHERE term = 'merge') s,
+       corpus c
+),
+clauses AS (
+  SELECT doc_id, sum(tf) AS tf, (SELECT idf FROM gidf) AS idf FROM tf
+  WHERE term IN ('join', 'hash') GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, tf, (SELECT idf FROM pidf) FROM tf WHERE term = 'merge'
+),
+scores AS (
+  SELECT cl.doc_id,
+         sum(cl.idf * (cl.tf * 2.2)
+             / (cl.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS s
+  FROM clauses cl JOIN dl USING (doc_id), corpus c
+  GROUP BY cl.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+    o["bm25_not"] = f"""
+        SELECT 'not' AS variant, * FROM ({_not_sql})
+        UNION ALL
+        SELECT 'msm' AS variant, * FROM ({_msm_sql})
+        UNION ALL
+        SELECT 'syn' AS variant, * FROM ({_syn_sql})
+    """
     # phrase: contains-verify of the consecutive token run on candidates;
     # scoring = plain BM25 over all three scoring terms
     _phrase_exact_sql = _bm25_sql(

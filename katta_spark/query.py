@@ -1475,6 +1475,8 @@ def _make_score_kernel(
     not_terms: frozenset[str] = frozenset(),
     phrases: tuple = (),
     cursor: tuple | None = None,
+    min_should: int = 0,
+    syn_groups: tuple = (),
 ):
     """Per-shard scoring kernel (applyInPandas over shard_id groups).
 
@@ -1497,17 +1499,42 @@ def _make_score_kernel(
     with no stored-text access, LuceneServer.java:682): candidates are
     the must-intersection (every phrase token is a MUST), then
     _phrase_match_mask applies Lucene's sloppy-span semantics. Surviving
-    docs keep their BM25 scores unchanged."""
+    docs keep their BM25 scores unchanged.
+
+    ``min_should`` — Lucene BooleanQuery.setMinimumNumberShouldMatch: a
+    doc matches only if it contains at least this many DISTINCT optional
+    (SHOULD) clauses; MUST clauses never count toward the minimum, and a
+    synonym group counts as ONE clause (it matches when any member does).
+    If the minimum exceeds the number of optional clauses the query
+    matches nothing (Lucene rewrites that case to MatchNoDocsQuery).
+
+    ``syn_groups`` — Lucene SynonymQuery blended scoring (what
+    QueryParser emits when the analyzer chain holds a SynonymGraphFilter):
+    each entry is ``(weight, group_df, members)``; the group scores as a
+    SINGLE pseudo-term with tf = Σ member tfs per doc and df = max member
+    GLOBAL df (SynonymQuery.java uses the max docFreq across terms), so
+    a doc matching two synonyms is scored like one term seen twice, not
+    twice over. group_df is resolved from global stats driver-side so
+    every shard scores with the same idf."""
     # a searchAfter cursor masks candidates AFTER accumulation, so the
     # θ prune bound (computed over masked candidates) cannot drive block
     # skipping — prune off, like filters disable tree pruning
     prune = (
         prune and not must_terms and not not_terms and not phrases
-        and cursor is None
+        and cursor is None and min_should <= 0 and not syn_groups
     )
     if cursor is not None and with_total:
         raise ValueError("searchAfter does not combine with totals")
     phrase_terms = {t for toks, _ in phrases for t in toks}
+    syn_members = {m for _, _, members in syn_groups for m in members}
+    # optional (SHOULD) clauses = scoring terms that are not MUST, minus
+    # synonym members (each group is ONE clause), plus the groups
+    should_terms = (
+        frozenset(qweights) - must_terms - phrase_terms - syn_members
+        if min_should > 0
+        else frozenset()
+    )
+    n_optional = len(should_terms) + len(syn_groups)
 
     def kernel(
         pdf: pd.DataFrame, filter_docs: np.ndarray | None = None
@@ -1527,6 +1554,12 @@ def _make_score_kernel(
                 return _empty_hits(score_dtype, with_total)
         must_seen: dict[str, np.ndarray] = {}
         phrase_data: dict[str, tuple] = {}
+        # synonym-member postings stashed for blended group scoring:
+        # term -> (docs, tfs, doclens), filter already applied
+        syn_data: dict[str, tuple] = {}
+        # per-optional-clause matched-doc arrays for min_should counting
+        should_seen: dict[str, np.ndarray] = {}
+        group_seen: list[np.ndarray] = []
         # idf from the per-row GLOBAL df (broadcast-joined from the stats
         # table inside the same job — phase 1 without a driver round-trip);
         # then row-level impact bound from raw (max_tf, min_dl), and terms
@@ -1536,7 +1569,7 @@ def _make_score_kernel(
         pdf = pdf.assign(
             idf_row=idf_col,
             _qimpact=[
-                qweights[t]
+                qweights.get(t, 0.0)
                 * iv
                 * float(scoring.tf_norm_np(np.array([mt]), np.array([md]), avgdl)[0])
                 for t, iv, mt, md in zip(
@@ -1563,10 +1596,34 @@ def _make_score_kernel(
         acc_docs: np.ndarray | None = None  # int64, sorted ascending
         acc_scores: np.ndarray | None = None
 
+        def _merge(d: np.ndarray, contrib: np.ndarray) -> None:
+            # merge one clause's (sorted, unique-doc) contributions into
+            # the accumulator; clause processing order fixes the per-doc
+            # float sum order, so scores stay deterministic
+            nonlocal acc_docs, acc_scores
+            if acc_docs is None:
+                acc_docs = d.copy()
+                acc_scores = np.asarray(contrib, dtype=np.float64).copy()
+            elif d.size:
+                pos_in = np.searchsorted(acc_docs, d)
+                pos_c = np.minimum(pos_in, max(acc_docs.size - 1, 0))
+                hit = (
+                    acc_docs[pos_c] == d
+                    if acc_docs.size
+                    else np.zeros(d.size, dtype=bool)
+                )
+                # docs are unique within a posting list → indices unique
+                acc_scores[pos_c[hit]] += contrib[hit]
+                if not hit.all():
+                    new_d, new_c = d[~hit], contrib[~hit]
+                    ins = np.searchsorted(acc_docs, new_d)
+                    acc_docs = np.insert(acc_docs, ins, new_d)
+                    acc_scores = np.insert(acc_scores, ins, new_c)
+
         for pos, row in enumerate(pdf.itertuples(index=False)):
             # block-max bound: idf * tf_norm(block max_tf, block min_dl)
             bmi = (
-                qweights[row.term]
+                qweights.get(row.term, 0.0)
                 * row.idf_row
                 * scoring.tf_norm_np(
                     vb_decode(row.block_max_tf), vb_decode(row.block_min_dl), avgdl
@@ -1604,6 +1661,11 @@ def _make_score_kernel(
             keep = _keep_mask(d, filter_docs)
             if keep is not None:
                 d, t, l = d[keep], t[keep], l[keep]
+            if row.term in syn_members:
+                # synonym members never accumulate individually — the
+                # group merges below as ONE blended pseudo-term
+                syn_data[row.term] = (d, t, l)
+                continue
             contrib = (
                 qweights[row.term]
                 * row.idf_row
@@ -1613,29 +1675,43 @@ def _make_score_kernel(
                 # prune is off with clauses → d is the FULL (filtered)
                 # posting list of this must term in this shard
                 must_seen[row.term] = d
-            # merge this term's (sorted, unique-doc) contributions
-            if acc_docs is None:
-                acc_docs = d.copy()
-                acc_scores = np.asarray(contrib, dtype=np.float64).copy()
-            elif d.size:
-                pos_in = np.searchsorted(acc_docs, d)
-                pos_c = np.minimum(pos_in, max(acc_docs.size - 1, 0))
-                hit = (
-                    acc_docs[pos_c] == d
-                    if acc_docs.size
-                    else np.zeros(d.size, dtype=bool)
-                )
-                # docs are unique within a posting list → indices unique
-                acc_scores[pos_c[hit]] += contrib[hit]
-                if not hit.all():
-                    new_d, new_c = d[~hit], contrib[~hit]
-                    ins = np.searchsorted(acc_docs, new_d)
-                    acc_docs = np.insert(acc_docs, ins, new_d)
-                    acc_scores = np.insert(acc_scores, ins, new_c)
+            if row.term in should_terms:
+                # prune off with min_should → d is this optional clause's
+                # full (filtered) matched set in this shard
+                should_seen[row.term] = d
+            _merge(d, contrib)
             if acc_docs is not None and acc_docs.size >= k and k > 0:
                 theta = np.partition(acc_scores, acc_scores.size - k)[
                     acc_scores.size - k
                 ]
+
+        # blended synonym groups (Lucene SynonymQuery): per group, union
+        # the member postings with per-doc tf SUMMED, score ONCE with
+        # idf(max member global df) — a doc matching two synonyms scores
+        # like one term seen twice, never twice over
+        for weight, group_df, members in syn_groups:
+            parts = [syn_data[m] for m in members if m in syn_data]
+            if not parts:
+                continue
+            gd = np.concatenate([p[0] for p in parts])
+            gt = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            gl = np.concatenate([p[2] for p in parts]).astype(np.float64)
+            order = np.argsort(gd, kind="stable")
+            gd, gt, gl = gd[order], gt[order], gl[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], gd[1:] != gd[:-1]])
+            )
+            tf_sum = np.add.reduceat(gt, starts)
+            # doclen is a per-doc property — identical across members
+            gd, gl = gd[starts], gl[starts]
+            gidf = float(
+                scoring.idf_np(
+                    np.array([group_df], dtype=np.float64), n_docs
+                )[0]
+            )
+            contrib = weight * gidf * scoring.tf_norm_np(tf_sum, gl, avgdl)
+            group_seen.append(gd)
+            _merge(gd, contrib)
 
         if acc_docs is None or acc_docs.size == 0 or k <= 0:
             return _empty_hits(score_dtype, with_total)
@@ -1653,6 +1729,17 @@ def _make_score_kernel(
         if excl_parts:
             excl = np.concatenate(excl_parts)
             keep = ~np.isin(acc_docs, excl)
+            acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+        if min_should > 0:
+            if min_should > n_optional:
+                # Lucene rewrites this case to MatchNoDocsQuery
+                return _empty_hits(score_dtype, with_total)
+            counts = np.zeros(acc_docs.size, dtype=np.int64)
+            for arr in should_seen.values():
+                counts += np.isin(acc_docs, arr)
+            for arr in group_seen:
+                counts += np.isin(acc_docs, arr)
+            keep = counts >= min_should
             acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
         for toks, slop in phrases:
             if acc_docs.size == 0:
@@ -2254,6 +2341,8 @@ def search(
     shard_ids: list[int] | None = None,
     prune: bool = True,
     mode: str = "or",
+    min_should_match: int = 0,
+    synonyms: "dict[str, list[str]] | None" = None,
     score_dtype: str = "float32",
     ordered: bool = True,
     filter_docs: list[int] | None = None,
@@ -2317,6 +2406,24 @@ def search(
     slice; each shard emits offset+k rows, so cost grows with depth
     exactly as in Lucene). For deep pages use :func:`search_after`
     (IndexSearcher.searchAfter — per-shard emission stays at k).
+
+    ``min_should_match=m`` — Lucene
+    BooleanQuery.setMinimumNumberShouldMatch: a doc matches only if it
+    contains >= m DISTINCT optional (SHOULD) clauses. MUST clauses never
+    count toward m; a synonym group counts as ONE clause; m greater than
+    the number of optional clauses matches nothing (Lucene's
+    MatchNoDocsQuery rewrite). Scores of surviving docs are unchanged.
+
+    ``synonyms={term: [syn, ...]}`` — Lucene SynonymQuery, the query
+    QueryParser emits when the analyzer holds a SynonymGraphFilter: each
+    mapped query term expands to a blended pseudo-term over
+    (term, *syns) with per-doc tf = Σ member tfs and df = max member
+    GLOBAL df (SynonymQuery.java's docFreq), so a doc matching two
+    synonyms scores like one term seen twice. Keys must be single
+    analyzed query terms; members must not collide with other query
+    clauses. Plain-OR queries only (no tree/rewrite/shard-subset
+    composition — Lucene's parser likewise applies synonyms to analyzed
+    term clauses, not to wildcard/range rewrites).
     """
     if isinstance(index, str):
         index = IndexHandle.open(spark, index)
@@ -2367,8 +2474,31 @@ def search(
     # slop, not a fuzzy operator, and quoted spans must never reach the
     # dictionary-expansion paths.
     query = fold_spaced_fields(query)
+    if min_should_match < 0:
+        raise ValueError(
+            f"min_should_match must be >= 0, got {min_should_match}"
+        )
     unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
     has_phrase = unquoted != query
+    if (min_should_match or synonyms) and (
+        _TREE_RE.search(unquoted)
+        or _RANGE_RE.search(unquoted)
+        or "*" in unquoted
+        or "~" in unquoted
+        or "?" in unquoted
+    ):
+        raise ValueError(
+            "min_should_match/synonyms apply to analyzed term clauses "
+            "only — not to AND/OR/NOT grouping or wildcard/fuzzy/range "
+            "rewrites (Lucene's parser applies synonym graphs and "
+            "minimumNumberShouldMatch at the term-clause level too)"
+        )
+    if synonyms and shard_ids is not None:
+        raise ValueError(
+            "synonyms resolve the blended group df from GLOBAL stats; "
+            "shard-subset search scores with subset stats — the two do "
+            "not compose"
+        )
     tree = None
     if _TREE_RE.search(unquoted):
         if has_phrase:
@@ -2412,11 +2542,69 @@ def search(
             "positions=False (omitted term positions) — rebuild with "
             "positions=True to run phrase/slop queries"
         )
-    boolean = bool(must or must_not or phrases)
+    syn_groups: list[tuple[float, int, tuple[str, ...]]] = []
+    if synonyms:
+        phrase_toks = {t for toks, _ in phrases for t in toks}
+        claimed: set[str] = set()
+        for raw_key, raw_syns in sorted(synonyms.items()):
+            ktoks = tokenize_str(raw_key)
+            if len(ktoks) != 1:
+                raise ValueError(
+                    f"synonym key {raw_key!r} must analyze to exactly one "
+                    f"term (got {ktoks!r}) — multi-token synonyms need "
+                    "phrase positions, which SynonymQuery does not model"
+                )
+            key = ktoks[0]
+            if key not in qweights:
+                raise ValueError(
+                    f"synonym key {raw_key!r} is not a term of the query"
+                )
+            if key in must or key in must_not or key in phrase_toks:
+                raise ValueError(
+                    f"synonym key {raw_key!r} is a MUST/MUST_NOT/phrase "
+                    "clause — SynonymQuery replaces an optional term "
+                    "clause only"
+                )
+            members = [key]
+            for s in raw_syns:
+                stoks = tokenize_str(s)
+                if len(stoks) != 1:
+                    raise ValueError(
+                        f"synonym {s!r} must analyze to exactly one term "
+                        f"(got {stoks!r})"
+                    )
+                if stoks[0] != key and stoks[0] not in members:
+                    members.append(stoks[0])
+            for m in members[1:]:
+                if (
+                    m in qweights
+                    or m in must_not
+                    or m in phrase_toks
+                    or m in claimed
+                ):
+                    raise ValueError(
+                        f"synonym {m!r} collides with another query "
+                        "clause or synonym group — each term may belong "
+                        "to one clause"
+                    )
+            claimed.update(members)
+            # blended df = max member GLOBAL df (SynonymQuery.java's
+            # docFreq) — resolved once driver-side (memoized per handle)
+            # so every shard scores the group with the same idf
+            dfs = index.df_of_terms(spark, members)
+            syn_groups.append(
+                (qweights[key], max(dfs.values()), tuple(members))
+            )
+    boolean = (
+        bool(must or must_not or phrases)
+        or min_should_match > 0
+        or bool(syn_groups)
+    )
     if boolean and mode != "or":
         raise ValueError(
-            "boolean operators (+/-/phrase) define their own clause "
-            f"semantics; mode={mode!r} is not combinable with them"
+            "boolean operators (+/-/phrase/min_should_match/synonyms) "
+            f"define their own clause semantics; mode={mode!r} is not "
+            "combinable with them"
         )
     if not qweights or k <= 0:
         if _dv_agg is not None:
@@ -2425,7 +2613,12 @@ def search(
 
     # fetch set = scoring terms ∪ excluded terms (the kernel needs the
     # excluded terms' postings to build the per-shard exclusion mask)
-    terms = sorted(set(qweights) | must_not)
+    # ∪ synonym-group members (they blend into their group's pseudo-term)
+    terms = sorted(
+        set(qweights)
+        | must_not
+        | {m for _, _, members in syn_groups for m in members}
+    )
     # Term hashes computed DRIVER-SIDE with the pure-Python xxHash64
     # (bit-identical to F.xxhash64, parity-tested) — zero Spark jobs.
     hashes = sorted(term_hash(t) for t in terms)
@@ -2511,6 +2704,7 @@ def search(
             qweights, n_docs, avgdl, k_eff, False, score_dtype,
             _with_total, frozenset(must), frozenset(must_not),
             tuple(phrases), cursor=_cursor,
+            min_should=min_should_match, syn_groups=tuple(syn_groups),
         )
     elif _cursor is not None:
         # cursor paging needs score-ranked kernels — built directly
@@ -2716,6 +2910,8 @@ def search_with_total(
     query: str,
     k: int = 10,
     mode: str = "or",
+    min_should_match: int = 0,
+    synonyms: "dict[str, list[str]] | None" = None,
     score_dtype: str = "float32",
     filter_df: DataFrame | None = None,
     filter_doc_col: str = "doc_id",
@@ -2754,6 +2950,11 @@ def search_with_total(
         "shards_hit int, shards_total int"
     )
     if isinstance(index, (list, tuple)):
+        if min_should_match or synonyms:
+            raise ValueError(
+                "min_should_match/synonyms are single-index for now — "
+                "merge or compact the indexes first"
+            )
         handles = [
             IndexHandle.open(spark, ix) if isinstance(ix, str) else ix
             for ix in index
@@ -2770,6 +2971,7 @@ def search_with_total(
         shards_total = index.num_shards
         rows = search(
             spark, index, query, k=k_eff, mode=mode, score_dtype=score_dtype,
+            min_should_match=min_should_match, synonyms=synonyms,
             prune=False, ordered=False,
             filter_df=filter_df, filter_doc_col=filter_doc_col,
             _with_total=True,
