@@ -93,6 +93,17 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("-k", type=int, default=None)
     p_search.add_argument("--mode", choices=["or", "and"], default="or")
     p_search.add_argument(
+        "--min-should-match", type=int, default=0,
+        help="docs must hold >= m distinct optional clauses "
+        "(BooleanQuery.setMinimumNumberShouldMatch; MUST never counts)",
+    )
+    p_search.add_argument(
+        "--synonyms", default=None, metavar="TERM=SYN[,SYN..][;TERM=..]",
+        help="blended SynonymQuery groups, e.g. 'fast=quick,speedy'; "
+        "each group scores as one pseudo-term (tf summed, df = max "
+        "member df)",
+    )
+    p_search.add_argument(
         "--root",
         default=None,
         help="index registry root: treat index_dirs as names/patterns "
@@ -333,6 +344,18 @@ def main(argv: list[str] | None = None) -> int:
                 dirs = resolve(args.root, args.index_dirs)
             else:
                 dirs = args.index_dirs.split(",")
+            syns = None
+            if args.synonyms:
+                syns = {}
+                for grp in args.synonyms.split(";"):
+                    key, _, vals = grp.partition("=")
+                    if not vals:
+                        raise SystemExit(
+                            f"--synonyms group {grp!r} needs TERM=SYN[,SYN..]"
+                        )
+                    syns[key.strip()] = [
+                        v.strip() for v in vals.split(",") if v.strip()
+                    ]
             t0 = time.time()
             if args.k is None:
                 # count-only form (Katta.java:839-846: client.count);
@@ -342,6 +365,11 @@ def main(argv: list[str] | None = None) -> int:
                         "count-only search counts OR matches; pass -k for "
                         "AND-mode results"
                     )
+                if args.min_should_match or syns:
+                    raise SystemExit(
+                        "--min-should-match/--synonyms need the hit-table "
+                        "form; pass -k"
+                    )
                 n = count_matches(spark, dirs if len(dirs) > 1 else dirs[0],
                                   args.query)
                 print(f"{n} Hits found in {time.time() - t0:.3f}sec.")
@@ -350,6 +378,7 @@ def main(argv: list[str] | None = None) -> int:
                 out = search_with_total(
                     spark, dirs if len(dirs) > 1 else dirs[0], args.query,
                     k=args.k, mode=args.mode,
+                    min_should_match=args.min_should_match, synonyms=syns,
                 )
                 rows = out.collect()
                 total = int(rows[0]["total_hits"]) if rows else 0

@@ -74,6 +74,20 @@ def test_cli_end_to_end(spark, tiny_transcripts, tmp_path, capsys):
     n = int(capsys.readouterr().out.strip().splitlines()[-1])
     assert n > 100
 
+    # minimum-should-match narrows the total; synonyms widen it
+    assert cli.main(
+        ["search", idx, "hotalpha w00011", "-k", "5",
+         "--min-should-match", "2"]
+    ) == 0
+    msm_total = int(capsys.readouterr().out.split()[0])
+    assert 0 < msm_total < total
+    assert cli.main(
+        ["search", idx, "hotalpha w00011", "-k", "5",
+         "--synonyms", "hotalpha=hotbeta"]
+    ) == 0
+    syn_total = int(capsys.readouterr().out.split()[0])
+    assert syn_total > total
+
     assert cli.main(["check", idx]) == 0
     report = json.loads(capsys.readouterr().out)
     assert report["num_shards"] == 2 and len(report["shards"]) == 2
