@@ -2333,6 +2333,76 @@ KERNEL_MODES: dict[str, object] = {
 }
 
 
+def _resolve_syn_groups(
+    spark: SparkSession,
+    index: IndexHandle,
+    synonyms: "dict[str, list[str]] | None",
+    qweights: dict[str, float],
+    must: set[str],
+    must_not: set[str],
+    phrases: list,
+) -> list[tuple[float, int, tuple[str, ...]]]:
+    """Validate a ``synonyms`` mapping against the parsed query and
+    resolve each group to ``(weight, group_df, members)`` — the
+    SynonymQuery construction step. members[0] is the query term itself
+    (Lucene's SynonymQuery includes the original term); group_df = max
+    member GLOBAL df (SynonymQuery.java's docFreq), resolved once
+    driver-side (memoized per handle) so every shard scores the group
+    with the same idf."""
+    if not synonyms:
+        return []
+    syn_groups: list[tuple[float, int, tuple[str, ...]]] = []
+    phrase_toks = {t for toks, _ in phrases for t in toks}
+    claimed: set[str] = set()
+    for raw_key, raw_syns in sorted(synonyms.items()):
+        ktoks = tokenize_str(raw_key)
+        if len(ktoks) != 1:
+            raise ValueError(
+                f"synonym key {raw_key!r} must analyze to exactly one "
+                f"term (got {ktoks!r}) — multi-token synonyms need "
+                "phrase positions, which SynonymQuery does not model"
+            )
+        key = ktoks[0]
+        if key not in qweights:
+            raise ValueError(
+                f"synonym key {raw_key!r} is not a term of the query"
+            )
+        if key in must or key in must_not or key in phrase_toks:
+            raise ValueError(
+                f"synonym key {raw_key!r} is a MUST/MUST_NOT/phrase "
+                "clause — SynonymQuery replaces an optional term "
+                "clause only"
+            )
+        members = [key]
+        for s in raw_syns:
+            stoks = tokenize_str(s)
+            if len(stoks) != 1:
+                raise ValueError(
+                    f"synonym {s!r} must analyze to exactly one term "
+                    f"(got {stoks!r})"
+                )
+            if stoks[0] != key and stoks[0] not in members:
+                members.append(stoks[0])
+        for m in members[1:]:
+            if (
+                m in qweights
+                or m in must_not
+                or m in phrase_toks
+                or m in claimed
+            ):
+                raise ValueError(
+                    f"synonym {m!r} collides with another query "
+                    "clause or synonym group — each term may belong "
+                    "to one clause"
+                )
+        claimed.update(members)
+        dfs = index.df_of_terms(spark, members)
+        syn_groups.append(
+            (qweights[key], max(dfs.values()), tuple(members))
+        )
+    return syn_groups
+
+
 def search(
     spark: SparkSession,
     index: IndexHandle | str,
@@ -2542,59 +2612,9 @@ def search(
             "positions=False (omitted term positions) — rebuild with "
             "positions=True to run phrase/slop queries"
         )
-    syn_groups: list[tuple[float, int, tuple[str, ...]]] = []
-    if synonyms:
-        phrase_toks = {t for toks, _ in phrases for t in toks}
-        claimed: set[str] = set()
-        for raw_key, raw_syns in sorted(synonyms.items()):
-            ktoks = tokenize_str(raw_key)
-            if len(ktoks) != 1:
-                raise ValueError(
-                    f"synonym key {raw_key!r} must analyze to exactly one "
-                    f"term (got {ktoks!r}) — multi-token synonyms need "
-                    "phrase positions, which SynonymQuery does not model"
-                )
-            key = ktoks[0]
-            if key not in qweights:
-                raise ValueError(
-                    f"synonym key {raw_key!r} is not a term of the query"
-                )
-            if key in must or key in must_not or key in phrase_toks:
-                raise ValueError(
-                    f"synonym key {raw_key!r} is a MUST/MUST_NOT/phrase "
-                    "clause — SynonymQuery replaces an optional term "
-                    "clause only"
-                )
-            members = [key]
-            for s in raw_syns:
-                stoks = tokenize_str(s)
-                if len(stoks) != 1:
-                    raise ValueError(
-                        f"synonym {s!r} must analyze to exactly one term "
-                        f"(got {stoks!r})"
-                    )
-                if stoks[0] != key and stoks[0] not in members:
-                    members.append(stoks[0])
-            for m in members[1:]:
-                if (
-                    m in qweights
-                    or m in must_not
-                    or m in phrase_toks
-                    or m in claimed
-                ):
-                    raise ValueError(
-                        f"synonym {m!r} collides with another query "
-                        "clause or synonym group — each term may belong "
-                        "to one clause"
-                    )
-            claimed.update(members)
-            # blended df = max member GLOBAL df (SynonymQuery.java's
-            # docFreq) — resolved once driver-side (memoized per handle)
-            # so every shard scores the group with the same idf
-            dfs = index.df_of_terms(spark, members)
-            syn_groups.append(
-                (qweights[key], max(dfs.values()), tuple(members))
-            )
+    syn_groups = _resolve_syn_groups(
+        spark, index, synonyms, qweights, must, must_not, phrases
+    )
     boolean = (
         bool(must or must_not or phrases)
         or min_should_match > 0
@@ -4824,6 +4844,8 @@ def explain_score(
     query: str,
     doc_id: int,
     mode: str = "or",
+    min_should_match: int = 0,
+    synonyms: "dict[str, list[str]] | None" = None,
     score_dtype: str = "float32",
 ) -> DataFrame:
     """Lucene ``Searcher.explain`` analog: the per-clause BM25 breakdown of
@@ -4856,7 +4878,12 @@ def explain_score(
     scoring term present; mode='and' needs ALL terms; boolean queries need
     every MUST term + every phrase positionally verified + no MUST_NOT
     term; dictionary rewrites (wildcard/fuzzy/range) explain the expanded
-    OR, each expansion scoring with its own df. Tombstoned (deleted) docs
+    OR, each expansion scoring with its own df. ``synonyms`` groups
+    explain as ONE blended row (clause='synonym', term='Synonym(a b)',
+    tf = Σ member tfs, df = max member df — Lucene's explain prints
+    SynonymQuery the same collapsed way); ``min_should_match`` gates the
+    doc-level ``matches`` verdict on the count of satisfied optional
+    clauses, a group counting as one. Tombstoned (deleted) docs
     never match — the liveDocs skip, while the reported stats stay stale
     until expunge, exactly like Lucene. AND/OR/NOT tree grouping is
     refused (a tree's match condition is not a flat clause list — run
@@ -4874,6 +4901,10 @@ def explain_score(
     index._record_query()
     target = int(doc_id)
     query = fold_spaced_fields(query)
+    if min_should_match < 0:
+        raise ValueError(
+            f"min_should_match must be >= 0, got {min_should_match}"
+        )
     unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", query)
     has_phrase = unquoted != query
     if _TREE_RE.search(unquoted):
@@ -4881,6 +4912,16 @@ def explain_score(
             "explain_score does not support AND/OR/NOT tree grouping — "
             "a tree's match condition is not a flat clause list; run "
             "search() for tree queries"
+        )
+    if (min_should_match or synonyms) and (
+        _RANGE_RE.search(unquoted)
+        or "*" in unquoted
+        or "~" in unquoted
+        or "?" in unquoted
+    ):
+        raise ValueError(
+            "min_should_match/synonyms apply to analyzed term clauses "
+            "only — not to wildcard/fuzzy/range rewrites"
         )
     must: set[str] = set()
     must_not: set[str] = set()
@@ -4905,11 +4946,20 @@ def explain_score(
             "positions=False (omitted term positions) — rebuild with "
             "positions=True to run phrase/slop queries"
         )
-    boolean = bool(must or must_not or phrases)
+    syn_groups = _resolve_syn_groups(
+        spark, index, synonyms, qweights, must, must_not, phrases
+    )
+    syn_members = {m for _, _, members in syn_groups for m in members}
+    boolean = (
+        bool(must or must_not or phrases)
+        or min_should_match > 0
+        or bool(syn_groups)
+    )
     if boolean and mode != "or":
         raise ValueError(
-            "boolean operators (+/-/phrase) define their own clause "
-            f"semantics; mode={mode!r} is not combinable with them"
+            "boolean operators (+/-/phrase/min_should_match/synonyms) "
+            f"define their own clause semantics; mode={mode!r} is not "
+            "combinable with them"
         )
     if mode not in ("or", "and"):
         raise ValueError(
@@ -4924,7 +4974,7 @@ def explain_score(
     if not qweights and not must_not:
         return _local_df(spark, [], None, out_schema)
 
-    terms = sorted(set(qweights) | must_not)
+    terms = sorted(set(qweights) | must_not | syn_members)
     hashes = sorted(term_hash(t) for t in terms)
     phrase_tokens = {t for toks, _ in phrases for t in toks}
     kcols = _KERNEL_COLS[:6] + (["positions"] if phrases else [])
@@ -5018,8 +5068,17 @@ def explain_score(
     out_rows: list[tuple] = []
     contributions: list[float] = []
     any_should = False
+    should_sat = 0  # satisfied optional clauses (a group counts as one)
     must_ok, not_ok = True, True
+    phrase_token_set = {t for toks, _ in phrase_specs for t in toks}
+    n_optional = (
+        len(set(qweights) - must - phrase_token_set - syn_members)
+        + len(syn_groups)
+    )
     for t in sorted(qweights):
+        if t in syn_members:
+            # the key term explains inside its group's blended row
+            continue
         qw = float(qweights[t])
         tf = tf_of.get(t, 0)
         dl = dl_of.get(t, 0)
@@ -5042,9 +5101,40 @@ def explain_score(
             must_ok = False
         if clause == "should" and sat:
             any_should = True
+            should_sat += 1
         contributions.append(contrib)
         out_rows.append(
             (t, clause, qw, tf, dl, dfv, idf, tfn, contrib, sat)
+        )
+    for weight, gdf, members in syn_groups:
+        # one blended row per group — Lucene's explain collapses
+        # SynonymQuery the same way (weight(Synonym(f:a f:b)) ...)
+        tf_sum = int(sum(tf_of.get(m, 0) for m in members))
+        dl = next(
+            (dl_of[m] for m in members if tf_of.get(m, 0) > 0), 0
+        )
+        gidf = float(
+            scoring.idf_np(np.array([gdf], np.float64), n_docs)[0]
+        )
+        if tf_sum > 0:
+            gtfn = float(
+                scoring.tf_norm_np(
+                    np.array([tf_sum], np.float64),
+                    np.array([dl], np.float64),
+                    avgdl,
+                )[0]
+            )
+        else:
+            gtfn = 0.0
+        contrib = float(weight) * gidf * gtfn if tf_sum > 0 else 0.0
+        sat = tf_sum > 0
+        if sat:
+            any_should = True
+            should_sat += 1
+        contributions.append(contrib)
+        out_rows.append(
+            (f"Synonym({' '.join(members)})", "synonym", float(weight),
+             tf_sum, dl, int(gdf), gidf, gtfn, contrib, sat)
         )
     for t in sorted(must_not):
         tf = tf_of.get(t, 0)
@@ -5072,6 +5162,13 @@ def explain_score(
             and phrases_sat
             and (bool(must) or bool(phrase_specs) or any_should)
         )
+        if min_should_match > 0:
+            # the kernel's exact rule: a group counts as ONE clause;
+            # m beyond the optional-clause count matches nothing
+            matches = matches and (
+                min_should_match <= n_optional
+                and should_sat >= min_should_match
+            )
     else:
         matches = any_should
     if is_deleted:

@@ -26,12 +26,12 @@ def eidx(spark, tiny_transcripts, tmp_path_factory):
     return d
 
 
-def _check_against_search(spark, eidx, query, mode="or", k=8):
-    hits = search(spark, eidx, query, k=k, mode=mode).collect()
+def _check_against_search(spark, eidx, query, mode="or", k=8, **kw):
+    hits = search(spark, eidx, query, k=k, mode=mode, **kw).collect()
     assert hits, f"query {query!r} matched nothing — bad test setup"
     for h in hits[:3]:
         exp = explain_score(
-            spark, eidx, query, h["doc_id"], mode=mode
+            spark, eidx, query, h["doc_id"], mode=mode, **kw
         ).toPandas()
         assert bool(exp["matches"].iloc[0]) is True
         total = float(exp["total_score"].iloc[0])
@@ -161,3 +161,41 @@ def test_explain_refuses_trees(spark, eidx):
 def test_explain_empty_query(spark, eidx):
     out = explain_score(spark, eidx, "", 1)
     assert out.count() == 0
+
+
+def test_explain_synonym_group(spark, eidx):
+    """Synonym groups explain as one blended row whose contribution sum
+    reproduces search()'s blended score; tf is the member-tf sum."""
+    kw = {"synonyms": {"hotalpha": ["hotbeta"]}}
+    hits = _check_against_search(spark, eidx, "hotalpha w00011", **kw)
+    exp = explain_score(
+        spark, eidx, "hotalpha w00011", hits[0]["doc_id"], **kw
+    ).toPandas()
+    syn = exp[exp["clause"] == "synonym"]
+    assert len(syn) == 1
+    assert syn["term"].iloc[0] == "Synonym(hotalpha hotbeta)"
+    # no per-member rows leak out beside the blended one
+    assert set(exp["term"]) == {"Synonym(hotalpha hotbeta)", "w00011"}
+
+
+def test_explain_min_should_match_verdict(spark, eidx):
+    """msm gates the matches verdict on the count of satisfied optional
+    clauses — a doc matching only one of two should terms flips to
+    matches=False under msm=2 with its clause rows unchanged."""
+    q = "hotalpha w00011"
+    _check_against_search(spark, eidx, q, min_should_match=2)
+    only_alpha = search(spark, eidx, "hotalpha -w00011", k=1).collect()
+    doc = only_alpha[0]["doc_id"]
+    exp = explain_score(
+        spark, eidx, q, doc, min_should_match=2
+    ).toPandas()
+    assert bool(exp["matches"].iloc[0]) is False
+    assert float(exp["total_score"].iloc[0]) == 0.0
+    # the hotalpha clause row itself is still satisfied
+    row = exp[exp["term"] == "hotalpha"].iloc[0]
+    assert bool(row["satisfied"]) is True
+    # msm beyond the optional-clause count: nothing matches
+    exp2 = explain_score(
+        spark, eidx, q, doc, min_should_match=3
+    ).toPandas()
+    assert bool(exp2["matches"].iloc[0]) is False
