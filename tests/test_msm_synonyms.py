@@ -312,3 +312,25 @@ def test_guard_rails(spark, midx):
         search_with_total(
             spark, [midx, midx], "hotalpha", min_should_match=1
         )
+
+
+def test_msm_fuzz_against_oracle(spark, midx, docs):
+    """Seeded property check: random term pools and thresholds — the
+    engine's msm result must equal the full OR ranking post-filtered to
+    docs holding >= m distinct pool terms, at every m."""
+    import random
+
+    rng = random.Random(42)
+    pool = ["hotalpha", "hotbeta", "hotgamma", "w00011", "w00021",
+            "w00031", "w00002"]
+    for _ in range(5):
+        terms = rng.sample(pool, rng.randint(2, 4))
+        m = rng.randint(1, len(terms))
+        q = " ".join(terms)
+        got = search(
+            spark, midx, q, k=15, min_should_match=m,
+        ).collect()
+        keep = _docs_matching_at_least(docs, terms, m)
+        want = _oracle_filtered(docs, q, keep, 15)
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], (q, m)
+        _assert_same(got, want)

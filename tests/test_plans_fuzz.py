@@ -159,6 +159,28 @@ def test_positions_column_pruned_unless_phrase(spark, idx):
     assert post and any("positions" in s for s in post), ph_scans
 
 
+def test_msm_synonym_plan_shape(spark, idx):
+    """min_should_match / synonym queries keep the designed scan shape:
+    the term predicate (incl. GROUP MEMBERS) stays pushed to the postings
+    scan, positions are never fetched, and the merge is still
+    TakeOrderedAndProject."""
+    from katta_spark.plans import audit_search_plan, scan_read_schemas
+
+    out = search(
+        spark, idx, "hotalpha w00011", k=5,
+        synonyms={"hotalpha": ["hotbeta"]}, min_should_match=1,
+    )
+    audit = audit_search_plan(out)
+    assert audit["pushed_term_filter"], audit["plan"]
+    assert audit["take_ordered"], audit["plan"]
+    # the member term's hash is in the pushed In(th, ...) set
+    from katta_spark.xxhash import term_hash
+
+    assert str(term_hash("hotbeta")) in audit["plan"]
+    post = [s for s in scan_read_schemas(out) if "doc_ids" in s]
+    assert post and all("positions" not in s for s in post), post
+
+
 def test_dv_sorted_plan_shape(spark, tiny_transcripts, tmp_path_factory):
     """Docvalue fast path plan: the sidecar scan is predicate-pushed to
     the named sort column, and the display join broadcasts the merged
