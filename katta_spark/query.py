@@ -3832,7 +3832,7 @@ def search_grouped(
 def search_batch(
     spark: SparkSession,
     index: "IndexHandle | str",
-    queries: list[str],
+    queries: "list[str | dict]",
     k: int = 10,
     score_dtype: str = "float32",
 ) -> DataFrame:
@@ -3854,7 +3854,13 @@ def search_batch(
     (in-index positional verify, like :func:`search`), AND/OR/NOT
     grouping, and the dictionary rewrites (wildcard/fuzzy/range — each
     expanded once driver-side, then batched like flat terms). The same
-    clause-combination guards as search() apply per query."""
+    clause-combination guards as search() apply per query.
+
+    A batch entry may also be a dict ``{"q": <query string>,
+    "min_should_match": m, "synonyms": {...}}`` carrying the per-query
+    clause options of :func:`search` — semantics identical to the
+    single-query path (a synonym group scores as one blended pseudo-term
+    and counts as one msm clause)."""
     from pyspark.sql import Window
 
     if isinstance(index, str):
@@ -3869,10 +3875,32 @@ def search_batch(
     # ("tree", tree). Routing mirrors search() exactly (same guards, same
     # rewrite paths).
     plans: list[tuple] = []
-    for qstr in queries:
+    for entry in queries:
+        if isinstance(entry, dict):
+            qstr = entry["q"]
+            q_msm = int(entry.get("min_should_match", 0) or 0)
+            q_syns = entry.get("synonyms") or None
+            if q_msm < 0:
+                raise ValueError(
+                    f"min_should_match must be >= 0, got {q_msm}"
+                )
+        else:
+            qstr, q_msm, q_syns = entry, 0, None
         qstr = fold_spaced_fields(qstr)
         unquoted = _re_mod.sub(r'"[^"]*"(~\d+)?(\^\d+(?:\.\d+)?)?', " ", qstr)
         has_phrase = unquoted != qstr
+        if (q_msm or q_syns) and (
+            _TREE_RE.search(unquoted)
+            or _RANGE_RE.search(unquoted)
+            or "*" in unquoted
+            or "~" in unquoted
+            or "?" in unquoted
+        ):
+            raise ValueError(
+                "min_should_match/synonyms apply to analyzed term clauses "
+                "only — not to AND/OR/NOT grouping or wildcard/fuzzy/"
+                "range rewrites"
+            )
         if (
             "*" in unquoted
             or "~" in unquoted
@@ -3891,7 +3919,7 @@ def search_batch(
                 )
             plans.append(
                 ("flat", expand_ranges(spark, index, qstr), frozenset(),
-                 frozenset(), ())
+                 frozenset(), (), 0, ())
             )
         elif _TREE_RE.search(unquoted):
             if has_phrase:
@@ -3904,15 +3932,23 @@ def search_batch(
             qw, must, must_not, ph = parse_bool_query(
                 qstr, index.keyword_fields
             )
+            groups = _resolve_syn_groups(
+                spark, index, q_syns, qw, must, must_not, ph
+            )
             plans.append(
-                ("flat", qw, frozenset(must), frozenset(must_not), tuple(ph))
+                ("flat", qw, frozenset(must), frozenset(must_not),
+                 tuple(ph), q_msm, tuple(groups))
             )
 
     def _plan_terms(plan) -> set:
         if plan[0] == "tree":
             pos_s, neg_s = tree_terms(plan[1])
             return pos_s | neg_s
-        return set(plan[1]) | set(plan[3])
+        return (
+            set(plan[1])
+            | set(plan[3])
+            | {m for _, _, members in plan[6] for m in members}
+        )
 
     phrase_terms = {
         t
@@ -3969,6 +4005,14 @@ def search_batch(
             }
         )
 
+    syn_member_terms = {
+        m
+        for plan in plans
+        if plan[0] == "flat"
+        for _, _, members in plan[6]
+        for m in members
+    }
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return _empty_batch()
@@ -3977,6 +4021,9 @@ def search_batch(
         idf_col = scoring.idf_np(pdf["df_g"].to_numpy(np.float64), n_docs)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         pos_data: dict[str, tuple] = {}
+        # raw (docs, tfs, doclens) kept for synonym members — blending
+        # sums tfs BEFORE the nonlinear tf_norm
+        raw_tfdl: dict[str, tuple] = {}
         for row, idf in zip(pdf.itertuples(index=False), idf_col):
             d, t, l = decode_posting_list(row.doc_ids, row.tfs, row.doclens)
             if row.term in phrase_terms:
@@ -3986,6 +4033,8 @@ def search_batch(
             if dny is not None:
                 keep = ~np.isin(d, dny)
                 d, t, l = d[keep], t[keep], l[keep]
+            if row.term in syn_member_terms:
+                raw_tfdl[row.term] = (d, t, l)
             decoded[row.term] = (
                 d,
                 idf * scoring.tf_norm_np(t, l, avgdl),
@@ -3998,13 +4047,56 @@ def search_batch(
                     continue
                 sc = s64.astype(score_dtype)
             else:
-                _, qw, must, must_not, phrases = plan
-                present = [t for t in qw if t in decoded]
-                if not present or any(t not in decoded for t in must):
+                _, qw, must, must_not, phrases, q_msm, groups = plan
+                members_here = {
+                    m for _, _, mem in groups for m in mem
+                }
+                present = [
+                    t for t in qw
+                    if t in decoded and t not in members_here
+                ]
+                # blended synonym groups: member docs unioned, tfs SUMMED,
+                # one contribution with idf(max member global df)
+                gdocs_list: list[np.ndarray] = []
+                gcontrib_list: list[np.ndarray] = []
+                for weight, gdf, mem in groups:
+                    parts = [raw_tfdl[m] for m in mem if m in raw_tfdl]
+                    if not parts:
+                        continue
+                    gd = np.concatenate([p[0] for p in parts])
+                    gt = np.concatenate([p[1] for p in parts]).astype(
+                        np.float64
+                    )
+                    gl = np.concatenate([p[2] for p in parts]).astype(
+                        np.float64
+                    )
+                    order = np.argsort(gd, kind="stable")
+                    gd, gt, gl = gd[order], gt[order], gl[order]
+                    starts = np.flatnonzero(
+                        np.concatenate([[True], gd[1:] != gd[:-1]])
+                    )
+                    tf_sum = np.add.reduceat(gt, starts)
+                    gd, gl = gd[starts], gl[starts]
+                    gidf = float(
+                        scoring.idf_np(
+                            np.array([gdf], np.float64), n_docs
+                        )[0]
+                    )
+                    gdocs_list.append(gd)
+                    gcontrib_list.append(
+                        weight * gidf * scoring.tf_norm_np(tf_sum, gl, avgdl)
+                    )
+                if (
+                    not present
+                    and not gdocs_list
+                ) or any(t not in decoded for t in must):
                     continue
-                docs_cat = np.concatenate([decoded[t][0] for t in present])
+                docs_cat = np.concatenate(
+                    [decoded[t][0] for t in present] + gdocs_list
+                )
                 contribs = np.concatenate(
                     [qw[t] * decoded[t][1] for t in present]
+                    + gcontrib_list
                 )
                 docs_u, inv = np.unique(docs_cat, return_inverse=True)
                 scores = np.zeros(docs_u.size, dtype=np.float64)
@@ -4015,6 +4107,23 @@ def search_batch(
                 for t in must_not:
                     if t in decoded:
                         keep &= ~np.isin(docs_u, decoded[t][0])
+                if q_msm > 0:
+                    phr_toks = {t for toks, _ in phrases for t in toks}
+                    should = [
+                        t for t in qw
+                        if t not in must
+                        and t not in phr_toks
+                        and t not in members_here
+                    ]
+                    if q_msm > len(should) + len(groups):
+                        continue  # MatchNoDocsQuery rewrite
+                    cnt = np.zeros(docs_u.size, dtype=np.int64)
+                    for t in should:
+                        if t in decoded:
+                            cnt += np.isin(docs_u, decoded[t][0])
+                    for gd in gdocs_list:
+                        cnt += np.isin(docs_u, gd)
+                    keep &= cnt >= q_msm
                 docs_u, scores = docs_u[keep], scores[keep]
                 for toks, slop in phrases:
                     if docs_u.size == 0:

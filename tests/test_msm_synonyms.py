@@ -334,3 +334,57 @@ def test_msm_fuzz_against_oracle(spark, midx, docs):
         want = _oracle_filtered(docs, q, keep, 15)
         assert [r.doc_id for r in got] == [r.doc_id for r in want], (q, m)
         _assert_same(got, want)
+
+
+def test_batch_entries_with_clause_options(spark, midx):
+    """A batch entry may be {"q", "min_should_match", "synonyms"} — each
+    batched query must reproduce its single-query search() rows exactly
+    (query_id-tagged), alongside plain string entries in the same job."""
+    from katta_spark.query import search_batch
+
+    entries = [
+        "hotalpha w00011",
+        {"q": "hotalpha hotbeta hotgamma", "min_should_match": 2},
+        {"q": "hotalpha w00011", "synonyms": {"hotalpha": ["hotbeta"]}},
+        {"q": "hotalpha w00011", "min_should_match": 2,
+         "synonyms": {"hotalpha": ["hotbeta"]}},
+    ]
+    batched = search_batch(spark, midx, entries, k=8).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r.query_id, []).append(r)
+    singles = [
+        search(spark, midx, "hotalpha w00011", k=8).collect(),
+        search(
+            spark, midx, "hotalpha hotbeta hotgamma", k=8,
+            min_should_match=2,
+        ).collect(),
+        search(
+            spark, midx, "hotalpha w00011",
+            synonyms={"hotalpha": ["hotbeta"]}, k=8,
+        ).collect(),
+        search(
+            spark, midx, "hotalpha w00011", min_should_match=2,
+            synonyms={"hotalpha": ["hotbeta"]}, k=8,
+        ).collect(),
+    ]
+    for qi, want in enumerate(singles):
+        got = by_q.get(qi, [])
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], qi
+        np.testing.assert_allclose(
+            np.array([r.score for r in got], np.float32),
+            np.array([r.score for r in want], np.float32),
+            rtol=2e-6,
+        )
+    # msm beyond the optional-clause count inside a batch: no rows
+    none = search_batch(
+        spark, midx,
+        [{"q": "hotalpha hotbeta", "min_should_match": 3}],
+        k=8,
+    ).collect()
+    assert none == []
+    # guards still fire per entry
+    with pytest.raises(ValueError, match="term clauses"):
+        search_batch(
+            spark, midx, [{"q": "hot*", "min_should_match": 1}], k=8
+        )
