@@ -443,3 +443,89 @@ def cosine_topk_lsh(
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cand_id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank (Carbonell & Goldstein
+    1998) of a BOUNDED candidate set: greedily pick
+
+        argmax_d  lam * cos(q, d) - (1 - lam) * max_{s in picked} cos(d, s)
+
+    — the standard redundancy-removal step after retrieval (near-duplicate
+    answers crowd any top-k over a deduplicated-imperfectly corpus).
+    lam=1.0 reduces to pure relevance order; lam=0.0 to pure diversity.
+    Ties break on the lower id (deterministic).
+
+    ``candidates`` is a small relation of ids (e.g. search()/cosine_topk
+    output — <= a few hundred rows by construction). Scale shape: the
+    corpus-sized ``embeddings`` table is scanned ONCE with a broadcast
+    semi-join on the candidate ids (no corpus shuffle); the greedy loop
+    runs driver-side over the |candidates| x dim matrix — the same
+    bounded client-merge budget as Katta's k·shards merge. The selection
+    keeps a running max-similarity vector (O(n) per pick, no n x n
+    matrix).
+
+    Returns DataFrame(doc_id, rank, rel, mmr): rank is the pick order
+    (1-based), rel the query cosine, mmr the objective value at pick
+    time (rank 1 reports lam * rel).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    qrows = (
+        embeddings.where(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(
+            f"query vector id {query_vec_id} not found in embeddings"
+        )
+    qv = np.asarray(qrows[0][0], dtype=np.float64)
+    qv /= max(float(np.linalg.norm(qv)), 1e-12)
+    ids = candidates.select(
+        F.col(cand_id_col).cast("long").alias(id_col)
+    ).distinct()
+    rows = (
+        embeddings.join(F.broadcast(ids), id_col)
+        .where(F.col(id_col) != query_vec_id)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    schema = "doc_id long, rank int, rel double, mmr double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cand_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(E, axis=1), 1e-12)
+    E = E / norms[:, None]
+    # deterministic candidate order: id ASC (collect order is not)
+    order = np.argsort(cand_ids)
+    cand_ids, E = cand_ids[order], E[order]
+    rel = E @ qv
+    n = cand_ids.size
+    picked: list[int] = []
+    max_sim = np.zeros(n, dtype=np.float64)  # max cos to any picked doc
+    alive = np.ones(n, dtype=bool)
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        obj = lam * rel - (1.0 - lam) * max_sim
+        obj = np.where(alive, obj, -np.inf)
+        # ids sorted ASC -> argmax returns the LOWEST id among ties
+        i = int(np.argmax(obj))
+        out.append(
+            (int(cand_ids[i]), rank, float(rel[i]), float(obj[i]))
+        )
+        alive[i] = False
+        picked.append(i)
+        max_sim = np.maximum(max_sim, E @ E[i])
+    return spark.createDataFrame(out, schema)

@@ -233,3 +233,46 @@ def test_ann_exact_baseline_unchanged(spark, skewed_embeddings):
     a, b = planted[0]
     top = cosine_topk(df, query_vec_id=a, k=1).collect()[0]
     assert top.vec_id == b
+
+
+def test_mmr_rerank(spark):
+    """MMR (Carbonell & Goldstein 1998) over a bounded candidate set:
+    lam=1 is pure relevance order; lam=0.5 defers a near-duplicate of an
+    already-picked doc behind a more diverse one; determinism and the
+    bounded-n cap hold."""
+    from katta_spark.similarity import mmr_rerank
+
+    # query 0 points at +x; doc 1 = near-copy of doc 2; doc 3 orthogonalish
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.98, 0.20, 0.0, 0.0]),        # relevant
+        (2, [0.97, 0.22, 0.01, 0.0]),       # near-dup of 1, next-relevant
+        (3, [0.70, -0.70, 0.10, 0.0]),      # diverse, less relevant
+        (4, [0.10, 0.05, 0.99, 0.0]),       # off-topic
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "doc_id long"
+    )
+    # pure relevance: order by cosine to the query
+    lam1 = mmr_rerank(spark, cands, emb, 0, k=4, lam=1.0).collect()
+    assert [r.doc_id for r in lam1] == [1, 2, 3, 4]
+    assert all(
+        lam1[i].rel >= lam1[i + 1].rel for i in range(len(lam1) - 1)
+    )
+    # diversity: after picking 1, its near-copy 2 is penalized below 3
+    mmr = mmr_rerank(spark, cands, emb, 0, k=4, lam=0.5).collect()
+    assert [r.doc_id for r in mmr][:2] == [1, 3]
+    assert 2 in [r.doc_id for r in mmr]
+    # rank column is the 1-based pick order; deterministic across runs
+    assert [r.rank for r in mmr] == [1, 2, 3, 4]
+    again = mmr_rerank(spark, cands, emb, 0, k=4, lam=0.5).collect()
+    assert [(r.doc_id, r.rank) for r in again] == [
+        (r.doc_id, r.rank) for r in mmr
+    ]
+    # k beyond the candidate count returns all candidates
+    assert mmr_rerank(spark, cands, emb, 0, k=99, lam=0.5).count() == 4
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(spark, cands, emb, 0, lam=1.5)
+    with pytest.raises(ValueError, match="not found"):
+        mmr_rerank(spark, cands, emb, 777)
