@@ -2887,6 +2887,8 @@ def search_after(
     after: tuple,
     k: int = 10,
     mode: str = "or",
+    min_should_match: int = 0,
+    synonyms: "dict[str, list[str]] | None" = None,
     score_dtype: str = "float32",
     shard_ids: list[int] | None = None,
     filter_df: DataFrame | None = None,
@@ -2912,6 +2914,11 @@ def search_after(
     totals don't combine (Lucene's searchAfter collectors don't track
     them either)."""
     if isinstance(index, (list, tuple)):
+        if min_should_match or synonyms:
+            raise ValueError(
+                "min_should_match/synonyms are single-index for now — "
+                "merge or compact the indexes first"
+            )
         return search_multi(
             spark, list(index), query, k=k, mode=mode,
             score_dtype=score_dtype, filter_df=filter_df,
@@ -2919,6 +2926,7 @@ def search_after(
         )
     return search(
         spark, index, query, k=k, mode=mode, score_dtype=score_dtype,
+        min_should_match=min_should_match, synonyms=synonyms,
         shard_ids=shard_ids, filter_df=filter_df,
         filter_doc_col=filter_doc_col, _cursor=tuple(after),
     )

@@ -388,3 +388,26 @@ def test_batch_entries_with_clause_options(spark, midx):
         search_batch(
             spark, midx, [{"q": "hot*", "min_should_match": 1}], k=8
         )
+
+
+def test_cursor_paging_with_clause_options(spark, midx):
+    """search_after pages an msm/synonym ranking: page2 starts strictly
+    after page1's last hit and pages concatenate to the k=10 prefix."""
+    from katta_spark.query import search_after
+
+    kw = dict(
+        min_should_match=2, synonyms={"hotalpha": ["hotbeta"]},
+        score_dtype="float64",
+    )
+    q = "hotalpha w00011"
+    full = search(spark, midx, q, k=10, **kw).collect()
+    assert len(full) == 10
+    p1 = full[:5]
+    last = p1[-1]
+    p2 = search_after(
+        spark, midx, q, (last["score"], last["doc_id"], last["shard_id"]),
+        k=5, **kw,
+    ).collect()
+    assert [(r.doc_id, r.score) for r in p1 + p2] == [
+        (r.doc_id, r.score) for r in full
+    ]
