@@ -4180,6 +4180,8 @@ def count_matches(
     spark: SparkSession,
     index: "IndexHandle | str | list[IndexHandle | str]",
     query: str,
+    min_should_match: int = 0,
+    synonyms: "dict[str, list[str]] | None" = None,
 ) -> int:
     """Hit-count fast path (Katta getResultCount, LuceneServer.java:413-423):
     number of docs matching ≥1 query term — no scores materialized.
@@ -4208,6 +4210,8 @@ def count_matches(
         or "?" in query
         or _RANGE_RE.search(query)
         or any(tok[0] in "+-" and len(tok) > 1 for tok in query.split())
+        or min_should_match > 0
+        or bool(synonyms)
         # tombstones: the search kernels' totals already skip deleted
         # docs (liveDocs), so a tombstoned index counts through them too
         or any(h.has_tombstones() for h in handles)
@@ -4216,7 +4220,10 @@ def count_matches(
         # (rewrites expand against the dictionary there — per index when
         # several are searched, via search_multi's per-index expansion)
         multi = handles if len(handles) > 1 else handles[0]
-        rows = search_with_total(spark, multi, query, k=1).collect()
+        rows = search_with_total(
+            spark, multi, query, k=1,
+            min_should_match=min_should_match, synonyms=synonyms,
+        ).collect()
         return int(rows[0]["total_hits"]) if rows else 0
     terms = sorted(parse_query(query, all_kw))
     if not terms:

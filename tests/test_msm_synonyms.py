@@ -411,3 +411,26 @@ def test_cursor_paging_with_clause_options(spark, midx):
     assert [(r.doc_id, r.score) for r in p1 + p2] == [
         (r.doc_id, r.score) for r in full
     ]
+
+
+def test_count_matches_with_clause_options(spark, midx, docs):
+    from katta_spark.query import count_matches
+
+    n = count_matches(
+        spark, midx, "hotalpha hotbeta hotgamma", min_should_match=2
+    )
+    assert n == _docs_matching_at_least(
+        docs, ["hotalpha", "hotbeta", "hotgamma"], 2
+    ).count()
+    ns = count_matches(
+        spark, midx, "hotalpha", synonyms={"hotalpha": ["hotbeta"]}
+    )
+    want = (
+        corpus_tokens(docs)
+        .where(F.col("term").isin(["hotalpha", "hotbeta"]))
+        .select("doc_id").distinct().count()
+    )
+    assert ns == want
+    assert count_matches(
+        spark, midx, "hotalpha", min_should_match=5
+    ) == 0
