@@ -4202,6 +4202,14 @@ def count_matches(
     )
     all_kw = tuple({f for h in handles for f in h.keyword_fields})
     query = fold_spaced_fields(query)
+    if query.strip() == "*:*":
+        # MatchAllDocsQuery — Lucene QueryParser's *:* production; the
+        # classic "how many docs are deployed" probe
+        # (client.count(new MatchAllDocsQuery())). Counted from the
+        # corpus scalars minus live tombstones — zero postings touched.
+        return sum(
+            int(h.n_docs) - h.num_deleted(spark) for h in handles
+        )
     if (
         '"' in query
         or _TREE_RE.search(query)

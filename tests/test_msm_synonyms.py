@@ -434,3 +434,20 @@ def test_count_matches_with_clause_options(spark, midx, docs):
     assert count_matches(
         spark, midx, "hotalpha", min_should_match=5
     ) == 0
+
+
+def test_count_match_all_docs(spark, midx, tmp_path):
+    """*:* — MatchAllDocsQuery (client.count(new MatchAllDocsQuery())
+    is the classic deployed-doc-count probe): counted from the corpus
+    scalars minus live tombstones, zero postings touched."""
+    import shutil
+
+    from katta_spark.delete import delete_docs
+    from katta_spark.query import count_matches
+
+    assert count_matches(spark, midx, "*:*") == 2000
+    d = str(tmp_path / "del_all_idx")
+    shutil.copytree(midx, d)
+    doc = search(spark, d, "hotalpha", k=1).collect()[0]["doc_id"]
+    delete_docs(spark, d, [doc])
+    assert count_matches(spark, d, "*:*") == 1999
