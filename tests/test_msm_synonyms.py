@@ -451,3 +451,53 @@ def test_count_match_all_docs(spark, midx, tmp_path):
     doc = search(spark, d, "hotalpha", k=1).collect()[0]["doc_id"]
     delete_docs(spark, d, [doc])
     assert count_matches(spark, d, "*:*") == 1999
+
+
+def test_full_clause_composition(spark, midx, docs, tmp_path):
+    """Everything at once: synonyms + msm + MUST_NOT + cogrouped filter
+    + a tombstoned doc. Constraints compose as set intersections over
+    the blended ranking; survivors' scores are unchanged and stats stay
+    stale after the delete (Lucene liveDocs semantics)."""
+    import shutil
+
+    from katta_spark.delete import delete_docs
+
+    d = str(tmp_path / "comp_idx")
+    shutil.copytree(midx, d)
+
+    toks = corpus_tokens(docs)
+    has = lambda t: {  # noqa: E731
+        r.doc_id
+        for r in toks.where(F.col("term") == t).select("doc_id").collect()
+    }
+    filter_ids = {
+        r.doc_id
+        for r in docs.where(F.col("turn_idx") % 3 == 0)
+        .select("doc_id").collect()
+    }
+    want_all = _blended_oracle(
+        docs, {"w00011": 1.0}, [(1.0, ["hotalpha", "hotbeta"])], 10**6
+    )
+    group_set = has("hotalpha") | has("hotbeta")
+    keep = (
+        (has("w00011") & group_set)      # msm=2 over the two clauses
+        - has("hotgamma")                # MUST_NOT
+    ) & filter_ids
+    ranked = [(di, s) for di, s in want_all if di in keep]
+    assert len(ranked) > 3, "fixture must give a non-trivial result"
+    victim = ranked[0][0]
+    delete_docs(spark, d, [victim])
+    want = [(di, s) for di, s in ranked if di != victim][:10]
+
+    fdf = docs.where(F.col("turn_idx") % 3 == 0).select("doc_id")
+    got = search(
+        spark, d, "hotalpha w00011 -hotgamma",
+        synonyms={"hotalpha": ["hotbeta"]}, min_should_match=2,
+        filter_df=fdf, k=10, score_dtype="float64",
+    ).collect()
+    assert [r.doc_id for r in got] == [di for di, _ in want]
+    np.testing.assert_allclose(
+        np.array([r.score for r in got]),
+        np.array([s for _, s in want]),
+        rtol=1e-9,
+    )
