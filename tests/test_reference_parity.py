@@ -69,3 +69,42 @@ def test_field_sort_with_no_result_shard(spark, tmp_path):
         spark, d2, "abc2", src2, [("timesort", "asc")], k=20
     ).collect()
     assert len(single) == 1
+
+
+def test_numdocs_greater_max_integer_katta_140(spark, tmp_path):
+    """LuceneClientTest.testNumDocGreaterMaxInteger_KATTA_140: a global
+    numDocs past Integer.MAX_VALUE must not overflow scoring. The
+    reference injects a mocked DocumentFrequencyWritable with
+    numDocs = 2^31 + 22 into the client (:541-561); here the handle's
+    corpus scalar is overridden the same way — IndexHandle.n_docs is the
+    exact seam search() reads (query.py reads float(index.n_docs)) — and
+    the returned BM25 scores must equal the float64 closed form at that N
+    (idf computes in float64 throughout; an int32 path would wrap)."""
+    import math
+
+    rows = [
+        ("c1", 0, "sample text"),
+        ("c1", 1, "other words"),
+        ("c2", 0, "sample again"),
+    ]
+    src = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    d = str(tmp_path / "k140")
+    build_index(spark, src, d, num_shards=2)
+
+    from katta_spark.query import IndexHandle
+
+    h = IndexHandle.open(spark, d)
+    big_n = 2**31 + 23
+    h.n_docs = big_n  # the reference's addNumDocs(MAX_VALUE); addNumDocs(23)
+
+    hits = search(spark, h, "sample", k=10).collect()
+    assert len(hits) == 2
+
+    # closed form: df(sample)=2 from the real stats table, tf=1, dl=2,
+    # avgdl=2 -> tf_norm = (k1+1)/(1+k1) = 1.0 exactly.
+    idf = math.log1p((big_n - 2 + 0.5) / (2 + 0.5))
+    for r in hits:
+        assert r["score"] == pytest.approx(idf, rel=1e-6)
+        assert 0.0 < r["score"] < 25.0  # sane magnitude, no wraparound
