@@ -359,7 +359,9 @@ def main(argv: list[str] | None = None) -> int:
             t0 = time.time()
             if args.k is None:
                 # count-only form (Katta.java:839-846: client.count);
-                # count_matches counts docs matching >=1 term (OR)
+                # count_matches counts the PARSED query's matches (flat
+                # queries = >=1 term OR; msm/synonyms raise the floor /
+                # blend groups via the kernels' exact totals)
                 if args.mode != "or":
                     raise SystemExit(
                         "count-only search counts OR matches; pass -k for "

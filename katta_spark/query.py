@@ -2913,6 +2913,9 @@ def search_after(
     results carry). Requires a scoring query (or/and/boolean/tree);
     totals don't combine (Lucene's searchAfter collectors don't track
     them either)."""
+    if isinstance(index, (list, tuple)) and len(index) == 1:
+        index = index[0]  # one-element list IS a single index (cli.py does
+        # the same unwrap) — clause options and shard_ids then apply
     if isinstance(index, (list, tuple)):
         if min_should_match or synonyms:
             raise ValueError(
@@ -2977,6 +2980,8 @@ def search_with_total(
         f"doc_id long, shard_id int, score {sql_t}, total_hits long, "
         "shards_hit int, shards_total int"
     )
+    if isinstance(index, (list, tuple)) and len(index) == 1:
+        index = index[0]  # one-element list IS a single index
     if isinstance(index, (list, tuple)):
         if min_should_match or synonyms:
             raise ValueError(
@@ -4176,6 +4181,45 @@ def search_batch(
     )
 
 
+def _live_tombstone_count(
+    spark: SparkSession, h: "IndexHandle", dead: "np.ndarray | None"
+) -> int:
+    """Number of tombstoned docIDs that actually EXIST in ``h`` — decoded
+    from the doc-marker (sentinel) postings, the index's authoritative
+    docID set (build.py SENTINEL_HASHES: one marker posting row per
+    (shard, doc_id % SENTINEL_SALT) slice, every doc in exactly one).
+    The scan is th-pruned to the dead ids' own sentinel slices, so the
+    job is O(|dead|) marker rows — never a corpus scan; an empty
+    tombstone set costs zero jobs."""
+    if dead is None or dead.size == 0:
+        return 0
+    from katta_spark.build import SENTINEL_HASHES, SENTINEL_SALT
+
+    slices = np.unique(dead % np.int64(SENTINEL_SALT))
+    hashes = [int(SENTINEL_HASHES[int(s)]) for s in slices]
+    rows = (
+        h.postings(spark)
+        .where(F.col("th").isin(hashes))
+        .select("doc_ids", "tfs", "doclens")
+    )
+    bc = spark.sparkContext.broadcast(dead)
+
+    def kern(batches):
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                docs = decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
+                n += int(np.intersect1d(bc.value, docs).size)
+        yield pd.DataFrame({"n": [n]})
+
+    out = (
+        rows.mapInPandas(kern, "n long")
+        .agg(F.sum("n").alias("t"))
+        .collect()[0]
+    )
+    return int(out["t"] or 0)
+
+
 def count_matches(
     spark: SparkSession,
     index: "IndexHandle | str | list[IndexHandle | str]",
@@ -4184,7 +4228,11 @@ def count_matches(
     synonyms: "dict[str, list[str]] | None" = None,
 ) -> int:
     """Hit-count fast path (Katta getResultCount, LuceneServer.java:413-423):
-    number of docs matching ≥1 query term — no scores materialized.
+    number of docs matching the PARSED query — no scores materialized.
+    Flat queries count docs matching ≥1 term (OR); ``min_should_match``
+    raises that floor to ≥m distinct optional clauses and ``synonyms``
+    counts through the blended groups — both via the search kernels'
+    exact totals, so the counted set matches search() exactly.
 
     A LIST of indexes counts across all of them (Katta's count() sums
     per-node results over every searched index, LuceneClient.java:225-251):
@@ -4205,10 +4253,23 @@ def count_matches(
     if query.strip() == "*:*":
         # MatchAllDocsQuery — Lucene QueryParser's *:* production; the
         # classic "how many docs are deployed" probe
-        # (client.count(new MatchAllDocsQuery())). Counted from the
-        # corpus scalars minus live tombstones — zero postings touched.
+        # (client.count(new MatchAllDocsQuery())). min_should_match /
+        # synonyms refuse exactly like search() does for any '*' query.
+        if min_should_match or synonyms:
+            raise ValueError(
+                "min_should_match/synonyms apply to analyzed term clauses "
+                "only — not to MatchAllDocsQuery (*:*)"
+            )
+        # Counted from the corpus scalars minus the tombstones that
+        # reference REAL docs: delete_docs accepts ids absent from the
+        # index ("ignored at query time", delete.py) — Lucene's
+        # numDocs = maxDoc - numDeletedDocs is likewise unmoved by
+        # deleting a non-matching term, so phantom tombstones must not
+        # shift the match-all count. Tombstone-free indexes stay zero-job.
         return sum(
-            int(h.n_docs) - h.num_deleted(spark) for h in handles
+            int(h.n_docs)
+            - _live_tombstone_count(spark, h, h.deleted_array(spark))
+            for h in handles
         )
     if (
         '"' in query

@@ -379,3 +379,34 @@ def test_expunge_all_docs_refused_then_retry_clean(
     summ = kc.expunge(spark, d2, out)
     assert summ["n_docs"] + summ["n_deleted"] == 40
     assert IndexHandle.open(spark, out).n_docs == summ["n_docs"]
+
+
+def test_match_all_count_ignores_phantom_tombstones(
+    spark, corpus, full_idx, tmp_path_factory
+):
+    """Deleting ids the index never held ("accepted and ignored at query
+    time") must not move the MatchAllDocsQuery count — Lucene's
+    numDocs = maxDoc - numDeletedDocs is unchanged by deleting a
+    non-matching term. Real deletions still decrement it."""
+    d = str(tmp_path_factory.mktemp("del_phantom")) + "/idx"
+    shutil.copytree(full_idx, d)
+    n_total = corpus.count()
+    assert ksq.count_matches(spark, d, "*:*") == n_total
+
+    # phantom ids: absent from the index, accepted by delete_docs
+    assert kd.delete_docs(spark, d, [10**15, 10**15 + 1]) == 2
+    assert ksq.count_matches(spark, d, "*:*") == n_total
+
+    # a real deletion mixed in decrements by exactly the real ids
+    real = [int(r["doc_id"]) for r in corpus.limit(3).collect()]
+    kd.delete_docs(spark, d, real + [10**15 + 2])
+    assert ksq.count_matches(spark, d, "*:*") == n_total - len(real)
+
+
+def test_match_all_count_refuses_clause_options(spark, full_idx):
+    """*:* with min_should_match/synonyms refuses exactly like search()
+    does for any '*' query (clause options are term-clause-level)."""
+    with pytest.raises(ValueError, match="analyzed term clauses"):
+        ksq.count_matches(spark, full_idx, "*:*", min_should_match=2)
+    with pytest.raises(ValueError, match="analyzed term clauses"):
+        ksq.count_matches(spark, full_idx, "*:*", synonyms={"a": ["b"]})

@@ -211,3 +211,27 @@ def test_paging_refusals(spark, idx, qterms):
         ksq.search_after(spark, idx, q, (1.0, 0, 0), mode="match")
     with pytest.raises(ValueError, match="must be .score, doc_id, shard_id.|after must be"):
         ksq.search_after(spark, idx, q, (1.0, 0))
+
+
+def test_search_after_unwraps_one_element_list(spark, idx, qterms):
+    """A one-element index list IS a single index: clause options must
+    work through it (the CLI and count_matches unwrap the same way)."""
+    q = f"{qterms[0]} {qterms[1]}"
+    p1 = ksq.search(spark, idx, q, k=5, min_should_match=1).collect()
+    after = (
+        float(p1[-1]["score"]), int(p1[-1]["doc_id"]), int(p1[-1]["shard_id"])
+    )
+    single = ksq.search_after(
+        spark, idx, q, after, k=5, min_should_match=1
+    ).collect()
+    listed = ksq.search_after(
+        spark, [idx], q, after, k=5, min_should_match=1
+    ).collect()
+    assert [tuple(r) for r in listed] == [tuple(r) for r in single]
+    t_single = ksq.search_with_total(
+        spark, idx, q, k=2, min_should_match=1
+    ).collect()
+    t_listed = ksq.search_with_total(
+        spark, [idx], q, k=2, min_should_match=1
+    ).collect()
+    assert [tuple(r) for r in t_listed] == [tuple(r) for r in t_single]
