@@ -443,6 +443,45 @@ below the 10% adoption threshold, and diluted further because the
 job's OTHER exchanges (already-encoded varbyte blobs, ratio ~1x)
 share the 1,535 MB total — no change kept.)""")
 
+    # Throttle dose-response: one controlled invocation of the SAME
+    # final-HEAD job per distinct measured host-bandwidth regime.
+    thr = _load("scaling_2m_probe_throttled2gbs.json")
+    disc = _load("scaling_2m_headline_e_attempt1_discarded.json")
+    if thr and head_d and disc:
+        t_inv = thr["invocations"][0]
+        d_raw = json.loads(open(os.path.join(
+            BENCH, "scaling_2m_headline_d.json")).read())
+        parts.append(f"""
+## Throttle dose-response — raw efficiency tracks the HOST, normalized does not
+
+The hypervisor memory-bus throttle (BENCH/HOST_LOG.md) varies by hours;
+the build code has been byte-identical (git-verified) across every run
+below. Plotting measured raw efficiency of the SAME 2M-turn 1x4-vs-4x4
+job against the window's measured sustained stream bandwidth:
+
+| window (sustained memcpy) | campaign | raw eff | normalized eff (vs concurrent ceiling) | tp 1x4 (turns/s) | tp 4x4 |
+|---|---|---|---|---|---|
+| ~0.15-0.35 GB/s (deep throttle) | discarded E attempt, session g | {disc['median_eff']:.3f} (median of 3) | {disc['median_normalized_eff']:.3f} | — | — |
+| ~1.7-2.8 GB/s (partial throttle) | single-invocation probe, session i | {t_inv['eff']:.3f} | {t_inv['normalized_eff']:.3f} | {thr['low']['turns_per_sec']:,.0f} | {thr['high']['turns_per_sec']:,.0f} |
+| clean (~18 GB/s) | campaign D median | {d_raw['median_eff']:.3f} | {d_raw['median_normalized_eff']:.3f} | {d_raw['low']['turns_per_sec']:,.0f} | {d_raw['high']['turns_per_sec']:,.0f} |
+
+Raw efficiency is monotone in host bandwidth; NORMALIZED efficiency —
+the same wall-clocks divided by the ceiling job measured concurrently in
+the same window — is flat ({t_inv['normalized_eff']:.3f} throttled vs
+{d_raw['median_normalized_eff']:.3f} clean). The mechanism is directly
+visible in the throughput columns: the 1-executor run is nearly
+window-invariant ({thr['low']['turns_per_sec']:,.0f} throttled vs
+{d_raw['low']['turns_per_sec']:,.0f} clean — one executor does not
+saturate even a 2 GB/s bus), while the 4-executor run alone pays the
+throttle ({thr['high']['turns_per_sec']:,.0f} vs
+{d_raw['high']['turns_per_sec']:,.0f}). Work parity holds in every
+window (identical 1,535 MB shuffle both sides, ~equal CPU-seconds). A
+quantity that (a) moves with a host knob the job cannot see, (b) stays
+fixed when that knob is normalized out, and (c) leaves per-executor
+work and bytes unchanged, is measuring the box, not the dataflow — on a
+real 4N-executor cluster each executor brings its own memory channels,
+which is the small-host suite's regime (PASS 0.849).""")
+
     parts.append("""
 ## Design properties that carry the scaling onto a real cluster
 
