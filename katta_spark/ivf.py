@@ -159,17 +159,25 @@ def train_ivf_centroids(
                 "|", F.lit(f"ivfs{seed}"), F.col(id_col).cast("string"))), 1, 8),
                 16, 10).cast("long") < bound
         )
-    train = train.select(id_col, vec_col)
-    C = _seed_centroids(train, n_clusters, seed, id_col, vec_col)
-    trace: list[float] = []
-    for _ in range(iters):
-        sums, counts, obj = _partials_pass(train, C, vec_col)
-        total = int(counts.sum())
-        trace.append(obj / max(total, 1))
-        nz = counts > 0
-        C_new = C.copy()
-        C_new[nz] = _normalize_rows(sums[nz] / counts[nz, None])
-        C = np.round(C_new, 9)
+    from pyspark import StorageLevel
+
+    # The seed pass + every Lloyd iteration re-scans the training
+    # relation (sample filter + column prune + Arrow pipe): persist it
+    # once for the loop — iters+1 consumers, unpersisted before return.
+    train = train.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        C = _seed_centroids(train, n_clusters, seed, id_col, vec_col)
+        trace: list[float] = []
+        for _ in range(iters):
+            sums, counts, obj = _partials_pass(train, C, vec_col)
+            total = int(counts.sum())
+            trace.append(obj / max(total, 1))
+            nz = counts > 0
+            C_new = C.copy()
+            C_new[nz] = _normalize_rows(sums[nz] / counts[nz, None])
+            C = np.round(C_new, 9)
+    finally:
+        train.unpersist()
     return C, trace
 
 

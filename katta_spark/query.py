@@ -169,6 +169,12 @@ def _cursor_mask(
     )
 
 
+# open() memo — see IndexHandle.open. Keyed by (resolved index dir,
+# corpus.parquet mtime_ns) so a rebuild into the same directory gets a
+# fresh handle; bounded by the number of distinct indexes a process opens.
+_OPEN_HANDLE_CACHE: dict = {}
+
+
 @dataclass
 class IndexHandle:
     """Opened index — the analog of Katta's deployed-index client view."""
@@ -203,7 +209,20 @@ class IndexHandle:
                 f"build reads format {FORMAT_VERSION} — rebuild the index "
                 "(build_index into a fresh directory)"
             )
-        row = spark.read.parquet(os.path.join(index_dir, "corpus.parquet")).collect()[0]
+        # Memoized per (resolved dir, corpus mtime_ns): every API that
+        # accepts a path-string opens a handle, and each open is a Spark
+        # job over corpus.parquet plus a cold df cache — Katta's client
+        # caches IndexMetaData for a deployed index instead
+        # (Client.java/IndexMetaData). The mtime key invalidates on
+        # rebuild (overwrite rewrites the corpus.parquet directory);
+        # tombstones are deliberately NOT part of the handle state and
+        # stay checked per call.
+        corpus_path = os.path.join(index_dir, "corpus.parquet")
+        key = (os.path.realpath(index_dir), os.stat(corpus_path).st_mtime_ns)
+        cached = _OPEN_HANDLE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        row = spark.read.parquet(corpus_path).collect()[0]
         kw = tuple(row["keyword_fields"] or ()) if "keyword_fields" in row else ()
         sharding = row["sharding"] if "sharding" in row else "pmod_doc_id"
         pos = bool(row["positions"]) if "positions" in row else True
@@ -213,6 +232,7 @@ class IndexHandle:
         )
         h._opened_at = time.time()
         h._n_queries = 0
+        _OPEN_HANDLE_CACHE[key] = h
         return h
 
     def _record_query(self) -> None:

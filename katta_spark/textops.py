@@ -52,41 +52,63 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _shingle_array_col(t, n: int):
+    """array<string>: the DISTINCT n-gram shingles of token array ``t``,
+    entirely in-row ('' and NULL entries removed here rather than after an
+    explode) — the single definition behind both the exploded
+    :func:`shingles` relation and the array-form :func:`shingle_arrays`."""
+    raw = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(t, " ")))
+    return F.filter(
+        F.array_distinct(raw), lambda s: s.isNotNull() & (s != "")
+    )
+
+
+def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, sh: array<string>): each document's distinct shingle SET as
+    one in-row array; documents with no shingles are dropped (exactly the
+    docs that vanish from the exploded :func:`shingles` relation).
+
+    The array form is what lets the MinHash family run shuffle-free:
+    signatures are array_min over an in-row transform, set sizes are
+    F.size, and candidate-pair Jaccard is array_intersect — none of which
+    need the (doc_id, shingle) explode + re-aggregation the exploded form
+    forces (at 100 TB those were full corpus exchanges)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _shingle_array_col(tokenize_col(F.col(text_col)), n).alias("sh"),
+    ).where(F.size("sh") > 0)
+
+
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """(doc_id, shingle): distinct n-gram token shingles per document.
 
     Built with sequence+transform over the token array — no explode of
-    overlapping windows through Python. Per-doc dedup happens IN-ROW via
-    array_distinct before the explode: a whole-stage-codegen expression
-    instead of the corpus-wide (doc_id, shingle) DISTINCT shuffle it
-    replaces (measured as the dominant cost of every minhash pipeline —
-    and at 100 TB a full extra exchange of the shingle strings).
-    """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
+    overlapping windows through Python; per-doc dedup and the ''/NULL
+    filter happen IN-ROW (_shingle_array_col) before the explode, a
+    whole-stage-codegen expression instead of the corpus-wide
+    (doc_id, shingle) DISTINCT shuffle it replaces.
+
+    explode_outer, not explode: InferFiltersFromGenerate otherwise
+    duplicates the WHOLE shingle expression into an interpreted
+    pre-Generate filter (size(...) > 0), re-running the regex split and
+    transform per row outside codegen — measured 5x the cost of the
+    shingling itself. The rule skips outer generates; the NULL rows an
+    empty array adds are dropped by the isNotNull filter."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _shingle_array_col(tokenize_col(F.col(text_col)), n).alias("shingles"),
     )
-    sh = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.when(
-                F.size("t") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - n),
-                    lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
-                ),
-            ).otherwise(F.array(F.array_join(F.col("t"), " ")))
-        ).alias("shingles"),
-    )
-    # explode_outer, not explode: InferFiltersFromGenerate otherwise
-    # duplicates the WHOLE shingle expression into an interpreted
-    # pre-Generate filter (size(...) > 0), re-running the regex split and
-    # transform per row outside codegen — measured 5x the cost of the
-    # shingling itself. The rule skips outer generates, and the NULL rows
-    # an empty array would add are dropped by the != '' filter anyway.
     return sh.select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
-    ).where(F.col("shingle") != "")
+    ).where(F.col("shingle").isNotNull())
 
 
 def jaccard_pairs(
@@ -123,12 +145,21 @@ def jaccard_pairs(
     )
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+def _sig_exprs(sh_col, num_hashes: int) -> list:
+    """h_i = min over the shingle array of md5(f'{i}|' + shingle) —
+    computed IN-ROW (array_min over a transform) instead of the
+    explode + 8-way min-aggregate it replaces: zero exchanges, one md5
+    pass per (hash, shingle), and at 100 TB the signature step adds no
+    shuffle at all. array_min's string ordering is the same UTF8 binary
+    ordering as the min() aggregate, so the values are identical."""
+    def _h(i: int):
+        # single-arg lambda (a two-arg lambda would make F.transform bind
+        # its second parameter to the ARRAY INDEX, not the closure value)
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return [
+        F.array_min(F.transform(sh_col, _h(i))) for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -139,25 +170,51 @@ def minhash_signatures(
 
     md5-hex string minimum is order-isomorphic to a uniform hash minimum,
     and identical across engines — the cross-engine-verifiable MinHash.
-    """
-    return _signatures_from_shingles(shingles(docs, n, id_col, text_col), num_hashes)
+    Computed entirely in-row from the shingle array (scan → project, no
+    explode, no aggregation exchange)."""
+    sig = _sig_exprs(F.col("sh"), num_hashes)
+    return shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", *[sig[i].alias(f"h{i}") for i in range(num_hashes)]
+    )
 
 
-def _lsh_pairs_from_shingles(
-    sh: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
+def _band_cols(sh_col, num_hashes: int, bands: int) -> list:
     rows = num_hashes // bands
-    sig = _signatures_from_shingles(sh, num_hashes)
-    band_cols = [
-        F.concat_ws("#", F.lit(str(bi)), *[F.col(f"h{bi * rows + r}") for r in range(rows)]).alias("band")
+    sig = _sig_exprs(sh_col, num_hashes)
+    return [
+        F.concat_ws(
+            "#", F.lit(str(bi)), *[sig[bi * rows + r] for r in range(rows)]
+        )
         for bi in range(bands)
     ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+
+
+def _lsh_pairs_from_arrays(
+    arr: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(a, b) distinct candidate pairs sharing >= 1 LSH band, a < b, from
+    the (doc_id, sh) array relation.
+
+    The band self-join is hinted SHUFFLE_HASH: both sides then need the
+    same hashpartitioning(band) exchange over the same child plan, and
+    exchange reuse (spark.sql.exchange.reuse) computes the
+    tokenize→shingle→signature lineage ONCE instead of once per join side
+    (the broadcast plan the optimizer picks for small inputs runs the
+    whole corpus pass twice — measured as the dominant cost of this
+    operator). At scale a band self-join is a shuffle join anyway."""
+    banded = arr.select(
+        "doc_id",
+        F.explode(F.array(*_band_cols(F.col("sh"), num_hashes, bands))).alias(
+            "band"
+        ),
     )
     x, y = banded.alias("x"), banded.alias("y")
     return (
-        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
@@ -171,10 +228,10 @@ def minhash_lsh_pairs(
 
     bands bands of num_hashes/bands rows each. The scale path: shuffle is
     by band bucket (small), candidate verification (jaccard_pairs) runs on
-    candidates only.
-    """
-    return _lsh_pairs_from_shingles(
-        shingles(docs, n, id_col, text_col), num_hashes, bands
+    candidates only. Signatures are in-row (_sig_exprs) and the self-join
+    reuses one exchange, so the corpus is scanned once."""
+    return _lsh_pairs_from_arrays(
+        shingle_arrays(docs, n, id_col, text_col), num_hashes, bands
     )
 
 
@@ -186,39 +243,34 @@ def near_dup_pairs(
     exact n-gram Jaccard computed ONLY on those candidates (a < b).
 
     This is the composed scale path: the quadratic shared-shingle join of
-    jaccard_pairs never runs on the full corpus — intersections are
-    counted per candidate pair (cand ⋈ shingles(a) ⋈ shingles(b)), so cost
-    is |candidates| x shingles/doc, not corpus².
+    jaccard_pairs never runs on the full corpus — each candidate pair's
+    intersection is one in-row array_intersect of the two docs' shingle
+    arrays, so cost is |candidates| x shingles/doc, not corpus².
 
-    The shingle table is computed ONCE and persisted (MEMORY_AND_DISK):
-    signatures, sizes, and intersections all branch from the same cached
-    relation instead of re-executing the tokenize/explode lineage 3x —
-    at 100 TB the shingle materialization is the dominant scan, so the
-    pipeline must pay it once.
+    The shingle-ARRAY relation is computed ONCE and persisted
+    (MEMORY_AND_DISK): the LSH candidate join and both sides of the
+    verification join branch from the same cached relation instead of
+    re-executing the tokenize lineage — at 100 TB the shingle
+    materialization is the dominant scan, so the pipeline pays it once.
+    Replacing the exploded cand ⋈ shingles(a) ⋈ (b, shingle) ⋈ sizes(a)
+    ⋈ sizes(b) cascade (two aggregations + four joins) with two array
+    joins + in-row set math removed three exchanges from the plan.
     """
     from pyspark import StorageLevel
 
-    sh = shingles(docs, n, id_col, text_col).persist(
+    arr = shingle_arrays(docs, n, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cand = _lsh_pairs_from_shingles(sh, num_hashes, bands)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "a"), "a")
-        .join(
-            sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"]
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    cand = _lsh_pairs_from_arrays(arr, num_hashes, bands)
+    sa = arr.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = arr.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "a").join(sb, "b")
+        cand.join(sa, "a").join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 4
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -227,15 +279,67 @@ def near_dup_pairs(
 
 
 def min_label_components(
-    ids: DataFrame, pairs: DataFrame, max_iters: int = 20
+    ids: DataFrame, pairs: DataFrame, max_iters: int = 20,
+    driver_pairs_max: int | None = None,
 ) -> DataFrame:
     """(doc_id, canonical_id): connected components of the undirected graph
     ``pairs`` (columns a, b — node ids) over the node set ``ids`` (column
-    doc_id), by iterative min-label propagation — converges in
-    graph-diameter rounds (small for dup clusters; each round is one join +
-    one min-agg; lineage cut per round via localCheckpoint). The shared
-    closure engine behind text near-dup (dedup_near) and embedding
-    near-dup (similarity.embedding_dedup) canonicalization."""
+    doc_id) — per component, every node labels with the component's MIN
+    node id. The shared closure engine behind text near-dup (dedup_near)
+    and embedding near-dup (similarity.embedding_dedup) canonicalization.
+
+    Fast path: the edge set of a dedup graph is tiny relative to the
+    corpus (only near-duplicate pairs), so when it fits the driver budget
+    (``driver_pairs_max`` rows, default $KATTA_CC_DRIVER_PAIRS_MAX or
+    2,000,000 — a bounded limit+collect, never an unbounded pull) the
+    components come from ONE driver union-find and apply as a broadcast
+    (node → canonical) join with coalesce(own id) for untouched nodes —
+    replacing 2 Spark jobs per propagation round (the checkpointing join
+    + the convergence count) with one collect. The result is the exact
+    fixpoint the iterative loop converges to (union-find is the oracle
+    the loop is property-tested against). Past the budget, the iterative
+    min-label propagation below runs unchanged — converging in
+    graph-diameter rounds (each round one join + one min-agg; lineage
+    cut per round via localCheckpoint)."""
+    import os
+
+    if driver_pairs_max is None:
+        driver_pairs_max = int(
+            os.environ.get("KATTA_CC_DRIVER_PAIRS_MAX", "2000000")
+        )
+    if driver_pairs_max > 0:
+        head = pairs.select("a", "b").limit(driver_pairs_max + 1).collect()
+        if len(head) <= driver_pairs_max:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r_ in head:
+                ra, rb = find(r_["a"]), find(r_["b"])
+                if ra != rb:
+                    # roots union with the MIN kept as the new root, so
+                    # find(node) is directly the component's min label
+                    parent[max(ra, rb)] = min(ra, rb)
+            mapping = sorted((n, find(n)) for n in set(parent))
+            spark = ids.sparkSession
+            dt = dict(ids.dtypes)["doc_id"]
+            map_df = spark.createDataFrame(
+                mapping, schema="doc_id long, canonical_id long"
+            ).select(
+                F.col("doc_id").cast(dt), F.col("canonical_id").cast(dt)
+            )
+            return ids.select("doc_id").join(
+                F.broadcast(map_df), "doc_id", "left"
+            ).select(
+                "doc_id",
+                F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            )
     # undirected edges, both directions
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -607,12 +711,13 @@ def decontaminate_fuzzy(
     candidate verified (jaccard 0.0, contaminated false).
 
     100-TB shape: the benchmark side is eval-set-sized, so its banded
-    MinHash table and its shingle sets BROADCAST; the corpus side
-    computes signatures from ONE persisted shingle relation and probes
-    the broadcast bands row-locally — the corpus never shuffles. Exact
-    Jaccard verification runs ONLY on LSH candidates (a broadcast
-    semi-join cuts the shingle relation to candidate docs first), the
-    same candidates-only discipline as :func:`near_dup_pairs`.
+    MinHash table and its shingle ARRAYS broadcast; the corpus side
+    computes signatures IN-ROW from ONE persisted shingle-array relation
+    and probes the broadcast bands row-locally — the corpus never
+    shuffles. Exact Jaccard verification runs ONLY on LSH candidates,
+    as one in-row array_intersect per candidate against the broadcast
+    benchmark arrays — the same candidates-only discipline as
+    :func:`near_dup_pairs`, minus the explode/re-aggregate exchanges.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -620,63 +725,38 @@ def decontaminate_fuzzy(
         raise ValueError("bands must divide num_hashes")
     from pyspark import StorageLevel
 
-    doc_sh = shingles(docs, n, id_col, text_col).persist(
+    doc_arr = shingle_arrays(docs, n, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bench_sh = shingles(bench, n, bench_id_col, bench_text_col).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    bench_arr = shingle_arrays(bench, n, bench_id_col, bench_text_col).select(
+        F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b")
     )
-    rows = num_hashes // bands
 
-    def _banded(sig: DataFrame, idc: str) -> DataFrame:
-        band_cols = [
-            F.concat_ws(
-                "#", F.lit(str(bi)),
-                *[F.col(f"h{bi * rows + r}") for r in range(rows)],
-            ).alias("band")
-            for bi in range(bands)
-        ]
-        return sig.select(idc, F.explode(F.array(*band_cols)).alias("band"))
+    def _banded(arr: DataFrame, idc: str, shc: str) -> DataFrame:
+        return arr.select(
+            idc,
+            F.explode(
+                F.array(*_band_cols(F.col(shc), num_hashes, bands))
+            ).alias("band"),
+        )
 
-    bench_bands = _banded(
-        _signatures_from_shingles(
-            bench_sh.select(F.col("bench_id").alias("doc_id"), "shingle"),
-            num_hashes,
-        ).withColumnRenamed("doc_id", "bench_id"),
-        "bench_id",
-    )
+    bench_bands = _banded(bench_arr, "bench_id", "sh_b")
     cand = (
-        _banded(_signatures_from_shingles(doc_sh, num_hashes), "doc_id")
+        _banded(doc_arr, "doc_id", "sh")
         .join(F.broadcast(bench_bands), "band")
         .select("doc_id", "bench_id")
         .distinct()
     )
-    # exact verification on candidates only — cut the corpus shingle
-    # relation to candidate docs first (broadcast semi-join), then count
-    # intersections against the broadcast benchmark shingles
-    cand_sh = doc_sh.join(
-        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "leftsemi"
-    )
-    inter = (
-        cand_sh.join(F.broadcast(bench_sh), "shingle")
-        .join(F.broadcast(cand), ["doc_id", "bench_id"], "leftsemi")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_doc = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a"))
-    sz_bench = bench_sh.groupBy("bench_id").agg(
-        F.count(F.lit(1)).alias("sz_b")
-    )
+    # exact verification on candidates only: attach the corpus doc's
+    # shingle array (persisted relation) and the benchmark doc's array
+    # (broadcast), intersect in-row
+    inter = F.size(F.array_intersect("sh", "sh_b"))
     verified = (
-        inter.join(sz_doc, "doc_id")
-        .join(F.broadcast(sz_bench), "bench_id")
+        cand.join(doc_arr, "doc_id")
+        .join(F.broadcast(bench_arr), "bench_id")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                4,
-            ),
+            F.round(inter / (F.size("sh") + F.size("sh_b") - inter), 4),
         )
     )
     from pyspark.sql import Window
@@ -750,9 +830,25 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
             4,
         )
 
-    # Longest equal run in the sorted gram list == max occurrence count.
-    # Grams are never '' (tokens are non-empty), so '' is a safe initial
-    # "previous" sentinel.
+    n2 = F.size("g2")
+    return g.select(
+        "doc_id",
+        n2.cast("long").alias("n_2grams"),
+        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("g3")).alias("dup_3gram_frac"),
+        _top_gram_frac_col(F.col("g2")).alias("top_2gram_frac"),
+    )
+
+
+def _top_gram_frac_col(g2):
+    """Rounded fraction of all 2-gram occurrences taken by the single most
+    frequent 2-gram — shared by repetition_scores and curate (rule 2), so
+    the two compute bit-identical values from one definition.
+
+    Longest equal run in the sorted gram list == max occurrence count.
+    Grams are never '' (tokens are non-empty), so '' is a safe initial
+    "previous" sentinel."""
+
     def _step(acc, x):
         run = (
             F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
@@ -764,7 +860,7 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
         )
 
     top_count = F.aggregate(
-        F.array_sort("g2"),
+        F.array_sort(g2),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).cast("long").alias("run"),
@@ -773,15 +869,9 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id",
         _step,
         lambda acc: acc["best"],
     )
-    n2 = F.size("g2")
-    return g.select(
-        "doc_id",
-        n2.cast("long").alias("n_2grams"),
-        dup_frac(F.col("g2")).alias("dup_2gram_frac"),
-        dup_frac(F.col("g3")).alias("dup_3gram_frac"),
-        F.round(
-            F.when(n2 > 0, top_count.cast("double") / n2).otherwise(0.0), 4
-        ).alias("top_2gram_frac"),
+    n2 = F.size(g2)
+    return F.round(
+        F.when(n2 > 0, top_count.cast("double") / n2).otherwise(0.0), 4
     )
 
 
@@ -828,7 +918,14 @@ def unigram_lm_scores(
     (a perplexity of nothing is undefined, matching CCNet which skips
     empty lines).
     """
-    tok = _exploded_tokens(docs, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # One tokenize+explode, persisted: the vocab-count pass (train) and
+    # the logp-join pass (apply) are the only two consumers, and without
+    # the persist each re-runs the regex tokenize over the whole corpus.
+    tok = _exploded_tokens(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
     total = uni.agg(F.sum("c").cast("double").alias("tot"))
     lp = uni.crossJoin(F.broadcast(total)).select(
@@ -886,10 +983,16 @@ def bigram_lm_scores(
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
+    from pyspark import StorageLevel
+
+    # One tokenize, persisted: four consumers branch from the token-array
+    # relation (bigram counts, the transition scoring pass, the unigram
+    # occurrence counts, the first-token leg) — without the persist each
+    # re-runs the regex tokenize over the whole corpus.
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         tokenize_col(F.col(text_col)).alias("t"),
-    ).where(F.size("t") >= 1)
+    ).where(F.size("t") >= 1).persist(StorageLevel.MEMORY_AND_DISK)
     m = F.size("t")
     pairs = toks.select(
         "doc_id",
@@ -968,26 +1071,38 @@ def boilerplate_scores(
     gram-bearing corpus. A doc that is mostly template scores near 1.
 
     100-TB shape: same two-pass train/apply split as unigram_lm_scores —
-    pass 1 builds the gram→df table (count_distinct(doc_id) per gram;
-    grams explode in doc order so the partial distinct collapses
-    map-side), pass 2 broadcast-joins df back onto the occurrences and
-    the per-doc collapse combines map-side. Gram space is vocab^n-ish but
-    Zipf-truncated in practice; for corpora where it outgrows broadcast,
-    the join degrades to shuffle-hash, never all-pairs. Documents with
-    fewer than n tokens have no grams and are dropped.
+    pass 1 builds the gram→df table (per-doc DISTINCT grams explode from
+    an in-row array_distinct, so df is a plain count, not a
+    count_distinct whose per-gram distinct buffers the doc ids), pass 2
+    broadcast-joins df back onto the occurrences and the per-doc
+    collapse combines map-side. The gram-array relation is computed once
+    and persisted (MEMORY_AND_DISK): the df pass, the doc count and the
+    apply pass all branch from it instead of re-running
+    tokenize+transform per pass. ndocs collapses in-row (any doc with
+    >= n tokens has grams — no corpus-wide distinct). Gram space is
+    vocab^n-ish but Zipf-truncated in practice; for corpora where it
+    outgrows broadcast, the join degrades to shuffle-hash, never
+    all-pairs. Documents with fewer than n tokens have no grams and are
+    dropped.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
-    )
-    g = toks.select(
-        "doc_id", _grams_col(F.col("t"), n).alias("g")
-    ).select("doc_id", F.explode_outer("g").alias("gram")).where(
+    from pyspark import StorageLevel
+
+    garr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _grams_col(tokenize_col(F.col(text_col)), n).alias("g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    g = garr.select("doc_id", F.explode_outer("g").alias("gram")).where(
         F.col("gram") != ""
     )
-    df_tab = g.groupBy("gram").agg(
-        F.count_distinct("doc_id").cast("double").alias("df")
+    df_tab = (
+        garr.select(F.explode_outer(F.array_distinct("g")).alias("gram"))
+        .where(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
     )
-    ndocs = g.agg(F.count_distinct("doc_id").cast("double").alias("nd"))
+    ndocs = garr.agg(
+        F.sum((F.size("g") > 0).cast("double")).alias("nd")
+    )
     return (
         g.join(F.broadcast(df_tab), "gram")
         .groupBy("doc_id")
@@ -1139,17 +1254,22 @@ def curate(
     stage re-scans the corpus once; a production run over cold storage
     would persist the token arrays up front and hand them to each stage.
     """
+    # n_tokens and the repetition signal are both in-row expressions over
+    # the same token array: ONE corpus scan computes both (the separate
+    # base ⋈ rep join of earlier rounds re-tokenized the corpus and paid
+    # an extra doc_id exchange for rows that were 1:1 by construction).
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokenize_col(F.col(text_col))).alias("n_tokens"),
-    )
-    rep = repetition_scores(docs, id_col, text_col).select(
-        "doc_id", "top_2gram_frac"
+        tokenize_col(F.col(text_col)).alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        _top_gram_frac_col(_grams_col(F.col("t"), 2)).alias("top_2gram_frac"),
     )
     dd = dedup_near(
         docs, dedup_threshold, num_hashes, bands, n, id_col, text_col
     ).select("doc_id", "is_dup")
-    j = base.join(rep, "doc_id").join(dd, "doc_id", "left")
+    j = base.join(dd, "doc_id", "left")
     if bench is not None:
         dec = decontaminate(
             docs, bench, n, 1, id_col, text_col, bench_text_col

@@ -77,6 +77,48 @@ def _merge_fold(a: str, b: str):
     )
 
 
+def _learn_bpe_driver(
+    rows: list, n_merges: int, min_freq: int
+) -> list[tuple[str, str, str, int]]:
+    """Exact replica of the distributed merge loop over a collected
+    (word, freq) list — same pair counting (every adjacent position),
+    same argmax tie-break (count DESC, left ASC, right ASC; Python's
+    code-point string order == Spark's UTF8 binary order — UTF-8 is
+    order-preserving), same left-to-right non-overlapping merge fold as
+    :func:`_merge_fold`. Property-tested equal to the distributed loop
+    (tests/test_vocab.py)."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w) + [END_OF_WORD], int(f)) for w, f in rows
+    ]
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for p in zip(syms, syms[1:]):
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_freq:
+            break
+        merged = a + b
+        merges.append((a, b, merged, c))
+        for i, (syms, f) in enumerate(vocab):
+            if len(syms) < 2:
+                continue
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            if len(out) != len(syms):
+                vocab[i] = (out, f)
+    return merges
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 32,
@@ -84,6 +126,7 @@ def learn_bpe(
     id_col: str = "doc_id",
     text_col: str = "text",
     sample_fraction: float | None = None,
+    driver_vocab_max: int | None = None,
 ) -> list[tuple[str, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, merged,
     pair_freq)] in rank order. Words are analyzed tokens split into
@@ -92,15 +135,40 @@ def learn_bpe(
     word-internally). Stops early when the best pair's frequency falls
     below ``min_freq``.
 
-    Dataflow per iteration (vocab-sized relation, persisted): in-row
-    adjacent-pair explode weighted by word freq → hash agg → a bounded
-    (count DESC, left ASC, right ASC) argmax — ONE driver row — then the
-    merge applies as an in-row fold and the relation re-persists. No
-    corpus re-scan after the first pass.
+    ONE corpus pass collapses the corpus to the persisted (word, freq)
+    relation. When the vocabulary fits the driver budget
+    (``driver_vocab_max`` rows, default $KATTA_BPE_DRIVER_VOCAB_MAX or
+    2,000,000 — a vocab-sized, bounded collect, the same class as the
+    argmax row the old loop already pulled), the V merge iterations run
+    as a single driver loop (_learn_bpe_driver) — reference BPE trainers
+    are single-process over exactly this table — replacing 2 Spark jobs
+    per merge (pair-count argmax + re-persist fold) with zero. Past the
+    budget, the distributed per-iteration loop below runs unchanged; the
+    two paths are exact replicas of each other.
+
+    Distributed fallback per iteration (vocab-sized relation, persisted):
+    in-row adjacent-pair explode weighted by word freq → hash agg → a
+    bounded (count DESC, left ASC, right ASC) argmax — ONE driver row —
+    then the merge applies as an in-row fold and the relation
+    re-persists. No corpus re-scan after the first pass.
     """
+    import os
+
     from pyspark import StorageLevel
 
+    if driver_vocab_max is None:
+        driver_vocab_max = int(
+            os.environ.get("KATTA_BPE_DRIVER_VOCAB_MAX", "2000000")
+        )
     wf = _word_freqs(docs, id_col, text_col, sample_fraction)
+    if driver_vocab_max > 0:
+        wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
+        head = wf.limit(driver_vocab_max + 1).collect()
+        if len(head) <= driver_vocab_max:
+            wf.unpersist()
+            return _learn_bpe_driver(
+                [(r["word"], r["freq"]) for r in head], n_merges, min_freq
+            )
     syms = wf.select(
         "freq",
         F.concat(
@@ -152,6 +220,8 @@ def learn_bpe(
             syms = nxt
     finally:
         syms.unpersist()
+        if driver_vocab_max > 0:
+            wf.unpersist()
     return merges
 
 
