@@ -79,11 +79,21 @@ def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     signatures are array_min over an in-row transform, set sizes are
     F.size, and candidate-pair Jaccard is array_intersect — none of which
     need the (doc_id, shingle) explode + re-aggregation the exploded form
-    forces (at 100 TB those were full corpus exchanges)."""
-    return docs.select(
+    forces (at 100 TB those were full corpus exchanges).
+
+    The no-shingle filter is expressed on the TOKEN array, not the
+    shingle array (equivalent: >= 1 token <=> >= 1 non-empty shingle —
+    the < n-token fallback joins the tokens into one shingle), because
+    a filter on the projected shingle column would be pushed below the
+    projection with the whole tokenize+transform expression substituted
+    in — re-running the shingling once per row inside the filter
+    (measured as a 2x tax on every consumer of this relation)."""
+    return docs.where(
+        F.size(tokenize_col(F.col(text_col))) > 0
+    ).select(
         F.col(id_col).alias("doc_id"),
         _shingle_array_col(tokenize_col(F.col(text_col)), n).alias("sh"),
-    ).where(F.size("sh") > 0)
+    )
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
@@ -195,23 +205,31 @@ def _lsh_pairs_from_arrays(
     """(a, b) distinct candidate pairs sharing >= 1 LSH band, a < b, from
     the (doc_id, sh) array relation.
 
-    The band self-join is hinted SHUFFLE_HASH: both sides then need the
-    same hashpartitioning(band) exchange over the same child plan, and
-    exchange reuse (spark.sql.exchange.reuse) computes the
-    tokenize→shingle→signature lineage ONCE instead of once per join side
-    (the broadcast plan the optimizer picks for small inputs runs the
-    whole corpus pass twice — measured as the dominant cost of this
-    operator). At scale a band self-join is a shuffle join anyway."""
+    The banded relation is PERSISTED before the self-join: a self-join
+    executes its child once per side, and exchange reuse does not fire
+    across the two sides here (the HOF lambda variables defeat plan
+    canonicalization), so without the persist the whole
+    tokenize→shingle→8×md5 signature lineage runs twice — measured as
+    the dominant cost of this operator. banded is n_docs × bands rows of
+    (id, ~70-char band) — corpus-scale-tiny (the signature table, not
+    the corpus), safe to cache at any size.
+
+    explode_outer, not explode: InferFiltersFromGenerate would duplicate
+    the whole 8-hash band-array expression into a pre-Generate
+    size()>0 filter (outer generates skip the rule; the array is
+    fixed-size so no rows are lost)."""
+    from pyspark import StorageLevel
+
     banded = arr.select(
         "doc_id",
-        F.explode(F.array(*_band_cols(F.col("sh"), num_hashes, bands))).alias(
-            "band"
-        ),
-    )
+        F.explode_outer(
+            F.array(*_band_cols(F.col("sh"), num_hashes, bands))
+        ).alias("band"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
-            y.hint("shuffle_hash"),
+            y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
@@ -733,9 +751,10 @@ def decontaminate_fuzzy(
     )
 
     def _banded(arr: DataFrame, idc: str, shc: str) -> DataFrame:
+        # explode_outer: see _lsh_pairs_from_arrays (InferFilters dodge)
         return arr.select(
             idc,
-            F.explode(
+            F.explode_outer(
                 F.array(*_band_cols(F.col(shc), num_hashes, bands))
             ).alias("band"),
         )
