@@ -56,7 +56,13 @@ def _shingle_array_col(t, n: int):
     """array<string>: the DISTINCT n-gram shingles of token array ``t``,
     entirely in-row ('' and NULL entries removed here rather than after an
     explode) — the single definition behind both the exploded
-    :func:`shingles` relation and the array-form :func:`shingle_arrays`."""
+    :func:`shingles` relation and the array-form :func:`shingle_arrays`.
+
+    ``t`` MUST be a projected column reference, never the tokenize
+    expression itself: the transform lambda slices ``t`` per element, and
+    higher-order functions re-evaluate a captured expression on every
+    element (no CSE) — an inlined regex tokenize here costs
+    len(t) regex splits per row (measured 12x on the corpus scan)."""
     raw = F.when(
         F.size(t) >= n,
         F.transform(
@@ -88,11 +94,14 @@ def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     projection with the whole tokenize+transform expression substituted
     in — re-running the shingling once per row inside the filter
     (measured as a 2x tax on every consumer of this relation)."""
-    return docs.where(
+    toks = docs.where(
         F.size(tokenize_col(F.col(text_col))) > 0
     ).select(
         F.col(id_col).alias("doc_id"),
-        _shingle_array_col(tokenize_col(F.col(text_col)), n).alias("sh"),
+        tokenize_col(F.col(text_col)).alias("t"),
+    )
+    return toks.select(
+        "doc_id", _shingle_array_col(F.col("t"), n).alias("sh")
     )
 
 
@@ -106,19 +115,24 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     whole-stage-codegen expression instead of the corpus-wide
     (doc_id, shingle) DISTINCT shuffle it replaces.
 
-    explode_outer, not explode: InferFiltersFromGenerate otherwise
-    duplicates the WHOLE shingle expression into an interpreted
+    Derived from :func:`shingle_arrays` (explode of the array form) so
+    that every exploded-form consumer shares the SAME analyzed plan
+    fragment as the array-form consumers: when one operator persists the
+    shingle-array relation (near_dup_pairs, decontaminate_fuzzy), the
+    CacheManager substitutes the cached relation into every other
+    operator's shingle scan in the same session — decontaminate,
+    doc_fingerprint and jaccard_pairs then explode from memory instead
+    of re-tokenizing the corpus.
+
+    explode_outer, not explode: InferFiltersFromGenerate would otherwise
+    duplicate the WHOLE shingle expression into an interpreted
     pre-Generate filter (size(...) > 0), re-running the regex split and
     transform per row outside codegen — measured 5x the cost of the
-    shingling itself. The rule skips outer generates; the NULL rows an
-    empty array adds are dropped by the isNotNull filter."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _shingle_array_col(tokenize_col(F.col(text_col)), n).alias("shingles"),
+    shingling itself. The rule skips outer generates; arrays here are
+    non-empty with non-null elements, so no NULL rows appear."""
+    return shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.explode_outer("sh").alias("shingle")
     )
-    return sh.select(
-        "doc_id", F.explode_outer("shingles").alias("shingle")
-    ).where(F.col("shingle").isNotNull())
 
 
 def jaccard_pairs(
@@ -1108,7 +1122,12 @@ def boilerplate_scores(
 
     garr = docs.select(
         F.col(id_col).alias("doc_id"),
-        _grams_col(tokenize_col(F.col(text_col)), n).alias("g"),
+        tokenize_col(F.col(text_col)).alias("t"),
+    ).select(
+        # two-step projection: _grams_col's lambda slices its argument
+        # per element — inlining the tokenize here would re-run the
+        # regex split per gram (see _shingle_array_col)
+        "doc_id", _grams_col(F.col("t"), n).alias("g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     g = garr.select("doc_id", F.explode_outer("g").alias("gram")).where(
         F.col("gram") != ""
@@ -1182,13 +1201,20 @@ def dsir_weights(
     B = 16 ** hex_chars
 
     def _feats(df: DataFrame, idc: str | None, txc: str) -> DataFrame:
-        t = tokenize_col(F.col(txc))
-        cols = ([F.col(idc).alias("doc_id")] if idc else []) + [
+        # two-step projection: _grams_col's lambda slices its argument
+        # per element — an inlined tokenize would re-run the regex split
+        # per gram (see _shingle_array_col)
+        base = df.select(
+            *([F.col(idc).alias("doc_id")] if idc else []),
+            tokenize_col(F.col(txc)).alias("t"),
+        )
+        t = F.col("t")
+        cols = ([F.col("doc_id")] if idc else []) + [
             F.concat(t, _grams_col(t, 2)).alias("g")
         ]
         # explode_outer + isNotNull: see shingles()
         return (
-            df.select(*cols)
+            base.select(*cols)
             .select(
                 *(["doc_id"] if idc else []),
                 F.explode_outer("g").alias("gram"),
@@ -1283,7 +1309,14 @@ def curate(
     ).select(
         "doc_id",
         F.size("t").alias("n_tokens"),
-        _top_gram_frac_col(_grams_col(F.col("t"), 2)).alias("top_2gram_frac"),
+        # project the gram array before the top-frac expression, which
+        # references it three times (see _shingle_array_col on why
+        # multiply-referenced array expressions must be projected)
+        _grams_col(F.col("t"), 2).alias("g2"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        _top_gram_frac_col(F.col("g2")).alias("top_2gram_frac"),
     )
     dd = dedup_near(
         docs, dedup_threshold, num_hashes, bands, n, id_col, text_col
