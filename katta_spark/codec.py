@@ -185,6 +185,67 @@ def read_skips(skips_buf: bytes) -> np.ndarray:
     return np.frombuffer(skips_buf, dtype=_SKIP_DTYPE)
 
 
+def vb_decode_concat(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY varbyte buffers in one vectorized pass.
+
+    Concatenates the buffers (varbyte is self-delimiting, so the joined
+    stream decodes to the concatenation of the per-buffer values) and
+    returns (values uint64, per-buffer value counts). One numpy pass for
+    a whole batch of posting lists instead of one vb_decode call per
+    list — the per-call numpy setup dominated for short lists."""
+    lens = np.fromiter((len(x) for x in bufs), np.int64, count=len(bufs))
+    b = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, np.uint64), np.zeros(len(bufs), np.int64)
+    vals = vb_decode(b)
+    is_last = ((b & 0x80) == 0).astype(np.int64)
+    boff = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cnt = np.zeros(len(bufs), np.int64)
+    nz = lens > 0
+    if nz.any():
+        # reduceat only over non-empty buffer starts: equal adjacent
+        # offsets (empty buffers) would otherwise corrupt the counts
+        cnt[nz] = np.add.reduceat(is_last, boff[nz])
+    return vals, cnt
+
+
+def decode_posting_lists_concat(
+    doc_bufs, tf_bufs, dl_bufs
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch decode of many posting lists: returns (doc_ids int64,
+    tfs int64, doclens int64, docs-per-list int64) with the lists'
+    values concatenated in input order. The per-list delta chains are
+    re-based with one segmented cumsum (exact under uint64 wraparound),
+    replacing a per-list decode_posting_list loop."""
+    deltas, cnt = vb_decode_concat(doc_bufs)
+    u = np.cumsum(deltas, dtype=np.uint64)
+    voff = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    base = np.where(
+        voff > 0, u[np.maximum(voff - 1, 0)], np.uint64(0)
+    ).astype(np.uint64)
+    docs = u64_to_i64_order(u - np.repeat(base, cnt))
+    tfs, _ = vb_decode_concat(tf_bufs)
+    dls, _ = vb_decode_concat(dl_bufs)
+    return docs, tfs.astype(np.int64), dls.astype(np.int64), cnt
+
+
+def decode_positions_concat(pos_bufs, tfs: np.ndarray) -> np.ndarray:
+    """Batch decode of many positions blobs to ONE flat doc-major
+    positions array. ``tfs``: per-doc term frequencies aligned with the
+    concatenated doc entries (the delta chain restarts at every doc —
+    row boundaries are doc boundaries, so one segmented cumsum covers
+    all blobs)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas, _ = vb_decode_concat(pos_bufs)
+    if deltas.size == 0:
+        return deltas.astype(np.int64)
+    d = deltas.astype(np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    cs = np.cumsum(d)
+    base = cs[doc_starts] - d[doc_starts]
+    return cs - np.repeat(base, tfs)
+
+
 def decode_blocks(
     doc_ids_buf: bytes,
     tfs_buf: bytes,

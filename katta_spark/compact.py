@@ -46,7 +46,9 @@ from katta_spark.build import (
 )
 from katta_spark.codec import (
     decode_positions,
+    decode_positions_concat,
     decode_posting_list,
+    decode_posting_lists_concat,
     encode_positions_batch,
     encode_posting_lists_batch,
 )
@@ -118,86 +120,78 @@ def _merge_kernel(
                 yield pdf.iloc[idx][_COLS]
 
         # merge path: every multi-source group plus every single-source
-        # group that needs a deletion rewrite — decode + merge by docID,
-        # mask deleted, then ONE vectorized batch re-encode for all
-        m_doc, m_tf, m_dl, m_pos = [], [], [], []
-        run_starts, run_starts_occ, doc_starts = [], [], []
-        heads = []  # (shard_id, th) per merged run
-        nd = nocc = 0
-        for s, e in zip(starts, ends):
-            if single[s] and e - s == 1:
-                continue
-            rows = list(pdf.iloc[s:e].itertuples(index=False))
-            docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-            for r in rows:
-                d, t, l = decode_posting_list(r.doc_ids, r.tfs, r.doclens)
-                docs_l.append(d)
-                tfs_l.append(t)
-                dls_l.append(l)
-                if positions:
-                    pos_l.append(decode_positions(r.positions, t))
-            docs = np.concatenate(docs_l)
-            tfs = np.concatenate(tfs_l)
-            dls = np.concatenate(dls_l)
-            order = np.argsort(docs, kind="stable")
-            docs_s = docs[order]
-            if np.any(docs_s[1:] == docs_s[:-1]):
-                raise ValueError(
-                    "duplicate doc_id across input indexes — compaction "
-                    "requires disjoint document sets (same doc indexed in "
-                    f"two inputs; shard {rows[0].shard_id}, th {rows[0].th})"
-                )
-            tfs_s, dls_s = tfs[order], dls[order]
-            pos_m = None
-            if positions:
-                total0 = int(tfs_s.sum())
-                new_off0 = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
-                pos_all = np.concatenate(pos_l)
-                # gather each doc's positions slice into the merged order
-                occ_start = np.concatenate(
-                    [[0], np.cumsum(tfs)[:-1]]
-                )  # per source-doc entry, into pos_all
-                gather = np.repeat(occ_start[order], tfs_s) + (
-                    np.arange(total0) - np.repeat(new_off0, tfs_s)
-                )
-                pos_m = pos_all[gather]
-            if dny is not None and int(rows[0].shard_id) in affected:
-                keep = ~np.isin(docs_s, dny)
-                if not keep.all():
-                    if positions:
-                        pos_m = pos_m[np.repeat(keep, tfs_s)]
-                    docs_s = docs_s[keep]
-                    tfs_s = tfs_s[keep]
-                    dls_s = dls_s[keep]
-                if docs_s.size == 0:
-                    continue  # the term's last docs were deleted
-            total = int(tfs_s.sum())
-            new_off = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
-            if positions:
-                m_pos.append(pos_m)
-
-            heads.append((int(rows[0].shard_id), int(rows[0].th)))
-            run_starts.append(nd)
-            run_starts_occ.append(nocc)
-            doc_starts.append(new_off + nocc)
-            m_doc.append(docs_s)
-            m_tf.append(tfs_s)
-            m_dl.append(dls_s)
-            nd += docs_s.size
-            nocc += total
-        if not heads:
+        # group that needs a deletion rewrite — ONE batch decode of every
+        # participating posting list (decode_posting_lists_concat), one
+        # global (group, doc) lexsort to interleave the sources, one
+        # vectorized batch re-encode. The per-group Python loop this
+        # replaces paid a pandas row-slice + per-row numpy decode per
+        # (shard, term) group — the dominant compaction cost when the
+        # pass-through fraction is low.
+        mrow = np.flatnonzero(~single)
+        if mrow.size == 0:
             return
-        doc_all = np.concatenate(m_doc)
-        tf_all = np.concatenate(m_tf)
-        dl_all = np.concatenate(m_dl)
+        grp_of_row = np.repeat(np.arange(starts.size), ends - starts)
+        uniq_g, g_row = np.unique(grp_of_row[mrow], return_inverse=True)
+        shard_g = sh[starts[uniq_g]]
+        th_g = th[starts[uniq_g]]
+        docs_a, tf_a, dl_a, cnt = decode_posting_lists_concat(
+            pdf["doc_ids"].to_numpy()[mrow],
+            pdf["tfs"].to_numpy()[mrow],
+            pdf["doclens"].to_numpy()[mrow],
+        )
+        g_doc = np.repeat(g_row, cnt)
+        order = np.lexsort((docs_a, g_doc))
+        docs_s = docs_a[order]
+        tfs_s = tf_a[order]
+        dls_s = dl_a[order]
+        g_s = g_doc[order]
+        dup = (g_s[1:] == g_s[:-1]) & (docs_s[1:] == docs_s[:-1])
+        if dup.any():
+            gi = int(g_s[int(np.flatnonzero(dup)[0])])
+            raise ValueError(
+                "duplicate doc_id across input indexes — compaction "
+                "requires disjoint document sets (same doc indexed in "
+                f"two inputs; shard {int(shard_g[gi])}, th {int(th_g[gi])})"
+            )
+        pos_m = None
+        if positions:
+            pos_all = decode_positions_concat(
+                pdf["positions"].to_numpy()[mrow], tf_a
+            )
+            # gather each doc's positions slice into the merged order
+            occ_start = np.concatenate([[0], np.cumsum(tf_a)[:-1]])
+            new_off = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
+            gather = np.repeat(occ_start[order], tfs_s) + (
+                np.arange(pos_all.size) - np.repeat(new_off, tfs_s)
+            )
+            pos_m = pos_all[gather]
+        if dny is not None and affected:
+            aff_g = np.isin(
+                shard_g, np.fromiter(affected, np.int64, len(affected))
+            )
+            keep = ~(np.isin(docs_s, dny) & aff_g[g_s])
+            if not keep.all():
+                if positions:
+                    pos_m = pos_m[np.repeat(keep, tfs_s)]
+                docs_s = docs_s[keep]
+                tfs_s = tfs_s[keep]
+                dls_s = dls_s[keep]
+                g_s = g_s[keep]  # groups whose last docs die just vanish
+        if docs_s.size == 0:
+            return
+        chg_g = np.empty(g_s.size, dtype=bool)
+        chg_g[0] = True
+        chg_g[1:] = g_s[1:] != g_s[:-1]
+        run_starts = np.flatnonzero(chg_g)
+        g_run = g_s[run_starts]
+        heads = list(zip(shard_g[g_run].tolist(), th_g[g_run].tolist()))
         encoded = encode_posting_lists_batch(
-            doc_all, tf_all, dl_all, np.array(run_starts), block=block
+            docs_s, tfs_s, dls_s, run_starts, block=block
         )
         if positions:
+            doc_off = np.concatenate([[0], np.cumsum(tfs_s)[:-1]])
             pos_blobs = encode_positions_batch(
-                np.concatenate(m_pos),
-                np.concatenate(doc_starts),
-                np.array(run_starts_occ),
+                pos_m, doc_off, doc_off[run_starts]
             )
         else:
             pos_blobs = [b""] * len(heads)

@@ -95,11 +95,20 @@ def train_quality_classifier(
         regParam=reg_param,
     )
     fitted = lr.fit(data)
-    # Persistence round-trip strips the training summary: the summary
-    # holds the SparkSession, and the scoring UDF's closure would drag
-    # the whole session graph into every task (non-serializable once
-    # e.g. an Observation is registered — "Task not serializable:
-    # ObservationManager"). Saved models carry coefficients only.
+    # The training summary must be stripped before scoring: it holds the
+    # SparkSession, and the scoring UDF's closure would drag the whole
+    # session graph into every task (non-serializable once e.g. an
+    # Observation is registered — "Task not serializable:
+    # ObservationManager"). Clearing it in place (the JVM setter is
+    # public bytecode) replaces the disk persistence round-trip that did
+    # the same job with four Spark jobs; the round-trip remains as the
+    # fallback if the internal setter ever disappears.
+    try:
+        spark = data.sparkSession
+        fitted._java_obj.setSummary(spark._jvm.scala.Option.empty())
+        return QualityModel(model=fitted, n_features=n_features)
+    except Exception:
+        pass
     import shutil
     import tempfile
 
