@@ -603,12 +603,29 @@ def build_index(
 
     kernel = _make_encode_kernel(block, positions)
     n_committed = n_skipped = 0
-    pool = ThreadPoolExecutor(max_workers=3)
-    fut_dict = (
-        pool.submit(_run_dictionary)
-        if any(b not in committed for b, _ in batches)
-        else None
-    )
+    pool = ThreadPoolExecutor(max_workers=4)
+    will_commit = any(b not in committed for b, _ in batches)
+    fut_dict = pool.submit(_run_dictionary) if will_commit else None
+    # Sort-value sidecar (docvalues.py): its own slim corpus scan,
+    # independent of the postings — overlapped with the encode batches on
+    # the driver pool, exactly like the dictionary (it sat in the serial
+    # tail before, a full docvalue-scan of wait after the last batch).
+    fut_dv = None
+    if docvalue_cols:
+        from katta_spark.docvalues import dv_path, write_docvalues
+
+        if will_commit or not os.path.exists(
+            os.path.join(dv_path(index_dir), "_SUCCESS")
+        ):
+
+            def _run_dv():
+                t_dv = time.time()
+                write_docvalues(
+                    spark, docs, index_dir, docvalue_cols, num_shards
+                )
+                phase_t["docvalues"] = round(time.time() - t_dv, 2)
+
+            fut_dv = pool.submit(_run_dv)
     try:
         for batch_id, shard_ids in batches:
             if batch_id in committed:
@@ -747,25 +764,6 @@ def build_index(
             _ensure_readable(p["postings"], ENCODED_SCHEMA)
             _ensure_readable(p["dict"], "th long, term string, _mx string")
 
-        # Sort-value sidecar (docvalues.py): its own slim corpus scan —
-        # overlapped with the phase-3 stats job on the driver pool.
-        fut_dv = None
-        if docvalue_cols:
-            from katta_spark.docvalues import dv_path, write_docvalues
-
-            if n_committed or not os.path.exists(
-                os.path.join(dv_path(index_dir), "_SUCCESS")
-            ):
-
-                def _run_dv():
-                    t_dv = time.time()
-                    write_docvalues(
-                        spark, docs, index_dir, docvalue_cols, num_shards
-                    )
-                    phase_t["docvalues"] = round(time.time() - t_dv, 2)
-
-                fut_dv = pool.submit(_run_dv)
-
         t2 = time.time()
         # ---- Phase 3: term stats AND marker-derived doc/avgdl scalars in
         # ONE job (vocab-sized; parquet prunes the blob columns). Katta's
@@ -793,17 +791,20 @@ def build_index(
                     "shard_id", "th", "df", "cf", "sum_dl"
                 )
                 if obs3 is not None:
-                    aggs = []
-                    for s in range(num_shards):
-                        cond = marker & (F.col("shard_id") == s)
-                        aggs += [
-                            F.sum(F.when(cond, F.col("df"))).alias(f"nd{s}"),
-                            F.sum(F.when(cond, F.col("cf"))).alias(f"nr{s}"),
-                            F.sum(F.when(cond, F.col("sum_dl"))).alias(
-                                f"dl{s}"
-                            ),
-                        ]
-                    stats_src = stats_src.observe(obs3, *aggs)
+                    stats_src = stats_src.observe(
+                        obs3,
+                        F.collect_list(
+                            F.when(
+                                marker,
+                                F.struct(
+                                    F.col("shard_id"),
+                                    F.col("df"),
+                                    F.col("cf"),
+                                    F.col("sum_dl"),
+                                ),
+                            )
+                        ).alias("mk"),
+                    )
                 (
                     stats_src.groupBy("th")
                     .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
@@ -813,15 +814,16 @@ def build_index(
                     .parquet(p["stats"])
                 )
 
-            # Per-shard marker sums as Observation metrics on the stats
-            # write (zero extra jobs) — 3 conditional aggregates per shard.
-            # Past 8 shards that codegen footprint isn't worth it (the
-            # 96-agg Observe at 32 shards costs seconds of driver-side
-            # codegen compile, measured in the scaling tail): fall back to
-            # one tiny separate JVM agg over the marker rows only (pushed
-            # In(th) predicate + row-group skipping, still no Python and
-            # no blob decode).
-            obs3 = Observation("phase3_markers") if num_shards <= 8 else None
+            # Per-shard marker sums as ONE Observation metric on the stats
+            # write (zero extra jobs at any shard count): collect_list of
+            # the marker rows' (shard_id, df, cf, sum_dl) structs —
+            # bounded by SENTINEL_SALT x shards x files-per-shard rows
+            # (driver-KB scale), summed per shard driver-side. This
+            # replaces both the 3-aggregates-per-shard Observe (whose
+            # codegen compile cost seconds past 8 shards) and the
+            # separate marker-scan job that large-shard builds paid in
+            # the serial tail.
+            obs3 = Observation("phase3_markers")
             try:
                 _run_stats(obs3)
             except Exception:
@@ -845,12 +847,18 @@ def build_index(
                     # fall back to the explicit marker aggregation
                     m = None
             if m is not None:
+                per_shard: dict[int, list[int]] = {}
+                n_rows = 0
+                for r in m["mk"] or []:
+                    acc = per_shard.setdefault(int(r["shard_id"]), [0, 0])
+                    acc[0] += int(r["df"])
+                    acc[1] += int(r["sum_dl"])
+                    n_rows += int(r["cf"])
                 shard_counts = [
-                    (s, int(m[f"nd{s}"] or 0), int(m[f"dl{s}"] or 0))
-                    for s in range(num_shards)
-                    if m[f"nd{s}"]
+                    (s, nd, dl)
+                    for s, (nd, dl) in sorted(per_shard.items())
+                    if nd
                 ]
-                n_rows = sum(int(m[f"nr{s}"] or 0) for s in range(num_shards))
             else:
                 mrows = (
                     spark.read.parquet(p["postings"])
