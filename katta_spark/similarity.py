@@ -49,6 +49,59 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_scored(
+    vecs: DataFrame, qvec, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, cos): raw (unrounded) cosine of every row against
+    ``qvec``, as one Arrow map pass. The numpy kernel reproduces
+    cosine_similarity_col's sequential left-to-right float64 folds
+    column-wise (acc += X[:, d] * q_d — identical order and precision),
+    so the doubles are bit-identical to the JVM expression it replaces
+    (which evaluated planes x dim interpreted lambda calls per row);
+    rounding stays in the JVM so HALF_UP semantics are untouched.
+    Rows whose vector length differs from the query's yield NULL, like
+    the zip_with fold."""
+    import pandas as pd
+
+    q = np.asarray(qvec, dtype=np.float64)
+    nq = 0.0
+    for x in q:  # sequential fold, like _norm
+        nq += float(x) * float(x)
+    nq = float(np.sqrt(nq))
+    dim = q.size
+
+    def kernel(batches):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs_s = pdf[vec_col]
+                lens = np.fromiter(
+                    (len(v) for v in vecs_s), np.int64, len(vecs_s)
+                )
+                ok = lens == dim
+                out = pd.array([None] * len(pdf), dtype="Float64")
+                if ok.any():
+                    X = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in vecs_s[ok]]
+                    )
+                    dot = np.zeros(X.shape[0], dtype=np.float64)
+                    nv = np.zeros(X.shape[0], dtype=np.float64)
+                    for d in range(dim):
+                        dot += X[:, d] * q[d]
+                        nv += X[:, d] * X[:, d]
+                    cos = dot / (np.sqrt(nv) * nq)
+                    out[np.flatnonzero(ok)] = cos
+                yield pd.DataFrame(
+                    {"vec_id": pdf[id_col], "cos": out}
+                )
+
+    idt = dict(vecs.dtypes)[id_col]
+    return vecs.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(kernel, f"vec_id {idt}, cos double")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -58,19 +111,35 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k against the row with ``query_vec_id``.
 
-    Plan: broadcast the 1-row query vector, score every row JVM-side,
+    Plan: pull the 1-row query vector, score every row in one Arrow map
+    pass (_cosine_scored — bit-identical to the former JVM fold),
     TakeOrderedAndProject for the distributed top-k. One corpus scan,
     zero shuffles of the corpus.
     """
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec")
+    qrow = (
+        embeddings.where(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .collect()
     )
-    return (
-        embeddings.where(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select(
+    rest = embeddings.where(F.col(id_col) != query_vec_id)
+    if not qrow:
+        # no query row: the cross join with an empty broadcast side
+        # produced zero rows — reproduce the empty result, same schema
+        scored = rest.select(
             F.col(id_col).alias("vec_id"),
-            F.round(cosine_similarity_col(F.col(vec_col), F.col("qvec")), 4).alias("cos"),
+            F.lit(None).cast("double").alias("cos"),
+        ).where(F.lit(False))
+    elif qrow[0][0] is None:
+        # NULL query vector: the fold yielded NULL for every row
+        scored = rest.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("double").alias("cos"),
+        )
+    else:
+        scored = _cosine_scored(rest, list(qrow[0][0]), id_col, vec_col)
+    return (
+        scored.select(
+            "vec_id", F.round(F.col("cos"), 4).alias("cos")
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -107,6 +176,22 @@ def bucket_col(vec_col, H: np.ndarray):
     return bucket
 
 
+def _bucket_batch(X: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Buckets for a (n, dim) float64 matrix — the EXACT sequential
+    left-to-right float64 fold of bucket_col, vectorized across rows:
+    acc += X[:, d] * s_d accumulates each row's dot in the same order
+    and precision as the JVM fold, so the sign (and bucket) is
+    bit-identical."""
+    n = X.shape[0]
+    bucket = np.zeros(n, dtype=np.int64)
+    for p in range(H.shape[0]):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(H.shape[1]):
+            acc += X[:, d] * H[p, d]
+        bucket |= (acc >= 0.0).astype(np.int64) << p
+    return bucket
+
+
 def lsh_signatures(
     embeddings: DataFrame,
     dim: int,
@@ -116,12 +201,44 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, embedding, bucket): Rademacher-hyperplane LSH bucket per
-    vector, computed entirely JVM-side (no Python, no shuffle)."""
+    vector — one Arrow map pass (no shuffle). The per-row JVM
+    higher-order-function fold this replaces was interpreted per element
+    (planes x dim lambda evaluations per row); the numpy kernel does the
+    same fold column-wise (_bucket_batch), bit-identical, at C speed.
+    Vectors whose length differs from ``dim`` keep the JVM semantics:
+    the zip_with fold yields a NULL dot for every plane, so the bucket
+    is 0."""
+    import pandas as pd
+
     H = rademacher_hyperplanes(dim, planes, seed)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf[vec_col]
+            lens = np.fromiter((len(v) for v in vecs), np.int64, len(vecs))
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            ok = lens == dim
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )
+                bucket[ok] = _bucket_batch(X, H)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "embedding": vecs,
+                    "bucket": bucket,
+                }
+            )
+
+    dts = dict(embeddings.dtypes)
     return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        bucket_col(F.col(vec_col), H).alias("bucket"),
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(
+        kernel,
+        f"vec_id {dts[id_col]}, embedding {dts[vec_col]}, bucket long",
     )
 
 
@@ -197,15 +314,11 @@ def ann_topk(
     )
     if exclude_vec_id is not None:
         vecs = vecs.where(F.col("vec_id") != exclude_vec_id)
-    q = spark.createDataFrame([(list(map(float, query_vec)),)], "qvec array<double>")
     return (
-        vecs.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                cosine_similarity_col(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cos"),
+        _cosine_scored(
+            vecs, [float(x) for x in query_vec], "vec_id", "embedding"
         )
+        .select("vec_id", F.round(F.col("cos"), 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -431,15 +544,9 @@ def cosine_topk_lsh(
         sigs.where(F.col("bucket").isin(probes))
         .where(F.col("vec_id") != query_vec_id)
     )
-    q = spark.createDataFrame([(list(map(float, qvec)),)], "qvec array<double>")
     return (
-        cand.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                cosine_similarity_col(F.col("embedding"), F.col("qvec")), 4
-            ).alias("cos"),
-        )
+        _cosine_scored(cand, [float(x) for x in qvec], "vec_id", "embedding")
+        .select("vec_id", F.round(F.col("cos"), 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(k)
     )
