@@ -4208,9 +4208,12 @@ def _live_tombstone_count(
     from the doc-marker (sentinel) postings, the index's authoritative
     docID set (build.py SENTINEL_HASHES: one marker posting row per
     (shard, doc_id % SENTINEL_SALT) slice, every doc in exactly one).
-    The scan is th-pruned to the dead ids' own sentinel slices, so the
-    job is O(|dead|) marker rows — never a corpus scan; an empty
-    tombstone set costs zero jobs."""
+    The scan is th-pruned to the dead ids' own sentinel slices — bounded
+    by |touched slices| x slice size (<= min(|dead|, SENTINEL_SALT)
+    slices of ~n_docs/SENTINEL_SALT ids per shard), never a full-corpus
+    postings scan; an empty tombstone set costs zero jobs. The dead-id
+    array rides the handle's memoized deny broadcast (_deny_handle), so
+    repeated counts on a tombstoned index never re-ship it."""
     if dead is None or dead.size == 0:
         return 0
     from katta_spark.build import SENTINEL_HASHES, SENTINEL_SALT
@@ -4222,14 +4225,15 @@ def _live_tombstone_count(
         .where(F.col("th").isin(hashes))
         .select("doc_ids", "tfs", "doclens")
     )
-    bc = spark.sparkContext.broadcast(dead)
+    bc = _deny_handle(spark, h)
 
     def kern(batches):
+        dny = _deny_val(bc)
         n = 0
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 docs = decode_posting_list(r.doc_ids, r.tfs, r.doclens)[0]
-                n += int(np.intersect1d(bc.value, docs).size)
+                n += int(np.intersect1d(dny, docs).size)
         yield pd.DataFrame({"n": [n]})
 
     out = (

@@ -38,17 +38,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     One groupBy-shuffle on the 32-byte hash — never on the text itself
     (at 100 TB the shuffle payload is hashes, not documents).
     """
+    from pyspark.sql import Window
+
     h = docs.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5")
     )
-    canon = h.groupBy("text_md5").agg(F.min("doc_id").alias("canonical_id"))
-    return (
-        h.join(canon, "text_md5")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
-        )
+    # canonical = min(doc_id) over the hash group as a WINDOW aggregate:
+    # one corpus scan and one exchange, where the former groupBy + join
+    # scanned and hashed the corpus once per join side (self-joins do not
+    # share lineage) and shuffled it twice.
+    return h.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("text_md5")).alias(
+            "canonical_id"
+        ),
+    ).select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
     )
 
 

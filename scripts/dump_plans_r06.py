@@ -21,9 +21,12 @@ def main() -> None:
     import katta_spark.textops as tx
     from katta_spark import vocab as kvocab
 
+    import katta_spark.similarity as sim
+
     os.makedirs(OUT, exist_ok=True)
     spark = get_spark("plan_dump_r06", master="local[4]", shuffle_partitions=4)
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
     bench = docs.where("doc_id % 41 = 0")
 
     plans = {
@@ -43,6 +46,8 @@ def main() -> None:
         "substring_dedup": lambda: tx.substring_dup_spans(docs, k=16),
         "chunk_documents": lambda: tx.chunk_documents(docs, max_tokens=64, stride=48),
         "decontaminate": lambda: tx.decontaminate(docs, bench),
+        "ann_cosine_top20": lambda: sim.cosine_topk(emb, 0, 20),
+        "ann_lsh_signatures": lambda: sim.lsh_signatures(emb, dim=64),
     }
     for name, fn in plans.items():
         try:
