@@ -221,6 +221,12 @@ class IndexHandle:
         key = (os.path.realpath(index_dir), os.stat(corpus_path).st_mtime_ns)
         cached = _OPEN_HANDLE_CACHE.get(key)
         if cached is not None:
+            # qpm() is "queries per minute since the handle was opened":
+            # before memoization every open() started its own metric
+            # window, so a memo hit re-stamps the window to keep that
+            # per-open semantic (Client.java:458-464)
+            cached._opened_at = time.time()
+            cached._n_queries = 0
             return cached
         row = spark.read.parquet(corpus_path).collect()[0]
         kw = tuple(row["keyword_fields"] or ()) if "keyword_fields" in row else ()

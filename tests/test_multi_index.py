@@ -80,10 +80,18 @@ def test_multi_index_stats_memoized(spark, split_indexes):
     def _boom(*_a, **_k):
         raise AssertionError("stats/shards re-read on a warm handle")
 
-    for h in (ha, hb):
-        h.stats = _boom
-        h.shards = _boom
-    again = search_multi(spark, [ha, hb], "hotalpha w00011", k=10).collect()
+    saved = [(h, h.stats, h.shards) for h in (ha, hb)]
+    try:
+        for h in (ha, hb):
+            h.stats = _boom
+            h.shards = _boom
+        again = search_multi(spark, [ha, hb], "hotalpha w00011", k=10).collect()
+    finally:
+        # open() memoizes handles per (dir, mtime): restore the real
+        # methods or every later test sharing these dirs inherits _boom
+        for h, st, sh in saved:
+            h.stats = st
+            h.shards = sh
     assert [(r.doc_id, r.score) for r in first] == [
         (r.doc_id, r.score) for r in again
     ]
