@@ -570,11 +570,11 @@ def substring_dup_spans(
     )
 
 
-def _simhash16_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Aggregate-form SimHash twin: the literal transcription of the
-    oracle SQL (explode → per-(doc,term) tf → tf-weighted bit sums).
-    Kept as the equivalence oracle for simhash16 (tests); two exchanges,
-    so the in-row form below is what the engine ships.
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash as a bitstring.
+
+    Bit j = sign of the tf-weighted sum of (high bit of nibble j of
+    md5(term)) — per-nibble high bit is '8'-'f' in hex, exact in any engine.
     """
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t"))
@@ -599,50 +599,6 @@ def _simhash16_agg(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return tf.groupBy("doc_id").agg(
         F.concat(*bit_aggs).alias("simhash")
     )
-
-
-def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 16-bit SimHash as a bitstring, zero exchanges.
-
-    Bit j = sign of the tf-weighted sum of (high bit of nibble j of
-    md5(term)) — per-nibble high bit is '8'-'f' in hex, exact in any
-    engine. By linearity the tf-weighted sum over DISTINCT terms equals
-    the plain sum over token OCCURRENCES
-    (sum_term tf(term)*s_j(term) == sum_token s_j(token)), so bit j is
-    '1' iff 2*|{tokens with high nibble j}| - n_tokens >= 0 — computed
-    per row from the token array, no (doc,term) tf aggregate and no
-    doc_id re-aggregate (_simhash16_agg is the aggregate-form twin).
-    Empty/null-text docs emit no row (the oracle's unnest of an empty
-    list yields nothing), matching the explode+filter shape.
-    """
-    # tokenize_col yields a non-empty array iff text has >= 1 alnum char
-    # (null text -> null rlike -> dropped), so the emptiness filter runs
-    # on the RAW column — a size(t)>0 filter would be substituted below
-    # the projection and re-run the tokenize per row (pitfall 2)
-    toks = docs.where(F.col(text_col).rlike("[a-zA-Z0-9]")).select(
-        F.col(id_col).alias("doc_id"), tokenize_col(F.col(text_col)).alias("t")
-    )
-    # md5 array projected ONCE (its own select): transform is not a
-    # "cheap" expression, so CollapseProject will not inline it into the
-    # 16 consumers below.
-    hashed = toks.select(
-        "doc_id", F.size("t").alias("n"), F.transform("t", F.md5).alias("hs")
-    )
-    HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
-
-    def _high_at(j):
-        # closure factory: a `lambda h, j=j` would have TWO parameters and
-        # PySpark would bind j to the ARRAY INDEX (see the round-6 report,
-        # pitfall 1) — one-arg lambdas only
-        return lambda h: F.substring(h, j, 1).isin(*HIGH)
-
-    bits = [
-        F.when(
-            2 * F.size(F.filter(F.col("hs"), _high_at(j))) - F.col("n") >= 0, "1"
-        ).otherwise("0")
-        for j in range(1, 17)
-    ]
-    return hashed.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

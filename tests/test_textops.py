@@ -129,23 +129,6 @@ def test_simhash_duck_parity(docs, duck):
     assert got == want
 
 
-def test_simhash_inrow_matches_aggregate_twin(docs, spark):
-    # the shipped zero-exchange form == the literal aggregate transcription
-    # of the oracle (tf-weighted distinct-term sums), incl. empty docs
-    edge = docs.select("doc_id", "text").unionByName(
-        spark.createDataFrame(
-            [(10_001, ""), (10_002, None), (10_003, "a a a b")],
-            "doc_id long, text string",
-        )
-    )
-    got = {(r.doc_id, r.simhash) for r in tx.simhash16(edge).collect()}
-    want = {(r.doc_id, r.simhash) for r in tx._simhash16_agg(edge).collect()}
-    assert got == want
-    assert 10_001 not in {d for d, _ in got} and 10_002 not in {d for d, _ in got}
-    plan = tx.simhash16(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-
-
 def test_quality_scores_ranges(docs):
     rows = tx.quality_scores(docs).collect()
     assert all(r.n_tokens >= 0 and 0 <= r.stopword_ratio <= 1 for r in rows)
