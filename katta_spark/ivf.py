@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from katta_spark.similarity import cosine_similarity_col
+from katta_spark.similarity import _ann_rel, cosine_similarity_col
 
 _META = "IVF_META.json"
 
@@ -264,7 +264,7 @@ def ivf_topk(
     with open(os.path.join(ivf_dir, _META)) as fh:
         meta = json.load(fh)
     probes = _probe_clusters(query_vec, meta, nprobe)
-    vecs = spark.read.parquet(os.path.join(ivf_dir, "vectors.parquet")).where(
+    vecs = _ann_rel(spark, os.path.join(ivf_dir, "vectors.parquet")).where(
         F.col("cluster").isin(probes)
     )
     if exclude_vec_id is not None:
@@ -318,7 +318,7 @@ def ivf_topk_batch(
         rows, "query_id long, cluster int, qvec array<double>"
     )
     all_probes = sorted({c for _, c, _ in rows})
-    vecs = spark.read.parquet(os.path.join(ivf_dir, "vectors.parquet")).where(
+    vecs = _ann_rel(spark, os.path.join(ivf_dir, "vectors.parquet")).where(
         F.col("cluster").isin(all_probes)
     )
     from pyspark.sql import Window

@@ -258,14 +258,50 @@ class IndexHandle:
             return F.pmod(F.xxhash64(doc_col), F.lit(self.num_shards)).cast("int")
         return F.pmod(doc_col, F.lit(self.num_shards)).cast("int")
 
-    def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.index_dir, "postings.parquet"))
+    def _rel(
+        self, spark: SparkSession, path: str, fresh: bool = False
+    ) -> DataFrame:
+        """``spark.read.parquet(path)`` memoized per (path, session,
+        directory mtime_ns). Every ``read.parquet`` pays a driver file
+        listing + footer fetch over py4j (~60 ms measured) that repeated
+        queries on a warm handle should not pay — the index is immutable
+        while its directory is unchanged, the same invariant the open()
+        memo keys on. An in-place rewrite (expunge/compact/delete into
+        the same directory) bumps the directory mtime and invalidates;
+        the session is part of the key so a handle that outlives a
+        stopped SparkSession never serves a frame bound to it.
+
+        ``fresh=True`` bypasses the memo and re-reads: a plan that joins
+        or cogroups the relation WITH ITSELF needs distinct attribute
+        ids on the two sides (Spark's ambiguous-self-join check rejects
+        one Dataset on both sides of a cogroup), so the second side
+        takes a fresh frame."""
+        cache = self.__dict__.setdefault("_rel_cache", {})
+        key = (path, spark)
+        mt = os.stat(path).st_mtime_ns
+        if not fresh:
+            hit = cache.get(key)
+            if hit is not None and hit[0] == mt:
+                return hit[1]
+        df = spark.read.parquet(path)
+        if not fresh:
+            cache[key] = (mt, df)
+        return df
+
+    def postings(
+        self, spark: SparkSession, fresh: bool = False
+    ) -> DataFrame:
+        return self._rel(
+            spark,
+            os.path.join(self.index_dir, "postings.parquet"),
+            fresh=fresh,
+        )
 
     def stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.index_dir, "stats.parquet"))
+        return self._rel(spark, os.path.join(self.index_dir, "stats.parquet"))
 
     def shards(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.index_dir, "shards.parquet"))
+        return self._rel(spark, os.path.join(self.index_dir, "shards.parquet"))
 
     def total_dl(self, spark: SparkSession) -> float:
         """Corpus-wide Σ default-field tokens, memoized on the handle (the
@@ -2826,7 +2862,7 @@ def search(
             extra_cols = [f"__sv{i}" for i in range(len(specs))]
         from katta_spark.docvalues import dv_path as _dvp
 
-        dvdf = spark.read.parquet(_dvp(index.index_dir)).where(
+        dvdf = index._rel(spark, _dvp(index.index_dir)).where(
             F.col("col").isin(dv_cols)
         )
         if shard_ids is not None:
@@ -3294,7 +3330,7 @@ def search_multi(
         sh_off = 0
         for h in handles:
             dv_parts.append(
-                spark.read.parquet(_dvp(h.index_dir))
+                h._rel(spark, _dvp(h.index_dir))
                 .where(F.col("col").isin([n for n, _ in specs]))
                 .withColumn(
                     "shard_id", (F.col("shard_id") + F.lit(sh_off)).cast("int")
@@ -3610,8 +3646,9 @@ def _search_sorted_dv(
             ddf = None
             for hi_, h in enumerate(handles):
                 part = (
-                    spark.read.parquet(
-                        os.path.join(_dv_strings(h.index_dir), f"col={name}")
+                    h._rel(
+                        spark,
+                        os.path.join(_dv_strings(h.index_dir), f"col={name}"),
                     ).select(
                         F.lit(hi_).alias("__iid"),
                         F.col("rank").alias(f"__sv{i}"),
@@ -3844,8 +3881,8 @@ def search_grouped(
         # broadcast semi-join before the (broadcast) decorate join
         from katta_spark.docvalues import strings_path as _dv_strings
 
-        ddf = spark.read.parquet(
-            os.path.join(_dv_strings(index.index_dir), f"col={group_col}")
+        ddf = index._rel(
+            spark, os.path.join(_dv_strings(index.index_dir), f"col={group_col}")
         ).select(F.col("rank").alias("gkey"), F.col("value").alias("__gv"))
         wanted = ddf.join(
             F.broadcast(out.select("gkey").where(~F.col("gnull")).distinct()),
@@ -4448,7 +4485,10 @@ def facet_counts(
     )
     cols = ["shard_id", "th", "doc_ids", "tfs", "doclens"]
     left = h.postings(spark).where(F.col("th").isin(q_hashes)).select(*cols)
-    right = h.postings(spark).join(
+    # fresh=True: left and right are the SAME relation on two sides of a
+    # cogroup — the memoized frame would carry identical attribute ids
+    # into both and trip Spark's ambiguous-self-join check
+    right = h.postings(spark, fresh=True).join(
         F.broadcast(facet_terms.select("th")), "th"
     ).select(*cols)
     if shard_ids is not None:

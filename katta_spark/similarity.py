@@ -27,6 +27,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# read.parquet of an ANN index sidecar, memoized per (path, session,
+# directory mtime_ns) — the same warm-handle invariant as
+# IndexHandle._rel: each read.parquet costs a driver listing + footer
+# fetch (~60 ms) that repeated probes of an immutable index need not
+# pay; a rebuild into the same directory bumps the mtime and invalidates.
+_REL_CACHE: dict = {}
+
+
+def _ann_rel(spark: SparkSession, path: str) -> DataFrame:
+    key = (path, spark)
+    mt = os.stat(path).st_mtime_ns
+    hit = _REL_CACHE.get(key)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _REL_CACHE[key] = (mt, df)
+    return df
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -309,7 +328,7 @@ def ann_topk(
         meta = json.load(fh)
     H = rademacher_hyperplanes(meta["dim"], meta["planes"], meta["seed"])
     probes = _hamming_ball(_bucket_of(query_vec, H), meta["planes"], probe_radius)
-    vecs = spark.read.parquet(os.path.join(ann_dir, "vectors.parquet")).where(
+    vecs = _ann_rel(spark, os.path.join(ann_dir, "vectors.parquet")).where(
         F.col("bucket").isin(probes)
     )
     if exclude_vec_id is not None:

@@ -8,6 +8,8 @@ scores and sort fields — and LuceneClientTest.java:266 (multi-index),
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -95,6 +97,39 @@ def test_multi_index_stats_memoized(spark, split_indexes):
     assert [(r.doc_id, r.score) for r in first] == [
         (r.doc_id, r.score) for r in again
     ]
+
+
+def test_relation_memo_and_invalidation(spark, split_indexes, tmp_path):
+    """postings()/stats()/shards() are memoized per (path, session, dir
+    mtime): a warm handle returns the SAME DataFrame (no repeated
+    read.parquet driver work), and an in-place rewrite of the sidecar
+    directory — the expunge/compact shape — bumps the mtime and yields a
+    fresh frame that sees the new files."""
+    whole, _, _ = split_indexes
+    h = IndexHandle.open(spark, whole)
+    p1 = h.postings(spark)
+    assert h.postings(spark) is p1
+    assert h.stats(spark) is h.stats(spark)
+    # rewrite postings.parquet in place (same rows) — the dir mtime
+    # changes, so the memo must hand back a NEW frame, not the stale one
+    import shutil
+    import time as _time
+
+    pdir = os.path.join(whole, "postings.parquet")
+    bak = str(tmp_path / "postings_bak")
+    shutil.copytree(pdir, bak)
+    n_before = p1.count()
+    _time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    shutil.rmtree(pdir)
+    shutil.copytree(bak, pdir)
+    # copytree preserves the source mtime (copystat); a real writer
+    # (Spark overwrite) always leaves a current one — restore that
+    os.utime(pdir)
+    p2 = h.postings(spark)
+    assert p2 is not p1
+    assert p2.count() == n_before
+    # self-join sites take a detached frame with fresh attribute ids
+    assert h.postings(spark, fresh=True) is not h.postings(spark)
 
 
 def test_multi_index_filtered(spark, tiny_transcripts, split_indexes):
