@@ -3835,21 +3835,23 @@ def search_grouped(
         **common,
     )
     # per-(group, shard) the exact count rides every emitted row (and a
-    # shard with ≥1 match emits ≥1 row), so max-per-shard then sum is the
-    # exact global per-group total
-    totals = (
-        hits.groupBy("gnull", "gkey", "shard_id")
-        .agg(F.max("gtotal").alias("__st"))
-        .groupBy("gnull", "gkey")
-        .agg(F.sum("__st").alias("group_total"))
-    )
+    # shard with ≥1 match emits ≥1 row). The totals and the per-group
+    # top-k both derive from the kernel output — as two JOINED branches
+    # of one plan the pass-2 kernel would execute once PER BRANCH (no
+    # exchange reuse under different aggregations of a cogroup kernel;
+    # measured 4 kernel instances in the physical plan), so the total
+    # rides the rows as a window aggregate instead: gtotal is CONSTANT
+    # within a (group, shard), and summing the first row per shard is
+    # exactly the old max-per-shard-then-sum, with zero extra kernel
+    # passes. The windows run over ≤ k_groups·k_docs·shards rows.
     from pyspark.sql import Window
 
+    w_sh = Window.partitionBy("gnull", "gkey", "shard_id").orderBy(
+        F.col("doc_id").asc()
+    )
+    w_g = Window.partitionBy("gnull", "gkey")
     w = Window.partitionBy("gnull", "gkey").orderBy(
         F.col("score").desc(), F.col("doc_id").asc(), F.col("shard_id").desc()
-    )
-    top = hits.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= k_docs
     )
     gorder = _local_df(
         spark,
@@ -3857,8 +3859,15 @@ def search_grouped(
         ["gnull", "gkey", "__grank"],
         "gnull boolean, gkey long, __grank int",
     )
-    out = top.join(F.broadcast(totals), ["gnull", "gkey"]).join(
-        F.broadcast(gorder), ["gnull", "gkey"]
+    out = (
+        hits.withColumn("__shrn", F.row_number().over(w_sh))
+        .withColumn(
+            "group_total",
+            F.sum(F.when(F.col("__shrn") == 1, F.col("gtotal"))).over(w_g),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k_docs)
+        .join(F.broadcast(gorder), ["gnull", "gkey"])
     )
     if kind == "long":
         gval = F.when(F.col("gnull"), F.lit(None).cast("long")).otherwise(
@@ -3877,18 +3886,18 @@ def search_grouped(
             inv(F.col("gkey"))
         )
     else:  # string: rank → value through the persisted dictionary; the
-        # selected-rank set is tiny, so the dictionary scan is cut by a
-        # broadcast semi-join before the (broadcast) decorate join
+        # selected ranks are already known DRIVER-SIDE from the pass-1
+        # merge, so they prune the dictionary scan as a pushed isin
+        # predicate — deriving them from `out` instead (the old
+        # semi-join) re-executed the whole pass-2 kernel under the
+        # broadcast, and pass 2 only ever emits the selected groups, so
+        # the two row sets are identical
         from katta_spark.docvalues import strings_path as _dv_strings
 
         ddf = index._rel(
             spark, os.path.join(_dv_strings(index.index_dir), f"col={group_col}")
         ).select(F.col("rank").alias("gkey"), F.col("value").alias("__gv"))
-        wanted = ddf.join(
-            F.broadcast(out.select("gkey").where(~F.col("gnull")).distinct()),
-            "gkey",
-            "leftsemi",
-        )
+        wanted = ddf.where(F.col("gkey").isin(selected))
         out = out.join(F.broadcast(wanted), "gkey", "left")
         gval = F.when(F.col("gnull"), F.lit(None).cast("string")).otherwise(
             F.col("__gv")
